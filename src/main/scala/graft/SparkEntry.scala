@@ -1,13 +1,428 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+import graft.operators.Cleaning.CleaningOps
+import graft.operators.{Quality, Star}
+import graft.sources.JsonNormalize
+
+/** Driver contract: every capability from SURVEY.md §2 exposed as a named
+  * query plus (where SQL-expressible) a DuckDB oracle over the same parquet.
+  *
+  * Determinism rules shared by both sides (see SURVEY.md §6):
+  *  - double aggregates accumulate exactly in DECIMAL, emit DOUBLE;
+  *  - integer aggregates emit BIGINT on both sides;
+  *  - timestamps emit as 'yyyy-MM-dd HH:mm:ss' strings;
+  *  - top-k is tie-broken by a unique key;
+  *  - every result is deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables._
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Analytics (SURVEY §2 #17-23)
+  // ------------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: the wide-aggregation headline.
+    * Single scan, map-side partial agg, 6-group result. */
+  private def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumExact(col("l_quantity"), 18, 2).as("sum_qty"),
+        sumExact(col("l_extendedprice"), 18, 2).as("sum_base_price"),
+        sumExact(discPrice, 28, 6).as("sum_disc_price"),
+        sumExact(charge, 28, 6).as("sum_charge"),
+        avgExact(col("l_quantity"), 18, 2).as("avg_qty"),
+        avgExact(col("l_extendedprice"), 18, 2).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style: selective join + agg + deterministic top-k.
+    * customer filter first (smallest side), AQE picks the join strategy. */
+  private def q3TopUnshipped(s: SparkSession, d: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1998-03-15"))
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style snowflake rollup; nation/region hint-broadcast. */
+  private def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val n = broadcast(nation(s, d))
+    val r = broadcast(region(s, d).filter(col("r_name") === "ASIA"))
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val su = broadcast(supplier(s, d).select("s_suppkey", "s_nationkey"))
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** README insight 1: counts by country (customer x broadcast nation). */
+  private def countsByCountry(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_name"))
+
+  /** README insight 5: histogram binning, fully distributed. */
+  private def histogramValues(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(floor(col("value") / 50.0).cast(LongType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("bucket_min"),
+        max(col("value")).as("bucket_max"))
+      .orderBy("bucket")
+
+  /** README insights 3/6/7: top-k with deterministic tie-break. */
+  private def topkNames(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(col("p_type").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("name"))
+      .limit(10)
+
+  /** README insight 9: categorical distribution with share. */
+  private def segmentDistribution(s: SparkSession, d: String): DataFrame = {
+    val counts = customer(s, d)
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("share",
+        col("n").cast(DoubleType) / sum(col("n")).over(Window.partitionBy()).cast(DoubleType))
+      .orderBy("segment")
+  }
+
+  // ------------------------------------------------------------------
+  // Cleaning menu + DQ (SURVEY §2 #5-7)
+  // ------------------------------------------------------------------
+
+  /** Chains the reference's whole cleaning menu over `events`:
+    * rename -> conditional replace (outlier cap) -> fillna -> JSON field ->
+    * dropna(subset) -> timestamp formatting -> deterministic dedup. */
+  private def cleanPipeline(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .renameColumns(Map("value" -> "amount"))
+      .replaceWhere("amount", col("amount") > 100, lit(100.0))
+      .fillNaValues(Map("amount" -> 0.0))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .dropNaSubset(Seq("k", "user_id"))
+      .withColumn("event_ts", tsString(col("ts")))
+      .dedupKeepFirst(Seq("event_id"), Seq(col("event_id")))
+      .select("event_id", "user_id", "event_type", "event_ts", "amount", "k")
+      .orderBy("event_id")
+
+  /** drop_duplicates(subset) with deterministic keep-first. */
+  private def dedupKeepFirstQ(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .dedupKeepFirst(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        tsString(col("ts")).as("first_ts"), col("value"))
+      .orderBy("user_id", "event_type")
+
+  /** The reference's pre-load data-quality gate as a report. */
+  private def dqReport(s: SparkSession, d: String): DataFrame =
+    Quality.report(
+      lineitem(s, d),
+      naturalKey = Seq("l_orderkey", "l_linenumber"),
+      notNull = Seq("l_quantity", "l_shipdate", "l_extendedprice"))
+
+  // ------------------------------------------------------------------
+  // Star schema (SURVEY §2 #8-12)
+  // ------------------------------------------------------------------
+
+  private def dimCustomer(s: SparkSession, d: String): DataFrame =
+    Star.buildDim(customer(s, d), Seq("c_custkey"), "customer_sk", Seq(col("c_custkey")))
+      .select("customer_sk", "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("customer_sk")
+
+  private def dimDate(s: SparkSession, d: String): DataFrame =
+    Star.dateDim(orders(s, d), col("o_orderdate"))
+      .select(
+        col("date_sk"),
+        date_format(col("full_date"), "yyyy-MM-dd").as("full_date"),
+        col("day"), col("month"), col("year"), col("week_day"))
+      .orderBy("date_sk")
+
+  /** Fact load: resolve customer_sk + date_sk via dim joins (date dim
+    * hint-broadcast; customer dim AQE-decided, matching the reference's
+    * INSERT..SELECT..INNER JOIN fact resolution). */
+  private def factOrders(s: SparkSession, d: String): DataFrame = {
+    val dimC = Star
+      .buildDim(customer(s, d), Seq("c_custkey"), "customer_sk", Seq(col("c_custkey")))
+      .select("customer_sk", "c_custkey")
+    val dimD = Star.dateDim(orders(s, d), col("o_orderdate")).select("date_sk", "full_date")
+    val withC = Star.resolveSk(
+      orders(s, d), dimC, col("o_custkey") === col("c_custkey"), "customer_sk",
+      broadcastDim = false)
+    val withD = Star.resolveSk(
+      withC, dimD, to_date(col("o_orderdate")) === col("full_date"), "date_sk",
+      broadcastDim = true)
+    withD
+      .select("o_orderkey", "customer_sk", "date_sk", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** ON CONFLICT DO NOTHING: first-ever record per key survives. */
+  private def upsertDoNothingQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val cutoff = to_timestamp(lit("2024-01-15"))
+    val existing = e.filter(col("ts") < cutoff)
+      .dedupKeepFirst(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+    val incoming = e.filter(col("ts") >= cutoff)
+    Star.upsertDoNothing(existing, incoming, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        tsString(col("ts")).as("first_ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** ON CONFLICT DO UPDATE (SCD-1): latest record per key wins. */
+  private def upsertDoUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val cutoff = to_timestamp(lit("2024-01-15"))
+    val existing = e.filter(col("ts") < cutoff)
+      .dedupKeepFirst(Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))
+    val incoming = e.filter(col("ts") >= cutoff)
+    Star.upsertDoUpdate(existing, incoming, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        tsString(col("ts")).as("last_ts"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // ------------------------------------------------------------------
+  // Ingest & temporal (SURVEY §2 #1, #13, #14)
+  // ------------------------------------------------------------------
+
+  /** json_normalize analog over the events.props payload. */
+  private def jsonExtractEvents(s: SparkSession, d: String): DataFrame =
+    JsonNormalize.normalize(
+        events(s, d), "props",
+        StructType(Seq(StructField("k", LongType))),
+        recordPath = Nil, meta = Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).cast(LongType).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Tumbling-window rollup — the batch form of the hourly cadence; the
+    * SAME transform drives the Structured Streaming job. */
+  def hourlyRollupTransform(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 2).as("total"))
+      .select(
+        tsString(col("w.start")).as("hour_start"),
+        col("event_type"), col("n"), col("total"))
+
+  private def hourlyRollup(s: SparkSession, d: String): DataFrame =
+    hourlyRollupTransform(events(s, d)).orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization (30 min) via lag + running sum — one shuffle
+    * on user_id, both windows share the same partitioning. */
+  private def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSession = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1).otherwise(0)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        tsString(min(col("ts"))).as("session_start"),
+        tsString(max(col("ts"))).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Registry
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_unshipped" -> (q3TopUnshipped _),
+    "q5_nation_revenue" -> (q5NationRevenue _),
+    "counts_by_country" -> (countsByCountry _),
+    "histogram_values" -> (histogramValues _),
+    "topk_names" -> (topkNames _),
+    "segment_distribution" -> (segmentDistribution _),
+    "clean_pipeline" -> (cleanPipeline _),
+    "dedup_keep_first" -> (dedupKeepFirstQ _),
+    "dq_report" -> (dqReport _),
+    "dim_customer" -> (dimCustomer _),
+    "dim_date" -> (dimDate _),
+    "fact_orders" -> (factOrders _),
+    "upsert_do_nothing" -> (upsertDoNothingQ _),
+    "upsert_do_update" -> (upsertDoUpdateQ _),
+    "json_extract_events" -> (jsonExtractEvents _),
+    "hourly_rollup" -> (hourlyRollup _),
+    "sessionize" -> (sessionize _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+        |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "counts_by_country" ->
+      """SELECT n_name, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_customers DESC, n_name""".stripMargin,
+    "histogram_values" ->
+      """SELECT CAST(FLOOR(value/50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+        | MIN(value) AS bucket_min, MAX(value) AS bucket_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "topk_names" ->
+      """SELECT p_type AS name, COUNT(*) AS n FROM part
+        |GROUP BY p_type ORDER BY n DESC, name LIMIT 10""".stripMargin,
+    "segment_distribution" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+        |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+    "clean_pipeline" ->
+      """SELECT event_id, user_id, event_type,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        | CASE WHEN value > 100 THEN 100.0 ELSE value END AS amount,
+        | CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL AND user_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "dq_report" ->
+      """SELECT check_name, violations FROM (
+        | SELECT 'dup_natural_key' AS check_name,
+        |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS violations FROM lineitem
+        | UNION ALL
+        | SELECT 'null_l_quantity', CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'null_l_shipdate', CAST(COUNT(*) FILTER (l_shipdate IS NULL) AS BIGINT) FROM lineitem
+        | UNION ALL
+        | SELECT 'null_l_extendedprice', CAST(COUNT(*) FILTER (l_extendedprice IS NULL) AS BIGINT) FROM lineitem
+        |) ORDER BY check_name""".stripMargin,
+    "dim_customer" ->
+      """SELECT CAST(dense_rank() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
+        | c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY customer_sk""".stripMargin,
+    "dim_date" ->
+      """WITH r AS (SELECT CAST(MIN(o_orderdate) AS DATE) lo, CAST(MAX(o_orderdate) AS DATE) hi FROM orders),
+        | d AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS fd FROM r)
+        |SELECT CAST(year(fd)*10000 + month(fd)*100 + day(fd) AS BIGINT) AS date_sk,
+        | strftime(fd, '%Y-%m-%d') AS full_date,
+        | CAST(day(fd) AS BIGINT) AS day, CAST(month(fd) AS BIGINT) AS month,
+        | CAST(year(fd) AS BIGINT) AS year, dayname(fd) AS week_day
+        |FROM d ORDER BY date_sk""".stripMargin,
+    "fact_orders" ->
+      """WITH dimc AS (
+        | SELECT CAST(dense_rank() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk, c_custkey
+        | FROM customer)
+        |SELECT o_orderkey, customer_sk,
+        | CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) AS date_sk,
+        | o_orderstatus, o_totalprice
+        |FROM orders JOIN dimc ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "upsert_do_nothing" ->
+      """SELECT user_id, event_type, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "upsert_do_update" ->
+      """SELECT user_id, event_type, event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "json_extract_events" ->
+      """SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id, ts,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM x)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+        | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
 }

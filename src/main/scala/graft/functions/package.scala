@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Reusable, codegen-friendly `Column` builders. Everything here composes
+  * built-in `org.apache.spark.sql.functions` (whole-stage codegen) — no UDFs.
+  *
+  * Numeric-determinism policy (shared with the DuckDB oracle): aggregate
+  * doubles by first casting each addend to a DECIMAL (exact, order-
+  * independent accumulation) and cast the final sum back to DOUBLE. Single
+  * IEEE double ops (one multiply, one divide) are bit-deterministic across
+  * engines and need no special handling.
+  */
+package object functions {
+
+  /** Format a timestamp as `yyyy-MM-dd HH:mm:ss` (sub-second truncated) —
+    * the staging format the reference uses everywhere
+    * (reference: dags/scripts/rust_twitter_steam_facts.py:31-33). */
+  def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Unix epoch seconds -> formatted timestamp string
+    * (reference: dags/scripts/rust_twitter_steam_dims.py:495-497). */
+  def unixSecondsToTsString(c: Column): Column = tsString(to_timestamp(c))
+
+  /** "days since X" -> concrete date, as the reference derives the last-ban
+    * date (reference: dags/scripts/rust_twitter_steam_facts.py:213-216). */
+  def daysSinceToDate(asOf: Column, days: Column): Column =
+    date_sub(asOf.cast(DateType), days.cast(IntegerType))
+
+  /** English weekday name, e.g. "Friday" (Date_Dim.week_day,
+    * reference: database_build/data_warehouse.sql:65-74). */
+  def weekDayName(c: Column): Column = date_format(c, "EEEE")
+
+  /** Smart date key yyyymmdd — distributed surrogate key for the date dim
+    * (no sequence/driver state, unlike the reference's nextval). */
+  def smartDateKey(d: Column): Column =
+    (year(d) * 10000 + month(d) * 100 + dayofmonth(d)).cast(LongType)
+
+  // ---- tweet / profile-url parsing (reference: dags/scripts/helpers.py:40-48,
+  //      dags/custom_operators/SteamToS3Operator.py:38-78) ----
+
+  /** Banned profile name = tweet text before " was banned ". */
+  def profileNameAtBan(text: Column): Column =
+    split(text, " was banned ").getItem(0)
+
+  /** First http(s) URL in a text blob. */
+  def firstUrl(text: Column): Column =
+    regexp_extract(text, "(https?://\\S+)", 1)
+
+  /** Steam vanity URLs contain "/id/". */
+  def isVanityUrl(url: Column): Column = url.contains("/id/")
+
+  /** Vanity id segment of a steamcommunity.com/id/ URL. */
+  def vanityId(url: Column): Column =
+    regexp_extract(url, "steamcommunity\\.com/id/([^/]+)", 1)
+
+  /** Numeric profile id of a steamcommunity.com/profiles/ URL. */
+  def numericProfileId(url: Column): Column =
+    regexp_extract(url, "steamcommunity\\.com/profiles/([0-9]+)", 1)
+
+  // ---- exact-decimal aggregation helpers ----
+
+  /** SUM(x) with exact decimal accumulation, emitted as DOUBLE. */
+  def sumExact(c: Column, precision: Int = 28, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast(DoubleType)
+
+  /** AVG(x) = exact decimal sum divided (one IEEE op) by the count. */
+  def avgExact(c: Column, precision: Int = 28, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(precision, scale))).cast(DoubleType) / count(c)
+
+  // ---- vector math (embeddings are array<float>) ----
+
+  /** Exact dot product: per-element double multiply (bit-deterministic),
+    * then order-independent decimal accumulation, emitted as DOUBLE.
+    * Stays inside codegen'd higher-order functions — no UDF. */
+  def dotExact(a: Column, b: Column): Column = {
+    val products = zip_with(a, b, (x, y) =>
+      (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(28, 12)))
+    aggregate(
+      products,
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
+      (acc, x) => acc + x
+    ).cast(DoubleType)
+  }
+
+  /** L2 norm via the exact dot product. */
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** Cosine similarity, deterministic across engines (exact dot/norms, then
+    * single IEEE divide). */
+  def cosineExact(a: Column, b: Column): Column =
+    dotExact(a, b) / (normExact(a) * normExact(b))
+
+  // ---- text shingling ----
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word n-gram shingles as an array of strings (distinct not applied).
+    * Pure `transform`/`slice` — scales linearly, no UDF. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = wsTokens(text)
+    val cnt = size(words) - (n - 1)
+    // sequence(1, cnt) would count DOWN for cnt < 1 — guard with empty array
+    when(cnt < 1, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType}
+
+import graft.functions.{smartDateKey, weekDayName}
+import Cleaning.CleaningOps
+
+/** Star-schema construction: the reference's dimension builds, date
+  * dimension, surrogate-key fact resolution, and upsert semantics
+  * (reference: dags/scripts/sql_queries.py, database_build/data_warehouse.sql).
+  *
+  * Scale notes:
+  *  - Surrogate keys are assigned with `dense_rank` over the deduped natural
+  *    key. Dimensions are orders of magnitude smaller than facts (players/
+  *    games vs per-hour facts), so the single-reducer window on the DIM side
+  *    is bounded; for dimensions that rival fact cardinality use [[hashSk]]
+  *    (pure hash, fully distributed, no total order needed).
+  *  - Fact resolution joins are hint-broadcast when the dim is known-small
+  *    (date dim, enum dims); otherwise left to AQE, which will still pick a
+  *    broadcast join when the built dim fits the threshold.
+  *  - Upserts never collect: DO NOTHING is a left-anti join; DO UPDATE is a
+  *    single keyed window (latest-wins), each one shuffle on the key.
+  */
+object Star {
+
+  /** Build a dimension: dedup the natural key (deterministic keep-first) and
+    * assign a dense surrogate key ordered by the natural key — the
+    * distributed analog of the reference's `nextval` sequences
+    * (reference: data_warehouse.sql:25,33,67,...). */
+  def buildDim(
+      df: DataFrame,
+      naturalKey: Seq[String],
+      skName: String,
+      keepFirstBy: Seq[Column]
+  ): DataFrame = {
+    val deduped = df.dedupKeepFirst(naturalKey, keepFirstBy)
+    val w = Window.orderBy(naturalKey.map(col): _*)
+    deduped.withColumn(skName, dense_rank().over(w).cast(LongType))
+  }
+
+  /** Fully-distributed alternative SK for huge dimensions: a 64-bit hash of
+    * the natural key. No total order, no single-reducer window. */
+  def hashSk(naturalKey: Seq[Column]): Column = xxhash64(naturalKey: _*)
+
+  /** Generate the Date_Dim from the observed date range of a column —
+    * `sequence` + `explode`, computed distributed with no driver loop
+    * (reference: data_warehouse.sql:65-74; loaded externally there).
+    * date_sk is the smart key yyyymmdd (no sequence state). */
+  def dateDim(df: DataFrame, dateCol: Column): DataFrame =
+    df.agg(min(dateCol.cast(DateType)).as("lo"), max(dateCol.cast(DateType)).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("full_date"))
+      .select(
+        smartDateKey(col("full_date")).as("date_sk"),
+        col("full_date"),
+        dayofmonth(col("full_date")).cast(LongType).as("day"),
+        month(col("full_date")).cast(LongType).as("month"),
+        year(col("full_date")).cast(LongType).as("year"),
+        weekDayName(col("full_date")).as("week_day")
+      )
+
+  /** Resolve one surrogate key on a fact: join staging rows to a dimension
+    * on the natural key and keep the dim's SK — the Spark form of the
+    * reference's `INSERT .. SELECT .. INNER JOIN dims`
+    * (reference: sql_queries.py:20-31). `broadcastDim` for known-small dims. */
+  def resolveSk(
+      fact: DataFrame,
+      dim: DataFrame,
+      joinOn: Column,
+      skCol: String,
+      broadcastDim: Boolean
+  ): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    fact.join(d, joinOn, "inner")
+  }
+
+  /** `ON CONFLICT DO NOTHING`: keep every existing row; add only incoming
+    * rows whose key is unseen (first occurrence within incoming wins,
+    * deterministically) (reference: sql_queries.py:30,131,159). */
+  def upsertDoNothing(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      firstBy: Seq[Column]
+  ): DataFrame = {
+    val fresh = incoming
+      .dedupKeepFirst(keys, firstBy)
+      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    existing.unionByName(fresh)
+  }
+
+  /** `ON CONFLICT DO UPDATE` (SCD-1): incoming beats existing per key, and
+    * within incoming the latest wins (reference: sql_queries.py:95-101).
+    * One union + one keyed window — a single shuffle. */
+  def upsertDoUpdate(
+      existing: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      latestBy: Seq[Column]
+  ): DataFrame = {
+    val tagged = existing
+      .withColumn("__pri", lit(0))
+      .unionByName(incoming.withColumn("__pri", lit(1)))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((col("__pri").desc +: latestBy.map(_.desc)): _*)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__pri")
+  }
+}

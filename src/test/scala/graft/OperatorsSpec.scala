@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cleaning.CleaningOps
+import graft.operators.{Quality, Star}
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("dedupKeepFirst keeps the deterministic first row per key") {
+    val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 7)).toDF("k", "v", "ord")
+    val out = df.dedupKeepFirst(Seq("k"), Seq(col("ord"))).orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "b"), (2, "c")))
+  }
+
+  test("replaceWhere mirrors pandas conditional assignment") {
+    val df = Seq(("", "n1"), ("d2", "n2")).toDF("description", "name")
+    val out = df.replaceWhere("description", col("description") === "", col("name"))
+      .orderBy("name").as[(String, String)].collect()
+    assert(out.toSeq == Seq(("n1", "n1"), ("d2", "n2")))
+  }
+
+  test("quality report counts duplicate keys and nulls; assertClean throws") {
+    val df = Seq((1, Some("x")), (1, Some("y")), (2, None)).toDF("k", "v")
+    val rep = Quality.report(df, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("dup_natural_key") == 1L && rep("null_v") == 1L)
+    intercept[IllegalStateException] {
+      Quality.assertClean(df, Seq("k"), Seq("v"))
+    }
+  }
+
+  test("upsertDoNothing keeps existing, adds only unseen keys") {
+    val existing = Seq((1, "old")).toDF("k", "v")
+    val incoming = Seq((1, "new"), (2, "b2"), (2, "b1")).toDF("k", "v")
+    val out = Star.upsertDoNothing(existing, incoming, Seq("k"), Seq(col("v")))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "old"), (2, "b1")))
+  }
+
+  test("upsertDoUpdate lets incoming latest win") {
+    val existing = Seq((1, 1, "old")).toDF("k", "ord", "v")
+    val incoming = Seq((1, 5, "mid"), (1, 9, "new")).toDF("k", "ord", "v")
+    val out = Star.upsertDoUpdate(existing, incoming, Seq("k"), Seq(col("ord")))
+      .select("v").as[String].collect()
+    assert(out.toSeq == Seq("new"))
+  }
+
+  test("dateDim covers the full observed range with smart keys") {
+    val df = Seq("2024-01-30", "2024-02-02").toDF("d")
+      .select(to_date(col("d")).as("d"))
+    val dim = Star.dateDim(df, col("d")).orderBy("date_sk").collect()
+    assert(dim.length == 4)
+    assert(dim.head.getLong(0) == 20240130L && dim.last.getLong(0) == 20240202L)
+    assert(dim.head.getString(5) == "Tuesday")
+  }
+
+  test("tweet parsing functions extract name and url") {
+    import graft.functions._
+    val df = Seq("PlayerX was banned https://steamcommunity.com/id/playerx/").toDF("text")
+    val r = df.select(
+      profileNameAtBan(col("text")),
+      firstUrl(col("text")),
+      isVanityUrl(col("text")),
+      vanityId(firstUrl(col("text")))).head()
+    assert(r.getString(0) == "PlayerX")
+    assert(r.getString(1) == "https://steamcommunity.com/id/playerx/")
+    assert(r.getBoolean(2))
+    assert(r.getString(3) == "playerx")
+  }
+
+  test("wordShingles builds n-grams and guards short docs") {
+    import graft.functions._
+    val df = Seq("a b c d", "a").toDF("t")
+    val out = df.select(wordShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("every registered query returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("oracle keys are a subset of query keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
