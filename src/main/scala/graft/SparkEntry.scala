@@ -7,8 +7,8 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 import graft.operators.Cleaning.CleaningOps
-import graft.operators.{Quality, Star}
-import graft.sources.JsonNormalize
+import graft.operators.{Dedup, Multimodal, Quality, Similarity, Star, TextAnalysis}
+import graft.sources.{JsonNormalize, ScrapeSource, Staging}
 
 /** Driver contract: every capability from SURVEY.md §2 exposed as a named
   * query plus (where SQL-expressible) a DuckDB oracle over the same parquet.
@@ -276,6 +276,115 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+  // LLM-training-data operators (SURVEY §2 #24-35)
+  // ------------------------------------------------------------------
+
+  /** Exact dedup by content hash; canonical = min doc_id. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(documents(s, d), "doc_id", "text")
+      .select("canonical_id", "content_hash", "group_size")
+      .orderBy("canonical_id")
+
+  /** Exact n-gram Jaccard near-dup pairs (tau=0.5, 3-shingles). */
+  private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy("d1", "d2")
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard (approx
+    * recall — rows-only check). */
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+      .orderBy("d1", "d2")
+
+  /** SimHash near-dup pairs (banded candidates, hamming <= 6 — rows-only
+    * check). */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(documents(s, d), "doc_id", "text")
+      .orderBy("d1", "d2")
+
+  /** Embedding-cosine near-dup pairs within label blocks (tau=0.35). */
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding", "label", tau = 0.35)
+      .orderBy("v1", "v2")
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 8. */
+  private def simTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** LSH-bucketed approximate top-10 (rows-only check). */
+  private def simLshTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
+  /** Language-ID heuristic over stopword hits. */
+  private def textLangId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(documents(s, d), "text")
+      .select("doc_id", "hits_de", "hits_en", "hits_es", "hits_fr",
+        "pred_lang", "lang_score")
+      .orderBy("doc_id")
+
+  /** Quality metrics + composite score. */
+  private def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(documents(s, d), "text")
+      .select("doc_id", "n_chars_q", "n_tokens", "n_punct", "n_digits",
+        "n_stopwords", "avg_token_len", "stopword_ratio", "punct_ratio",
+        "quality_score")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace / distinct / BPE-ish regex. */
+  private def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenStats(documents(s, d), "text")
+      .select("doc_id", "ws_tokens", "distinct_tokens", "bpe_tokens")
+      .orderBy("doc_id")
+
+  /** Bottom-8 md5 shingle sketch per document. */
+  private def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "rk")
+
+  /** Multimodal plumbing: opaque binary payload -> batched (stub) decode. */
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.asMedia(documents(s, d), "doc_id", "text", "source"))
+      .toDF()
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
+  // Sources (SURVEY §2 #2, #4)
+  // ------------------------------------------------------------------
+
+  /** y/m/d partitioned staging round-trip: write events staged, read back,
+    * per-partition counts prove layout + pruning columns. */
+  private def stagedPartitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_staging_events"
+    Staging.writeStaged(events(s, d).select("event_id", "ts", "value"), "ts", path)
+    Staging.readStaged(s, path)
+      .groupBy(
+        col("y").cast(LongType).as("y"),
+        col("m").cast(LongType).as("m"),
+        col("d").cast(LongType).as("d"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 2).as("total"))
+      .orderBy("y", "m", "d")
+  }
+
+  /** Batched, rate-limited scrape over customer ids with the deterministic
+    * stub fetcher (the oracle mirrors the stub's derivation). */
+  private def scrapeProfiles(s: SparkSession, d: String): DataFrame =
+    ScrapeSource.scrape(
+        customer(s, d).select("c_custkey"), "c_custkey",
+        new ScrapeSource.StubFetcher, batchSize = 100, minIntervalMs = 0L)
+      .toDF()
+      .select("profile_id", "name", "visibility", "steam_level")
+      .orderBy("profile_id")
+
+  // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
@@ -297,7 +406,21 @@ object SparkEntry {
     "upsert_do_update" -> (upsertDoUpdateQ _),
     "json_extract_events" -> (jsonExtractEvents _),
     "hourly_rollup" -> (hourlyRollup _),
-    "sessionize" -> (sessionize _)
+    "sessionize" -> (sessionize _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "sim_topk" -> (simTopK _),
+    "sim_lsh_topk" -> (simLshTopK _),
+    "text_langid" -> (textLangId _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_features" -> (multimodalFeatures _),
+    "staged_partitioned_write" -> (stagedPartitionedWrite _),
+    "scrape_profiles" -> (scrapeProfiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -423,6 +546,121 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
         | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, md5(text) AS content_hash, COUNT(*) AS group_size
+        |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, common,
+        | CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) AS jaccard
+        |FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH nr AS (
+        | SELECT vec_id, label, embedding,
+        |  sqrt(CAST((SELECT SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) AS DECIMAL(28,12)))
+        |             FROM unnest(embedding) u(x)) AS DOUBLE)) AS nrm
+        | FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        | CAST((SELECT SUM(CAST(CAST(z.z[1] AS DOUBLE) * CAST(z.z[2] AS DOUBLE) AS DECIMAL(28,12)))
+        |       FROM unnest(list_zip(a.embedding, b.embedding)) z(z)) AS DOUBLE)
+        |   / (a.nrm * b.nrm) AS cosine
+        |FROM nr a JOIN nr b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST((SELECT SUM(CAST(CAST(z.z[1] AS DOUBLE) * CAST(z.z[2] AS DOUBLE) AS DECIMAL(28,12)))
+        |       FROM unnest(list_zip(a.embedding, b.embedding)) z(z)) AS DOUBLE)
+        |   / (a.nrm * b.nrm) >= 0.35
+        |ORDER BY v1, v2""".stripMargin,
+    "sim_topk" ->
+      """WITH nr AS (
+        | SELECT vec_id, embedding,
+        |  sqrt(CAST((SELECT SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) AS DECIMAL(28,12)))
+        |             FROM unnest(embedding) u(x)) AS DOUBLE)) AS nrm
+        | FROM embeddings),
+        |s AS (
+        | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |  CAST((SELECT SUM(CAST(CAST(z.z[1] AS DOUBLE) * CAST(z.z[2] AS DOUBLE) AS DECIMAL(28,12)))
+        |        FROM unnest(list_zip(q.embedding, c.embedding)) z(z)) AS DOUBLE)
+        |    / (q.nrm * c.nrm) AS cosine
+        | FROM nr q JOIN nr c ON q.vec_id < 8 AND c.vec_id != q.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk,
+        | vec_id, cosine
+        |FROM s
+        |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+        |s AS (SELECT doc_id, len(w) AS nt,
+        | CAST(len(list_filter(w, x -> x IN ('der','die','das','und','zu','ein','eine','mit','von','nicht'))) AS BIGINT) hits_de,
+        | CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) hits_en,
+        | CAST(len(list_filter(w, x -> x IN ('el','la','de','y','que','un','una','por','con','los'))) AS BIGINT) hits_es,
+        | CAST(len(list_filter(w, x -> x IN ('le','la','de','et','que','un','une','pour','dans','les'))) AS BIGINT) hits_fr
+        | FROM t)
+        |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+        | CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+        |      WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+        |      WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+        |      WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+        |      ELSE 'fr' END AS pred_lang,
+        | CAST(greatest(hits_de, hits_en, hits_es, hits_fr) AS DOUBLE) / CAST(nt AS DOUBLE) AS lang_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_q,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |    x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) AS n_stopwords
+        | FROM documents)
+        |SELECT doc_id, n_chars_q, n_tokens, n_punct, n_digits, n_stopwords,
+        | CAST(n_chars_q - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_token_len,
+        | CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+        | CAST(n_punct AS DOUBLE) / CAST(n_chars_q AS DOUBLE) AS punct_ratio,
+        | least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS sh_hash
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3)
+        |SELECT doc_id,
+        | CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sh_hash) AS BIGINT) AS rk,
+        | sh_hash
+        |FROM sh
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sh_hash) <= 8
+        |ORDER BY doc_id, rk""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS media_type, source,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | md5(text) AS digest,
+        | CAST(ascii(substr(text,1,1)) * 16777216 + ascii(substr(text,2,1)) * 65536
+        |    + ascii(substr(text,3,1)) * 256 + ascii(substr(text,4,1)) AS BIGINT) AS header,
+        | CAST(64 + (ascii(substr(text,1,1)) * 16777216 + ascii(substr(text,2,1)) * 65536
+        |    + ascii(substr(text,3,1)) * 256 + ascii(substr(text,4,1))) % 1857 AS BIGINT) AS width,
+        | CAST(64 + octet_length(encode(text)) % 1017 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "staged_partitioned_write" ->
+      """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        | CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "scrape_profiles" ->
+      """SELECT c_custkey AS profile_id, 'player_' || c_custkey AS name,
+        | c_custkey % 3 AS visibility, c_custkey % 100 AS steam_level
+        |FROM customer WHERE c_custkey % 97 != 0 ORDER BY profile_id""".stripMargin
   )
 }

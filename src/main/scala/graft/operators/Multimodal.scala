@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2 #35): media payloads are
+  * opaque `binary` columns with a typed metadata struct riding alongside;
+  * decode / feature-extraction runs as a BATCHED per-partition pass, the
+  * shape a real vectorized decoder (image/audio codec) needs.
+  *
+  * The decode step itself is a clearly-marked STUB (codec libraries are
+  * not available in this environment): it derives deterministic features
+  * from the raw bytes (length, digest, header word, fake dimensions).
+  * The Spark-side plumbing — schema, batching, partition parallelism,
+  * output encoder — is real and is what matters at 100 TB: payloads never
+  * leave their partition, batches amortize per-call codec setup, and the
+  * feature output is a narrow row (the heavy binary column is dropped
+  * before any shuffle).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, payload: Array[Byte],
+      media_type: String, source: String)
+
+  /** Features extracted by the (stub) decoder. */
+  case class MediaFeatures(doc_id: Long, media_type: String, source: String,
+      byte_len: Long, digest: String, header: Long, width: Long, height: Long)
+
+  /** STUB decoder: in production this is the vectorized image/audio codec
+    * call over one batch. Here it derives deterministic pseudo-features
+    * from the bytes so the full pipeline is testable end-to-end. */
+  private def decodeBatchStub(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+      val header = r.payload.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+      val byteLen = r.payload.length.toLong
+      // fake decode output: "dimensions" derived from payload bytes (STUB)
+      val width = 64L + header % 1857L
+      val height = 64L + byteLen % 1017L
+      MediaFeatures(r.doc_id, r.media_type, r.source,
+        byteLen, digest, header, width, height)
+    }
+
+  /** Batched per-partition feature extraction. `batchSize` trades codec
+    * setup amortization against memory held per batch. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decodeBatchStub(b))
+    }
+  }
+
+  /** Wrap a text table as a media table: payload = UTF-8 bytes (standing in
+    * for an opaque image/audio blob), metadata kept as typed columns. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col(idCol).cast(LongType).as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("text/plain").as("media_type"),
+      col(sourceCol).as("source")
+    ).as[MediaRow]
+  }
+}

