@@ -84,6 +84,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).isEmpty)
   }
 
+  test("salted join equals the plain join, spread over salt buckets") {
+    import graft.operators.Skew
+    val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")
+    val dim = Seq((1, "dim1"), (2, "dim2")).toDF("k", "attr")
+    val salted = Skew.saltedJoin(fact, dim, Seq("k"), Seq(col("payload")), salts = 4)
+      .orderBy("payload").as[(Int, String, String)].collect()
+    val plain = fact.join(dim, "k")
+      .orderBy("payload").as[(Int, String, String)].collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key's rows land in more than one salt bucket
+    val buckets = Skew.saltLarge(fact, Seq(col("payload")), 4)
+      .filter($"k" === 1).select("__salt").distinct().count()
+    assert(buckets > 1)
+  }
+
   test("every registered query returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
