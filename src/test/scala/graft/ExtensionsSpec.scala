@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.FloatDotProduct
+import graft.plans.GraftExtensions
+
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-ext-test")
+  import spark.implicits._
+
+  test("GraftExtensions injects float_dot; the kernel runs from SQL") {
+    // the extension class applies cleanly to a fresh extension registry
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    // same builder registered in the live session for SQL use
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "float_dot",
+      exprs => FloatDotProduct(exprs.head, exprs(1)),
+      "built-in")
+    val d = spark.sql(
+      """SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
+  test("float_dot stays inside whole-stage codegen") {
+    // arrays derived from range's id so ConstantFolding can't evaluate the
+    // expression at optimize time — it must survive into codegen
+    val df = spark.range(1)
+      .select(
+        array(($"id" + 1).cast("float"), lit(0.0f)).as("a"),
+        array(lit(0.5f), lit(0.5f)).as("b"))
+      .select(graft.functions.dotFast(col("a"), col("b")).as("d"))
+    // "*(1) Project [float_dot(...)]" — the star marks a WholeStageCodegen
+    // stage containing our expression (a non-codegen expression would fall
+    // back to an unstarred Project)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [float_dot"), plan)
+    assert(df.head().getDouble(0) == 0.5)
+  }
+
+  test("interpreted eval path (nullSafeEval) agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val mk = (xs: Array[Float]) =>
+      Literal.create(ArrayData.toArrayData(xs), ArrayType(FloatType))
+    val v = FloatDotProduct(mk(Array(1.5f, 2.0f)), mk(Array(2.0f, -1.0f))).eval(null)
+    assert(v == 1.0)
+  }
+}
