@@ -356,6 +356,23 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: training split = doc_id % 50 != 0,
+    * benchmark split = the rest; flag training docs sharing any bottom-8
+    * fingerprint hash with the benchmark. */
+  private def decontaminateQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-label embedding centroids (the IVF coarse-quantizer build). */
+  private def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.groupCentroids(embeddings(s, d), "label", "embedding")
+      .orderBy("label", "pos")
+
   // ------------------------------------------------------------------
   // Sources (SURVEY §2 #2, #4)
   // ------------------------------------------------------------------
@@ -420,7 +437,9 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_features" -> (multimodalFeatures _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
-    "scrape_profiles" -> (scrapeProfiles _)
+    "scrape_profiles" -> (scrapeProfiles _),
+    "decontaminate" -> (decontaminateQ _),
+    "embedding_centroids" -> (embeddingCentroids _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -661,6 +680,28 @@ object SparkEntry {
     "scrape_profiles" ->
       """SELECT c_custkey AS profile_id, 'player_' || c_custkey AS name,
         | c_custkey % 3 AS visibility, c_custkey % 100 AS steam_level
-        |FROM customer WHERE c_custkey % 97 != 0 ORDER BY profile_id""".stripMargin
+        |FROM customer WHERE c_custkey % 97 != 0 ORDER BY profile_id""".stripMargin,
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS h
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |fp AS (SELECT doc_id, h FROM sh
+        |       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 8),
+        |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 50 = 0)
+        |SELECT t.doc_id,
+        | max(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) = 1 AS contaminated
+        |FROM fp t LEFT JOIN bench b ON t.h = b.h
+        |WHERE t.doc_id % 50 != 0
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "embedding_centroids" ->
+      // the double -> VARCHAR -> DECIMAL route makes DuckDB round the
+      // shortest-roundtrip decimal repr like Spark's Cast does; DuckDB's
+      // native double->decimal goes through double arithmetic and can be
+      // off by 1 ulp at the 12th decimal
+      """SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+        | CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(x) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS x,
+        |      generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
   )
 }

@@ -102,9 +102,13 @@ package object functions {
     column(FloatDotProduct(expression(a), expression(b)))
   }
 
-  /** Fast cosine for prefiltering (see [[dotFast]]). */
-  def cosineFast(a: Column, b: Column): Column =
-    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
+  /** Fast cosine for prefiltering / approximate ranking: the single-pass
+    * codegen'd [[FloatCosine]] kernel (see [[dotFast]] for the exactness
+    * contract). */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(FloatCosine(expression(a), expression(b)))
+  }
 
   /** Cosine similarity, deterministic across engines (exact dot/norms, then
     * single IEEE divide). */

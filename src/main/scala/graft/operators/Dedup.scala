@@ -167,6 +167,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination — the cross-corpus variant of near-dup
+    * detection every training-data pipeline needs: flag training documents
+    * sharing any bottom-k fingerprint shingle hash with a benchmark/eval
+    * corpus. The benchmark fingerprint set is tiny relative to training
+    * data (thousands vs billions of docs), so it broadcasts and the check
+    * costs one scan of the training fingerprints — no shuffle of text. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8): DataFrame = {
+    val fpTrain = TextAnalysis.fingerprint(train, idCol, textCol, shingleN, k)
+    val fpBench = TextAnalysis.fingerprint(benchmark, idCol, textCol, shingleN, k)
+      .select(col("sh_hash").as("__bench_hash")).distinct()
+    fpTrain
+      .join(broadcast(fpBench), col("sh_hash") === col("__bench_hash"), "left")
+      .groupBy(idCol)
+      .agg(max(when(col("__bench_hash").isNotNull, 1).otherwise(0)).as("__hit"))
+      .withColumn("contaminated", col("__hit") === 1)
+      .drop("__hit")
+  }
+
   /** Embedding-cosine near-dup pairs within blocks. Norms are precomputed
     * once per vector (map-side); the block join compares only within
     * `blockCol` groups — at scale the block is an LSH bucket (see

@@ -46,6 +46,18 @@ object Similarity {
       .select("q_id", "rank", idCol, "cosine")
   }
 
+  /** Per-group centroids of an embedding column — the IVF coarse-quantizer
+    * build step (each group's mean vector seeds a cell; queries then probe
+    * only the nearest cells). Emitted as (group, dim position, value) rows
+    * with exact decimal accumulation so the result is engine-reproducible.
+    * One explode + one keyed shuffle of scalars; vectors never move whole. */
+  def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    emb
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos").cast(LongType).as("pos"))
+      .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 12)))
+        .cast(DoubleType) / count(col("x"))).as("centroid"))
+
   /** Deterministic random-hyperplane matrix (nPlanes x dim), generated from
     * a fixed seed on the driver and shipped as a broadcast literal — no
     * per-row randomness, so signatures are reproducible run to run. */

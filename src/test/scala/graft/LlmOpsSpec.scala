@@ -122,6 +122,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(one.toSeq == one.sorted.toSeq)
   }
 
+  test("decontaminate flags training docs overlapping the benchmark") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "totally unrelated content with other words here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) && !out(2L))
+  }
+
+  test("group centroids average each dimension exactly") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(3.0f, 2.0f), "a"),
+      (3L, Array(10.0f, 10.0f), "b")).toDF("vec_id", "embedding", "label")
+    val out = Similarity.groupCentroids(emb, "label", "embedding")
+      .orderBy("label", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 0L, 2.0), ("a", 1L, 1.0), ("b", 0L, 10.0), ("b", 1L, 10.0)))
+  }
+
   test("multimodal batched stub decode yields deterministic features") {
     val d = Seq((1L, "abcd", "s1")).toDF("doc_id", "text", "source")
     val f = Multimodal.extractFeatures(Multimodal.asMedia(d, "doc_id", "text", "source")).head()
