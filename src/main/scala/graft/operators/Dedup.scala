@@ -56,10 +56,14 @@ object Dedup {
         sh0.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => sh0
     }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // join on a 64-bit shingle hash, not the string: the self-join shuffles
+    // 8-byte keys instead of ~20-byte text (collision odds ~2^-64 — far
+    // below any operational concern)
+    val shh = sh.select(col(idCol), xxhash64(col("sh")).as("shh"))
+    val sizes = shh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val common = shh.as("a")
+      .join(shh.as("b"),
+        col("a.shh") === col("b.shh") && col(s"a.$idCol") < col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .agg(count(lit(1)).as("common"))
     common

@@ -96,17 +96,18 @@ object TextAnalysis {
   /** Document fingerprint: bottom-k sketch over hashed word shingles —
     * the MinHash-style content signature used for fast containment checks.
     * md5-hex is used as the hash so the sketch is reproducible in any
-    * engine. One explode + one keyed window (single shuffle on doc id);
-    * the sketch rows are k per doc regardless of doc length. */
+    * engine. Computed entirely PER ROW (hash, sort, slice inside one
+    * projection) — zero shuffle, so at 100 TB it runs at scan speed; the
+    * earlier window-function formulation shuffled every shingle row. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 8): DataFrame = {
-    val sh = docs.select(
-      col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("shingle"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sh_hash"))
-    sh.withColumn("sh_hash", md5(col("shingle")))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= k)
-      .select(col(idCol), col("rk"), col("sh_hash"))
-  }
+      shingleN: Int = 3, k: Int = 8): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        posexplode(slice(
+          sort_array(transform(
+            array_distinct(wordShingles(col(textCol), shingleN)), s => md5(s))),
+          1, k)))
+      .toDF(idCol, "rk0", "sh_hash")
+      .select(col(idCol), (col("rk0") + 1).cast(LongType).as("rk"), col("sh_hash"))
 }
