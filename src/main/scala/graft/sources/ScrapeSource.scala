@@ -42,6 +42,47 @@ object ScrapeSource {
       }
   }
 
+  /** Injectable vanity-name resolution strategy (the reference's
+    * ResolveVanityURL step: steamcommunity.com/id/<name> must be resolved
+    * to a numeric id before the batched profile fetch —
+    * reference: dags/custom_operators/SteamToS3Operator.py:42-78). */
+  trait VanityResolver extends Serializable {
+    def resolveBatch(names: Seq[String]): Map[String, Long]
+  }
+
+  /** Deterministic stub: vanity name -> stable positive 63-bit id. */
+  class StubResolver extends VanityResolver {
+    def resolveBatch(names: Seq[String]): Map[String, Long] =
+      names.map(n => n -> (n.hashCode.toLong & Long.MaxValue)).toMap
+  }
+
+  /** Resolve profile URLs to numeric ids: numeric `/profiles/<id>` URLs
+    * parse directly (pure Column regexp, codegen'd); vanity `/id/<name>`
+    * URLs resolve through the injectable resolver in per-partition
+    * batches. Output: (url, profile_id). Unresolvable rows drop, like the
+    * reference's error tolerance. */
+  def resolveProfileIds(urls: DataFrame, urlCol: String,
+      resolver: VanityResolver, batchSize: Int = 100): DataFrame = {
+    import urls.sparkSession.implicits._
+    import graft.functions.{isVanityUrl, numericProfileId, vanityId}
+    val u = col(urlCol)
+    val numeric = urls
+      .filter(!isVanityUrl(u) && numericProfileId(u) =!= "")
+      .select(u.as("url"), numericProfileId(u).cast(LongType).as("profile_id"))
+    val vanity = urls
+      .filter(isVanityUrl(u) && vanityId(u) =!= "")
+      .select(u.as("url"), vanityId(u).as("name"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val resolved = resolver.resolveBatch(batch.map(_._2))
+          batch.flatMap { case (url, name) => resolved.get(name).map(url -> _) }
+        }
+      }
+      .toDF("url", "profile_id")
+    numeric.unionByName(vanity)
+  }
+
   /** Scrape profiles for the ids in `idCol`. `minIntervalMs` is the
     * per-partition spacing between batched requests (reference: 0.5 s);
     * tests pass 0. */

@@ -31,6 +31,32 @@ object EventsStream {
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     graft.SparkEntry.hourlyRollupTransform(events.withWatermark("ts", watermark))
 
+  /** The reference's idempotent hourly warehouse load as a streaming sink:
+    * each micro-batch merges into the accumulated state with SCD-1
+    * latest-wins semantics (`Star.upsertDoUpdate`) — re-delivered batches
+    * are harmless, matching `ON CONFLICT DO UPDATE`. The in-memory `state`
+    * var stands in for the warehouse table; on a real deployment the
+    * foreachBatch body is a MERGE into a transactional table format. */
+  class UpsertSink(keys: Seq[String], latestBy: Seq[String]) extends Serializable {
+    @volatile private var state: Option[DataFrame] = None
+
+    def current: Option[DataFrame] = state
+
+    def write(batch: DataFrame, batchId: Long): Unit = synchronized {
+      import org.apache.spark.sql.functions.col
+      val merged = state match {
+        case Some(existing) =>
+          graft.operators.Star.upsertDoUpdate(
+            existing, batch, keys, latestBy.map(col))
+        case None =>
+          import graft.operators.Cleaning.CleaningOps
+          batch.dedupKeepFirst(keys, latestBy.map(c => col(c).desc))
+      }
+      // materialize so the merged plan doesn't re-read a reused batch source
+      state = Some(merged.localCheckpoint(eager = true))
+    }
+  }
+
   // ---- stateful sessionization (#16) ----
 
   /** Minimal event for session tracking (event-time in epoch millis). */

@@ -84,6 +84,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).isEmpty)
   }
 
+  test("json normalize walks a nested record_path with meta, like pandas") {
+    import graft.sources.JsonNormalize
+    // the reference's achievements case: per-player array of records
+    val df = Seq(
+      ("p1", """{"player":{"achievements":[{"name":"a1","unlocked":1},{"name":"a2","unlocked":0}]}}"""),
+      ("p2", """{"player":{"achievements":[{"name":"a9","unlocked":1}]}}""")
+    ).toDF("steamid", "payload")
+    val schema = StructType(Seq(StructField("player", StructType(Seq(
+      StructField("achievements", ArrayType(StructType(Seq(
+        StructField("name", StringType), StructField("unlocked", IntegerType))))))))))
+    val out = JsonNormalize.normalize(
+        df, "payload", schema,
+        recordPath = Seq("player", "achievements"), meta = Seq("steamid"))
+      .orderBy("steamid", "name")
+      .as[(String, String, Int)].collect()
+    assert(out.toSeq == Seq(("p1", "a1", 1), ("p1", "a2", 0), ("p2", "a9", 1)))
+  }
+
+  test("vanity and numeric profile urls resolve to ids in batches") {
+    import graft.sources.ScrapeSource
+    val urls = Seq(
+      "https://steamcommunity.com/profiles/7656119",
+      "https://steamcommunity.com/id/playerx/",
+      "https://example.com/not-a-profile"
+    ).toDF("url")
+    val out = ScrapeSource.resolveProfileIds(urls, "url", new ScrapeSource.StubResolver)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("https://steamcommunity.com/profiles/7656119") == 7656119L)
+    assert(out("https://steamcommunity.com/id/playerx/") ==
+      ("playerx".hashCode.toLong & Long.MaxValue))
+    assert(out.size == 2) // the non-profile url drops
+  }
+
   test("salted join equals the plain join, spread over salt buckets") {
     import graft.operators.Skew
     val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")

@@ -74,6 +74,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.toSeq == Seq(ClosedSession(1L, 0L, 1000L, 2L)))
   }
 
+  test("foreachBatch upsert sink is idempotent and latest-wins") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val sink = new EventsStream.UpsertSink(Seq("k"), Seq("ver"))
+    val q = input.toDF().toDF("k", "ver", "v")
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink.write(batch, id))
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, "old"), (2L, 1L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "new"), (1L, 2L, "new")) // re-delivery within batch
+      q.processAllAvailable()
+      val out = sink.current.get.orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(2)))
+      assert(out.toSeq == Seq((1L, "new"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("file stream source reads the events parquet incrementally") {
     val sf = "/root/testdata/sf0.001"
     // file sources need a DIRECTORY of files (the incremental drop zone)
