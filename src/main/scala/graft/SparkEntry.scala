@@ -118,6 +118,17 @@ object SparkEntry {
       .orderBy(col("n").desc, col("name"))
       .limit(10)
 
+  /** Whole-operator heap-based top-k per group (custom logical node +
+    * strategy + partial/final physical operator — see
+    * graft.plans.TopKPerGroup): top-3 parts per brand by retail price. */
+  private def topkPerGroup(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup(
+        part(s, d).select("p_brand", "p_partkey", "p_retailprice"),
+        groupCols = Seq("p_brand"),
+        order = Seq(("p_retailprice", true), ("p_partkey", false)),
+        k = 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+
   /** README insight 9: categorical distribution with share. */
   private def segmentDistribution(s: SparkSession, d: String): DataFrame = {
     val counts = customer(s, d)
@@ -412,6 +423,7 @@ object SparkEntry {
     "counts_by_country" -> (countsByCountry _),
     "histogram_values" -> (histogramValues _),
     "topk_names" -> (topkNames _),
+    "topk_per_group" -> (topkPerGroup _),
     "segment_distribution" -> (segmentDistribution _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
@@ -482,6 +494,11 @@ object SparkEntry {
     "topk_names" ->
       """SELECT p_type AS name, COUNT(*) AS n FROM part
         |GROUP BY p_type ORDER BY n DESC, name LIMIT 10""".stripMargin,
+    "topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part
+        |QUALIFY row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY p_retailprice DESC, p_partkey) <= 3
+        |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
     "segment_distribution" ->
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
         | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share

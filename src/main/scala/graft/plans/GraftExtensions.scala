@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("float_dot", FloatDotProduct(_, _)))
     ext.injectFunction(binary("float_cosine", FloatCosine(_, _)))
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
