@@ -25,9 +25,22 @@ object Similarity {
   private def cosineWithNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
     dotExact(va, vb) / (na * nb)
 
+  /** Prune scored candidates to k per query with the heap operator
+    * (graft.plans.TopKPerGroup: O(n log k), map-side partial, no sort
+    * spill), then rank the surviving <= k-per-query rows with a window —
+    * the window now sorts a trivially small set. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val pruned = graft.plans.TopKPerGroup(
+      scored, Seq("q_id"), Seq(("cosine", true), (idCol, false)), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
+    pruned
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select("q_id", "rank", idCol, "cosine")
+  }
+
   /** Brute-force cosine top-k: the exact ANN baseline. `queries` is
     * hint-broadcast (query sets are small by construction); the corpus is
-    * scanned once; the rank window shuffles only (q_id, id, cosine) rows. */
+    * scanned once; only pruned (q_id, id, cosine) rows ever shuffle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(
@@ -35,15 +48,12 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("q_id"), col(vecCol).as("__qvec"),
       normExact(col(vecCol)).as("__qnrm")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
-    c.join(q, col("q_id") =!= col(idCol))
+    val scored = c.join(q, col("q_id") =!= col(idCol))
       .select(
         col("q_id"), col(idCol),
         cosineWithNorms(col("__qvec"), col("__qnrm"), col(vecCol), col("__nrm"))
           .as("cosine"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", idCol, "cosine")
+    rankTopK(scored, idCol, k)
   }
 
   /** Per-group centroids of an embedding column — the IVF coarse-quantizer
@@ -95,14 +105,11 @@ object Similarity {
       col(idCol).as("q_id"), col(vecCol).as("__qvec"),
       normExact(col(vecCol)).as("__qnrm"),
       lshBucket(col(vecCol), planes).as("__qbucket")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col(idCol))
-    c.join(q, col("__bucket") === col("__qbucket") && col("q_id") =!= col(idCol))
+    val scored = c.join(q, col("__bucket") === col("__qbucket") && col("q_id") =!= col(idCol))
       .select(
         col("q_id"), col(idCol),
         cosineWithNorms(col("__qvec"), col("__qnrm"), col(vecCol), col("__nrm"))
           .as("cosine"))
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", idCol, "cosine")
+    rankTopK(scored, idCol, k)
   }
 }
