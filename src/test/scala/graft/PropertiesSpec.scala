@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Cleaning.CleaningOps
+import graft.operators.{Dedup, Skew, Star}
+
+/** Property-based invariants over randomized inputs: the determinism and
+  * algebraic guarantees the 100 TB design depends on (retried tasks and
+  * shuffled partitions must never change results). */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-props-test")
+  import spark.implicits._
+
+  /** scalatest's scalacheck bridge isn't on the offline classpath — drive
+    * the generators directly with a fixed seed count. */
+  def forAll[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (0 until n).foreach { _ =>
+      gen.sample.foreach(body)
+    }
+  def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  val rowsGen: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.choose(0, 5)
+      ord <- Gen.choose(0, 8)
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, ord, v))
+
+  test("dedupKeepFirst is insensitive to input partitioning and order") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val a = rows.toDF("k", "ord", "v").repartition(7)
+          .dedupKeepFirst(Seq("k"), Seq(col("ord"), col("v")))
+          .orderBy("k").collect().toSeq
+        val b = scala.util.Random.shuffle(rows).toDF("k", "ord", "v").repartition(2)
+          .dedupKeepFirst(Seq("k"), Seq(col("ord"), col("v")))
+          .orderBy("k").collect().toSeq
+        assert(a == b)
+      }
+    }
+  }
+
+  test("upsertDoUpdate is idempotent: re-applying incoming changes nothing") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val (ex, in) = rows.splitAt(rows.size / 2)
+        whenever(ex.nonEmpty && in.nonEmpty) {
+          val existing = ex.toDF("k", "ord", "v")
+            .dedupKeepFirst(Seq("k"), Seq(col("ord").desc, col("v").desc))
+          val incoming = in.toDF("k", "ord", "v")
+          val once = Star.upsertDoUpdate(existing, incoming, Seq("k"),
+            Seq(col("ord"), col("v")))
+          val twice = Star.upsertDoUpdate(once, incoming, Seq("k"),
+            Seq(col("ord"), col("v")))
+          assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+        }
+      }
+    }
+  }
+
+  test("salted join equals plain join on random data") {
+    forAll(rowsGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val fact = rows.toDF("k", "ord", "v")
+        val dim = rows.map(_._1).distinct.map(k => (k, s"d$k")).toDF("k", "attr")
+        val salted = Skew.saltedJoin(fact, dim, Seq("k"), Seq(col("ord"), col("v")), 3)
+          .orderBy("k", "ord", "v").collect().toSeq
+        val plain = fact.join(dim, "k").orderBy("k", "ord", "v").collect().toSeq
+        assert(salted == plain)
+      }
+    }
+  }
+
+  val docsGen: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("spark", "scan", "merge", "sort", "hash", "join", "row")
+    Gen.listOfN(12, Gen.listOfN(12, word).map(_.mkString(" ")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("minhash LSH pairs are a subset of exact jaccard pairs at the same tau") {
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text", tau = 0.5)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val approx = Dedup.minhashLshPairs(df, "doc_id", "text", tau = 0.5)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the verify stage uses the same exact jaccard, so candidates can
+      // only MISS pairs (banding), never invent them
+      assert(approx.subsetOf(exact))
+    }
+  }
+
+  test("exact dedup groups partition the corpus") {
+    forAll(docsGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val groups = Dedup.exact(df, "doc_id", "text")
+      assert(groups.agg(sum("group_size")).head().getLong(0) == docs.size)
+      assert(groups.select("canonical_id").distinct().count() == groups.count())
+    }
+  }
+}
