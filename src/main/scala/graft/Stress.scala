@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Scale harness: multiplies the documents/embeddings corpora in-memory
+  * (ids remapped per replica; texts perturbed per replica so near-dup
+  * structure stays realistic instead of exploding into giant exact-dup
+  * cliques) and times the scale-sensitive operators. Used to check the
+  * growth curve of the self-join family beyond the driver's sf0.1.
+  * Usage: runMain graft.Stress [sfDir] [factor]
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 20
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-stress")
+
+    // replicate docs: each replica gets distinct ids and a replica-tagged
+    // first token, so cross-replica pairs are near-dups (not exact dups)
+    // and per-replica planted pairs survive — the shingle-frequency shape
+    // stays realistic under the multiplier
+    val docs0 = Tables.documents(spark, sfDir)
+    val n = docs0.count()
+    val docs = docs0
+      .crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("doc_id") + col("rep") * n).as("doc_id"),
+        concat(lit("r"), col("rep"), lit(" "), col("text")).as("text"))
+      .repartition(64) // the replica crossJoin inherits the single-file scan's
+                       // 1-2 partitions; spread before measuring
+      .localCheckpoint(true)
+    println(s"[stress] documents: ${docs.count()} (x$factor)")
+
+    val emb0 = Tables.embeddings(spark, sfDir)
+    val ne = emb0.count()
+    val emb = emb0
+      .crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("vec_id") + col("rep") * ne).as("vec_id"),
+        col("embedding"),
+        (col("label") + col("rep") * lit(100)).cast("int").as("label"))
+      .repartition(64)
+      .localCheckpoint(true)
+    println(s"[stress] embeddings: ${emb.count()} (x$factor)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+
+    time("dedup_exact") { Dedup.exact(docs, "doc_id", "text").count() }
+    time("ngram_jaccard") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.5,
+        maxShingleFreq = Some(1000L)).count()
+    }
+    time("minhash_lsh") { Dedup.minhashLshPairs(docs, "doc_id", "text").count() }
+    time("simhash") { Dedup.simhashPairs(docs, "doc_id", "text").count() }
+    time("fingerprint") { TextAnalysis.fingerprint(docs, "doc_id", "text").count() }
+    time("embedding_pairs") {
+      Dedup.embeddingPairs(emb, "vec_id", "embedding", "label", tau = 0.35).count()
+    }
+    time("sim_topk") {
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 10).count()
+    }
+    spark.stop()
+  }
+}
