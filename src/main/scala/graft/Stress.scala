@@ -47,16 +47,26 @@ object Stress {
       .localCheckpoint(true)
     println(s"[stress] embeddings: ${emb.count()} (x$factor)")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
-    }
+    // optional op filter: remaining args select which timings run
+    val only: Set[String] = args.drop(2).toSet
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.contains(name)) {
+        val t0 = System.nanoTime()
+        val rows = f
+        println(f"[stress] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+      }
 
     time("dedup_exact") { Dedup.exact(docs, "doc_id", "text").count() }
     time("ngram_jaccard") {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.5,
         maxShingleFreq = Some(1000L)).count()
+    }
+    // opt-in only (name it explicitly): on this dense synthetic corpus
+    // (40-word vocab, near-dup replica cliques) prefix filtering does NOT
+    // beat the naive join — "rare" prefix shingles still have df ~ 140 —
+    // while on natural zipfian corpora it is the standard exact-join win
+    if (only.contains("ngram_prefix_t08")) time("ngram_prefix_t08") {
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", tau = 0.8).count()
     }
     time("minhash_lsh") { Dedup.minhashLshPairs(docs, "doc_id", "text").count() }
     time("simhash") { Dedup.simhashPairs(docs, "doc_id", "text").count() }

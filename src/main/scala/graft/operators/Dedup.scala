@@ -75,6 +75,57 @@ object Dedup {
       .select("d1", "d2", "common", "jaccard")
   }
 
+  /** Exact Jaccard pairs via PPJoin-style PREFIX FILTERING: for
+    * |A∩B|/|A∪B| >= tau, A and B must share a shingle within each one's
+    * prefix of its (|d| - ceil(tau*|d|) + 1) rarest shingles under a
+    * global order (document frequency asc, hash tiebreak). The candidate
+    * join touches only prefix rows — rare shingles — so the sum(f^2)
+    * blow-up on hot shingles disappears while the result stays EXACT
+    * (verification recomputes true Jaccard on the full shingle arrays).
+    * Property-tested equal to [[ngramJaccardPairs]]. Corpus-shape caveat
+    * (measured, see SURVEY §8): pruning power depends on prefix shingles
+    * being genuinely rare — on natural zipfian vocabularies it is the
+    * standard exact-join win; on the dense synthetic test corpus (tiny
+    * vocabulary, df >= 140 even in prefixes) the naive hash join is
+    * faster and MinHash+LSH is the scale path. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val withSh = docs
+      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sh = withSh.select(col(idCol), explode(col("shs")).as("sh"))
+      .withColumn("shh", xxhash64(col("sh")))
+      .select(idCol, "shh")
+    // global rarity order
+    val df = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "shh")
+    // prefix length per doc: L = |d| - ceil(tau*|d|) + 1
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("df"), col("shh"))
+    val prefix = ranked
+      .withColumn("__rn", row_number().over(byDoc))
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+      .filter(col("__rn") <= col("__sz") - ceil(col("__sz") * tau) + 1)
+      .select(idCol, "shh")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shh") === col("b.shh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+    // exact verification on the full shingle arrays
+    val withA = withSh.select(col(idCol).as("d1"), col("shs").as("shs1"))
+    val withB = withSh.select(col(idCol).as("d2"), col("shs").as("shs2"))
+    cand.join(withA, "d1").join(withB, "d2")
+      .withColumn("common",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(LongType))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (size(col("shs1")) + size(col("shs2")) - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "common", "jaccard")
+  }
+
   /** MinHash+LSH near-dup (the approximate scale path): per-doc 128-slot
     * minhash signature (seeded xxhash64 "permutations"), banded into
     * `bands` buckets; docs sharing any band bucket become candidates and

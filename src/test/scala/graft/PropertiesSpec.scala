@@ -94,6 +94,19 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard join equals the naive self-join exactly") {
+    forAll(docsGen, n = 6) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val naive = Dedup.ngramJaccardPairs(df, "doc_id", "text", tau = 0.5)
+        .select("d1", "d2", "common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", tau = 0.5)
+        .select("d1", "d2", "common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(prefix == naive)
+    }
+  }
+
   test("exact dedup groups partition the corpus") {
     forAll(docsGen) { docs =>
       val df = docs.toDF("doc_id", "text")
