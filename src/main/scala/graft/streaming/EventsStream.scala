@@ -31,6 +31,16 @@ object EventsStream {
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     graft.SparkEntry.hourlyRollupTransform(events.withWatermark("ts", watermark))
 
+  /** Streaming exact dedup: drop re-delivered events by key within the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * face of `dedup_exact`, with state BOUNDED by the watermark instead of
+    * growing with the stream (the non-negotiable property at 100 TB/day). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, delay: String): DataFrame =
+    events
+      .withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** The reference's idempotent hourly warehouse load as a streaming sink:
     * each micro-batch merges into the accumulated state with SCD-1
     * latest-wins semantics (`Star.upsertDoUpdate`) — re-delivered batches

@@ -74,6 +74,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.toSeq == Seq(ClosedSession(1L, 0L, 1000L, 2L)))
   }
 
+  test("streaming dedup drops re-delivered keys within the watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = EventsStream.dedupStream(
+        input.toDF().toDF("ts", "event_id", "v"),
+        Seq("event_id"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "a"), (ts("2024-01-01 10:00:00"), 1L, "a"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 1L, "a"), (ts("2024-01-01 10:05:00"), 2L, "b"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L)) // the three deliveries of id 1 emit once
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent and latest-wins") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)]
