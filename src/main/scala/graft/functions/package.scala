@@ -115,6 +115,13 @@ package object functions {
   def cosineExact(a: Column, b: Column): Column =
     dotExact(a, b) / (normExact(a) * normExact(b))
 
+  /** Band hashes of a MinHash signature over a shingle array — the native
+    * one-pass [[MinHashBands]] kernel (zero-shuffle signatures). */
+  def minhashBands(shingles: Column, numPerm: Int = 128, bands: Int = 32): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(MinHashBands(expression(shingles), numPerm, bands))
+  }
+
   // ---- text shingling ----
 
   /** Whitespace tokens. */

@@ -135,25 +135,24 @@ object Dedup {
       n: Int = 3, numPerm: Int = 128, bands: Int = 32,
       tau: Double = 0.5): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val rows = numPerm / bands
 
-    // signature[p] = min over shingles of xxhash64(p, shingle), computed as
-    // numPerm codegen'd MIN aggregates over exploded shingle rows: one
-    // shuffle with map-side partial mins, each hash evaluated exactly once.
-    // (A nested transform/array_min expression instead gets inlined into
-    // every band expression by CollapseProject and re-evaluated bands x —
-    // measured 75x slower at sf0.1.)
-    val sh = shingleRows(docs, idCol, textCol, n)
-    val minAggs = (0 until numPerm).map(p =>
-      min(xxhash64(lit(p), col("sh"))).as(s"__m$p"))
-    val sig = sh.groupBy(idCol).agg(minAggs.head, minAggs.tail: _*)
-
-    // band hash = hash of that band's signature slice (plain columns now,
-    // each referenced once)
-    val bandCols = (0 until bands).map(b =>
-      xxhash64((b * rows until (b + 1) * rows).map(p => col(s"__m$p")): _*))
-    val banded = sig
-      .select(col(idCol), posexplode(array(bandCols: _*)))
+    // signature + banding in ONE native codegen'd kernel per row
+    // (functions.MinHashBands): signatures never shuffle — only the
+    // (id, band, band_hash) triples do. Evolution recorded for the
+    // record: nested transform/array_min was re-evaluated per band by
+    // CollapseProject (615 s at sf0.1); numPerm min-aggregates over
+    // exploded shingles fixed that but still shuffled every shingle row
+    // (6.5 s); the kernel removes the shuffle entirely.
+    // the repartition spreads the kernel's numPerm-hashes-per-shingle work
+    // across cores even when the input is a single-row-group file (one scan
+    // task); it shuffles raw text once — far less than the old
+    // every-shingle-row shuffle
+    val banded = docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col(idCol), posexplode(minhashBands(col("shs"), numPerm, bands)))
       .toDF(idCol, "band", "band_hash")
 
     val cand = banded.as("a")
@@ -164,11 +163,14 @@ object Dedup {
       .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
       .distinct()
 
-    // verify candidates with exact set Jaccard on the shingle arrays
-    // (arrays are only materialized here, joined against the small
-    // candidate set — the LSH stage above shuffles signatures, not text)
+    // verify candidates with exact set Jaccard on HASHED shingle arrays
+    // (8-byte elements instead of text; intersect/union semantics and the
+    // Jaccard value are unchanged at 2^-64 collision odds) — arrays only
+    // join against the candidate set; the LSH stage shuffles signatures
     val withSh = docs
-      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .select(col(idCol),
+        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
+          .as("shs"))
       .filter(size(col("shs")) > 0)
     val withA = withSh.select(col(idCol).as("d1"), col("shs").as("shs1"))
     val withB = withSh.select(col(idCol).as("d2"), col("shs").as("shs2"))
