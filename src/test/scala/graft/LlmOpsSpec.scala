@@ -122,6 +122,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(one.toSeq == one.sorted.toSeq)
   }
 
+  test("every dedup/similarity/text operator degrades to empty on empty input") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emb = Seq.empty[(Long, Array[Float], String)].toDF("vec_id", "embedding", "label")
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.embeddingPairs(emb, "vec_id", "embedding", "label", 0.5).count() == 0)
+    assert(Dedup.decontaminate(docs, docs, "doc_id", "text").count() == 0)
+    assert(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5).count() == 0)
+    assert(Similarity.groupCentroids(emb, "label", "embedding").count() == 0)
+    assert(TextAnalysis.langId(docs, "text").count() == 0)
+    assert(TextAnalysis.quality(docs, "text").count() == 0)
+    assert(TextAnalysis.tokenStats(docs, "text").count() == 0)
+    assert(TextAnalysis.fingerprint(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("single-word docs produce no shingles but don't break the pair ops") {
+    val docs = Seq((1L, "spark"), (2L, "spark")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshPairs(docs, "doc_id", "text").count() == 0)
+    // exact dedup still groups them (it hashes whole content, not shingles)
+    assert(Dedup.exact(docs, "doc_id", "text").count() == 1)
+  }
+
   test("decontaminate flags training docs overlapping the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

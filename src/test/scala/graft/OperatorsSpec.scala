@@ -27,6 +27,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("n1", "n1"), ("d2", "n2")))
   }
 
+  test("castColumns mirrors pandas astype") {
+    import graft.operators.Cleaning.CleaningOps
+    val df = Seq(("1", "2.5")).toDF("a", "b")
+      .castColumns(Map("a" -> LongType, "b" -> DoubleType))
+    assert(df.schema("a").dataType == LongType && df.schema("b").dataType == DoubleType)
+    val r = df.head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 2.5)
+  }
+
   test("quality report counts duplicate keys and nulls; assertClean throws") {
     val df = Seq((1, Some("x")), (1, Some("y")), (2, None)).toDF("k", "v")
     val rep = Quality.report(df, Seq("k"), Seq("v"))
