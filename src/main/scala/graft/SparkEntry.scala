@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 import graft.operators.Cleaning.CleaningOps
-import graft.operators.{Dedup, Multimodal, Quality, Similarity, Star, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quality, Similarity, Star, Temporal, TextAnalysis}
 import graft.sources.{JsonNormalize, ScrapeSource, Staging}
 
 /** Driver contract: every capability from SURVEY.md §2 exposed as a named
@@ -412,6 +412,21 @@ object SparkEntry {
       .select("profile_id", "name", "visibility", "steam_level")
       .orderBy("profile_id")
 
+  /** As-of join: each purchase event looks up the user's latest preceding
+    * click (point-in-time lookup; operators/Temporal.scala). */
+  private def asofJoinQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
+      .select(
+        col("event_id"), col("user_id"), tsString(col("ts")).as("ts"),
+        tsString(col("asof_ts")).as("asof_ts"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
@@ -451,7 +466,8 @@ object SparkEntry {
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
-    "embedding_centroids" -> (embeddingCentroids _)
+    "embedding_centroids" -> (embeddingCentroids _),
+    "asof_join" -> (asofJoinQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -719,6 +735,13 @@ object SparkEntry {
         | CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(x) AS centroid
         |FROM (SELECT label, unnest(embedding) AS x,
         |      generate_subscripts(embedding, 1) AS pos FROM embeddings)
-        |GROUP BY label, pos ORDER BY label, pos""".stripMargin
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "asof_join" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, c.click_id AS asof_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin
   )
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, composed from primitives the
+  * optimizer understands (preference (a) of the custom-operator ladder).
+  *
+  * As-of join: for each right row, the LATEST left row with
+  * left_ts <= right_ts in the same key group — the point-in-time lookup
+  * behind feature stores ("state of X when Y happened"). Composed as ONE
+  * union + ONE keyed window with a carry-forward `last(ignoreNulls)`:
+  * a single shuffle on the key, linear state, no range-join explosion
+  * (the naive `l.ts <= r.ts` join is O(|L| x |R|) per key and what Spark
+  * would plan for the range predicate).
+  */
+object Temporal {
+
+  /** `right` rows enriched with `asof_<leftTs>` and `asof_<c>` for each
+    * left payload column (null when no left row precedes). Ties on equal
+    * timestamps resolve left-before-right (<= semantics) and within the
+    * left side by the payload struct order. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftPayload: Seq[String]): DataFrame = {
+    val lvFields = leftTs +: leftPayload
+    val l = left.select(
+      col(key), col(leftTs).as("__ts"), lit(0).as("__side"),
+      struct(lvFields.map(col): _*).as("__lv"))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__lv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u
+      .withColumn("__asof", last(col("__lv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val asofCols = lvFields.map(f => col("__asof").getField(f).as(s"asof_$f"))
+    carried.select(right.columns.map(col) ++ asofCols: _*)
+  }
+}

@@ -126,6 +126,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.size == 2) // the non-profile url drops
   }
 
+  test("asof join picks the latest left row at or before each right ts") {
+    import graft.operators.Temporal
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 5L, 50.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq((1L, 9L, "t1"), (1L, 10L, "t2"), (1L, 25L, "t3"), (3L, 7L, "t4"))
+      .toDF("k", "ts", "trade")
+    val out = Temporal.asofJoin(quotes, trades, "k", "ts", "ts", Seq("px"))
+      .orderBy("trade")
+      .collect()
+      .map(r => (r.getString(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("t1", None),          // before any quote
+      ("t2", Some(100.0)),   // ts tie: quote at 10 counts (<=)
+      ("t3", Some(101.0)),   // latest preceding quote
+      ("t4", None)))         // key with no quotes at all
+  }
+
   test("salted join equals the plain join, spread over salt buckets") {
     import graft.operators.Skew
     val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")
