@@ -384,6 +384,19 @@ object SparkEntry {
     Similarity.groupCentroids(embeddings(s, d), "label", "embedding")
       .orderBy("label", "pos")
 
+  /** IVF search: probe the 2 nearest of the 10 label-centroid cells
+    * (rows-only — approximate by design). */
+  private def simIvfTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = Similarity
+      .groupCentroids(emb.withColumn("label", col("label").cast(StringType)),
+        "label", "embedding")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), centroids,
+        "vec_id", "embedding", k = 10, nProbe = 2)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   // ------------------------------------------------------------------
   // Sources (SURVEY §2 #2, #4)
   // ------------------------------------------------------------------
@@ -467,6 +480,7 @@ object SparkEntry {
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
     "embedding_centroids" -> (embeddingCentroids _),
+    "sim_ivf_topk" -> (simIvfTopK _),
     "asof_join" -> (asofJoinQ _)
   )
 

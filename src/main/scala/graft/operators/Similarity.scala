@@ -68,6 +68,63 @@ object Similarity {
       .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 12)))
         .cast(DoubleType) / count(col("x"))).as("centroid"))
 
+  /** IVF approximate top-k: k-cell inverted-file search. The corpus is
+    * partitioned into cells by nearest centroid (the [[groupCentroids]]
+    * output is the index build); each query probes only its `nProbe`
+    * nearest cells, so the scan cost drops from |corpus| to
+    * ~|corpus| * nProbe / nCells per query. The centroid table is the
+    * INDEX — tiny by construction (nCells rows) — so collecting it to the
+    * driver and shipping it as a broadcast literal is the correct
+    * distribution strategy at any corpus size. Approximate: recall is
+    * traded via nProbe (rows-only check). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    // centroid matrix: cell -> ordered dim values (nCells x dim, tiny)
+    val cents: Array[(String, Array[Double])] = centroids
+      .orderBy("pos")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+      .toArray.sortBy(_._1)
+    val cellNames = cents.map(_._1)
+
+    // nearest-cell ids for a vector: distances to each centroid via the
+    // codegen'd dot kernel on the float vector vs literal double arrays
+    def cellDistances(vec: Column): Seq[Column] = cents.toIndexedSeq.map { case (_, c) =>
+      val cLit = typedlit(c.toSeq)
+      // squared L2 to centroid: |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per
+      // row for ranking, so -2 v.c + |c|^2 suffices
+      lit(-2.0) * aggregate(
+        zip_with(vec, cLit, (x, y) => x.cast(org.apache.spark.sql.types.DoubleType) * y),
+        lit(0.0), (a, x) => a + x) + lit(c.map(x => x * x).sum)
+    }
+    def nearestCells(vec: Column, n: Int): Column = {
+      val scored = array(cellDistances(vec).zipWithIndex.map { case (d, i) =>
+        struct(d.as("d"), lit(cellNames(i)).as("cell"))
+      }: _*)
+      slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
+    }
+
+    val c = corpus.select(
+      col(idCol), col(vecCol), normExact(col(vecCol)).as("__nrm"),
+      nearestCells(col(vecCol), 1).getItem(0).as("__cell"))
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+      normExact(col(vecCol)).as("__qnrm"),
+      explode(nearestCells(col(vecCol), nProbe)).as("__cell")))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("q_id") =!= col(idCol))
+      .select(
+        col("q_id"), col(idCol),
+        cosineWithNorms(col("__qvec"), col("__qnrm"), col(vecCol), col("__nrm"))
+          .as("cosine"))
+      .distinct() // a (q, doc) pair can meet in several probed cells
+    rankTopK(scored, idCol, k)
+  }
+
   /** Deterministic random-hyperplane matrix (nPlanes x dim), generated from
     * a fixed seed on the driver and shipped as a broadcast literal — no
     * per-row randomness, so signatures are reproducible run to run. */

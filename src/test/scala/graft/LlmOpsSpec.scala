@@ -97,6 +97,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.contains(2L))
   }
 
+  test("IVF search finds the nearest neighbor when it shares the query's cell") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.05f), "a"),
+      (3L, Array(-1.0f, 0.1f), "b"),
+      (4L, Array(-0.98f, 0.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val centroids = Similarity.groupCentroids(emb, "label", "embedding")
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 1), centroids,
+        "vec_id", "embedding", k = 1, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L))) // cell "a" probed, neighbor 2 found
+  }
+
   test("langid scores stopwords and tie-breaks deterministically") {
     val d = Seq(
       (1L, "the cat was on the mat"),
