@@ -78,6 +78,52 @@ object Stress {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 10).count()
     }
+
+    // custom heap top-k vs the window formulation on the same task:
+    // top-3 docs by n_chars within each of 1000 hash groups
+    val grouped = docs
+      .select((col("doc_id") % 1000).as("g"), col("doc_id"), length(col("text")).as("n"))
+      .localCheckpoint(true)
+    time("topk_window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("n").desc, col("doc_id"))
+      grouped.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3).count()
+    }
+    time("topk_heap") {
+      graft.plans.TopKPerGroup(grouped, Seq("g"), Seq(("n", true), ("doc_id", false)), 3)
+        .count()
+    }
+
+    // temporal ops on a 20x event stream
+    val ev0 = Tables.events(spark, sfDir).select("user_id", "ts", "event_type", "event_id")
+    val nEv = ev0.count()
+    val ev = ev0.crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("user_id") + col("rep") * 100000L).as("user_id"),
+        col("ts"), col("event_type"),
+        (col("event_id") + col("rep") * nEv).as("event_id"))
+      .repartition(64)
+      .localCheckpoint(true)
+    println(s"[stress] events: ${ev.count()} (x$factor)")
+    time("sessionize") {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+      val newSession = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1).otherwise(0)
+      ev.withColumn("session_id",
+          sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id").count().count()
+    }
+    time("asof_join") {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.Temporal
+        .asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
+        .count()
+    }
     spark.stop()
   }
 }
