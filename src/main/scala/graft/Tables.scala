@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
@@ -29,4 +29,27 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ---- typed views (case-class Encoders) for callers that want compile-
+  // time safety; same scans underneath, Catalyst still prunes columns ----
+
+  case class Document(doc_id: Long, text: String, lang: String,
+      source: String, n_chars: Long)
+  case class Embedding(vec_id: Long, embedding: Array[Float], label: Int)
+  case class Customer(c_custkey: Long, c_name: String, c_nationkey: Int,
+      c_acctbal: Double, c_mktsegment: String)
+
+  def documentsDS(s: SparkSession, d: String): Dataset[Document] = {
+    import s.implicits._
+    documents(s, d).as[Document]
+  }
+  def embeddingsDS(s: SparkSession, d: String): Dataset[Embedding] = {
+    import s.implicits._
+    embeddings(s, d).as[Embedding]
+  }
+  def customerDS(s: SparkSession, d: String): Dataset[Customer] = {
+    import s.implicits._
+    customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment").as[Customer]
+  }
 }

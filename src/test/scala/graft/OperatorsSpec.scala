@@ -93,6 +93,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(1).isEmpty)
   }
 
+  test("typed Dataset loaders decode rows into case classes") {
+    val docs = Tables.documentsDS(spark, sf)
+    val d = docs.head()
+    assert(d.text.nonEmpty && d.n_chars == d.text.length)
+    val c = Tables.customerDS(spark, sf).head()
+    assert(c.c_name.nonEmpty)
+    val e = Tables.embeddingsDS(spark, sf).head()
+    assert(e.embedding.length == 64)
+  }
+
+  test("staging also writes the reference's CSV format, partitioned") {
+    import graft.sources.Staging
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_spec").toString
+    val src = Tables.events(spark, sf).select("event_id", "ts", "value").limit(100)
+    Staging.writeStaged(src, "ts", tmp, format = "csv")
+    val back = Staging.readStaged(spark, tmp, format = "csv")
+    assert(back.count() == src.count())
+    assert(back.columns.toSet == Set("_c0", "_c1", "_c2", "y", "m", "d"))
+  }
+
   test("json normalize walks a nested record_path with meta, like pandas") {
     import graft.sources.JsonNormalize
     // the reference's achievements case: per-player array of records
