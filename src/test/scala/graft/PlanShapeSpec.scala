@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB design depends on, so an
+  * innocent-looking query edit that breaks pushdown or a broadcast shows
+  * up as a test failure, not a 100x regression in production. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-plan-test")
+
+  val sf = "/root/testdata/sf0.001"
+
+  def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1 prunes the lineitem scan to the referenced columns") {
+    val p = plan("q1_pricing_summary")
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
+  }
+
+  test("q5 broadcasts the dimension chain") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("counts_by_country broadcasts nation, aggregates partially") {
+    val p = plan("counts_by_country")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("dedup_exact computes the digest map-side before its single shuffle") {
+    val p = plan("dedup_exact")
+    assert(p.contains("partial_min"), p) // canonical-id combine is map-side
+  }
+
+  test("sim_topk never plans corpus x corpus") {
+    val p = plan("sim_topk")
+    // the only nested-loop is the broadcast QUERY set against the corpus
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("topk_per_group plans the custom partial/final heap operator") {
+    val p = plan("topk_per_group")
+    assert("TopKPerGroup 3".r.findAllIn(p).size == 2, p)
+  }
+
+  test("text ops are single-projection (no exchange before the sort)") {
+    val p = plan("text_quality")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+}
