@@ -122,6 +122,29 @@ package object functions {
     column(MinHashBands(expression(shingles), numPerm, bands))
   }
 
+  /** 64-bit SimHash signature of a token array — the native one-pass
+    * [[SimHash64]] kernel (zero-shuffle signatures; bit-identical to the
+    * explode + 64-conditional-sums aggregate it replaced). */
+  def simhash64(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(SimHash64(expression(tokens)))
+  }
+
+  /** `n` nearest IVF cell names for a float vector against a driver-built
+    * centroid matrix — the native one-pass [[NearestCells]] kernel. */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]],
+      cells: Array[String], n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(NearestCells(expression(vec), centroids, cells, n))
+  }
+
+  /** Random-hyperplane LSH bucket id for a float vector — the native
+    * one-pass [[HyperplaneBucket]] kernel. */
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(HyperplaneBucket(expression(vec), planes))
+  }
+
   // ---- text shingling ----
 
   /** Whitespace tokens. */

@@ -183,22 +183,14 @@ object Dedup {
   }
 
   /** Per-doc 64-bit SimHash over whitespace tokens (term frequency =
-    * natural token multiplicity). Computed as 64 codegen'd conditional
-    * sums — one aggregation, no UDF. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol), explode(wsTokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"__b$b")
-    }
-    val agg = toks.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val assembled = (0 until 64)
-      .map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)): Column)
-      .reduce(_ bitwiseOR _)
-    agg.select(col(idCol), assembled.as("simhash"))
-  }
+    * natural token multiplicity) — the native [[graft.functions.SimHash64]]
+    * kernel: a pure per-row projection, so the signature costs ZERO shuffle.
+    * (The previous formulation exploded token rows and ran 64 conditional
+    * sums — a full corpus-token Exchange, the exact trap the MinHash kernel
+    * escaped; signatures are bit-identical since per-bit counts are
+    * order-independent.) */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), simhash64(wsTokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: 4 bands of 16 bits bucket the candidates
     * (guaranteed recall for hamming <= 3 by pigeonhole; configurable k

@@ -90,31 +90,23 @@ object Similarity {
       }
       .toArray.sortBy(_._1)
     val cellNames = cents.map(_._1)
+    val centMatrix = cents.map(_._2)
 
-    // nearest-cell ids for a vector: distances to each centroid via the
-    // codegen'd dot kernel on the float vector vs literal double arrays
-    def cellDistances(vec: Column): Seq[Column] = cents.toIndexedSeq.map { case (_, c) =>
-      val cLit = typedlit(c.toSeq)
-      // squared L2 to centroid: |v|^2 - 2 v.c + |c|^2 ; |v|^2 constant per
-      // row for ranking, so -2 v.c + |c|^2 suffices
-      lit(-2.0) * aggregate(
-        zip_with(vec, cLit, (x, y) => x.cast(org.apache.spark.sql.types.DoubleType) * y),
-        lit(0.0), (a, x) => a + x) + lit(c.map(x => x * x).sum)
-    }
-    def nearestCells(vec: Column, n: Int): Column = {
-      val scored = array(cellDistances(vec).zipWithIndex.map { case (d, i) =>
-        struct(d.as("d"), lit(cellNames(i)).as("cell"))
-      }: _*)
-      slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
-    }
+    // nearest-cell assignment: the native one-pass NearestCells kernel
+    // scores the vector against the whole centroid matrix inside codegen
+    // (squared-L2 ranking form -2 v.c + |c|^2; |v|^2 constant per row).
+    // The previous formulation ran one INTERPRETED aggregate(zip_with(...))
+    // per centroid per row — nCells x the work, outside codegen.
+    def nearest(vec: Column, n: Int): Column =
+      graft.functions.nearestCells(vec, centMatrix, cellNames, n)
 
     val c = corpus.select(
       col(idCol), col(vecCol), normExact(col(vecCol)).as("__nrm"),
-      nearestCells(col(vecCol), 1).getItem(0).as("__cell"))
+      nearest(col(vecCol), 1).getItem(0).as("__cell"))
     val q = broadcast(queries.select(
       col(idCol).as("q_id"), col(vecCol).as("__qvec"),
       normExact(col(vecCol)).as("__qnrm"),
-      explode(nearestCells(col(vecCol), nProbe)).as("__cell")))
+      explode(nearest(col(vecCol), nProbe)).as("__cell")))
     val scored = c.join(q, Seq("__cell"))
       .filter(col("q_id") =!= col(idCol))
       .select(
@@ -133,17 +125,12 @@ object Similarity {
     Array.fill(nPlanes, dim)(rng.nextGaussian())
   }
 
-  /** Map-side LSH bucket id: sign bit per hyperplane, packed into a long.
-    * Pure higher-order functions over the vector — stays in codegen. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, typedlit(p.toSeq), (x, w) => x.cast(DoubleType) * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L)): Column
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  /** Map-side LSH bucket id: sign bit per hyperplane, packed into a long —
+    * the native one-pass [[graft.functions.HyperplaneBucket]] kernel (the
+    * previous per-plane `aggregate(zip_with(...))` ran nPlanes interpreted
+    * higher-order expressions per row; bucket ids are bit-identical). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    graft.functions.hyperplaneBucket(vec, planes)
 
   /** LSH-bucketed approximate top-k: bucket the corpus and the queries with
     * the same plane matrix, compare each query only against its bucket.

@@ -56,4 +56,28 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("text_quality")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("simhash signature is a zero-shuffle per-row projection") {
+    val p = operators.Dedup.simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("simhash64"), p)
+    // no Exchange at all: the signature never shuffles (the old explode +
+    // 64-sums aggregation shuffled every token row in the corpus)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("ivf cell assignment is the codegen kernel, not interpreted HOFs") {
+    val p = plan("sim_ivf_topk")
+    assert(p.contains("nearest_cells"), p)
+    // the only remaining HOFs are the exact-decimal cosine/norm contract on
+    // emitted values — cell assignment itself must not be a per-centroid
+    // interpreted aggregate (the old shape had one zip_with PER CELL)
+    assert(!p.contains("array_sort"), p)
+  }
+
+  test("lsh bucketing is the codegen kernel, not interpreted HOFs") {
+    val p = plan("sim_lsh_topk")
+    assert(p.contains("hyperplane_bucket"), p)
+  }
 }
