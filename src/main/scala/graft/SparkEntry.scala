@@ -211,6 +211,45 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Bridge fact: ONE dimension resolved in TWO roles within a single fact
+    * row — the reference's hardest star-schema case (Friends_Fact resolves
+    * Player_Dim as player_sk AND player_friend_sk in one insert:
+    * dags/scripts/sql_queries.py:121-131, database_build/data_warehouse.sql).
+    * Here the nation dim plays the customer-nation and supplier-nation
+    * roles, and the date dim rides along — three broadcast dim joins, facts
+    * shuffle zero times. */
+  private def factMultiRole(s: SparkSession, d: String): DataFrame = {
+    val dimN = Star
+      .buildDim(nation(s, d), Seq("n_nationkey"), "nation_sk", Seq(col("n_nationkey")))
+      .select("nation_sk", "n_nationkey")
+    val custRole = dimN.select(
+      col("nation_sk").as("cust_nation_sk"), col("n_nationkey").as("__cnk"))
+    val suppRole = dimN.select(
+      col("nation_sk").as("supp_nation_sk"), col("n_nationkey").as("__snk"))
+    val dimD = Star.dateDim(orders(s, d), col("o_orderdate")).select("date_sk", "full_date")
+    val base = lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice")
+      .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val withCust = Star.resolveSk(
+      base, custRole, col("c_nationkey") === col("__cnk"), "cust_nation_sk",
+      broadcastDim = true)
+    val withSupp = Star.resolveSk(
+      withCust, suppRole, col("s_nationkey") === col("__snk"), "supp_nation_sk",
+      broadcastDim = true)
+    val withDate = Star.resolveSk(
+      withSupp, dimD, to_date(col("o_orderdate")) === col("full_date"), "date_sk",
+      broadcastDim = true)
+    withDate
+      .select("l_orderkey", "l_linenumber", "cust_nation_sk", "supp_nation_sk",
+        "date_sk", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** ON CONFLICT DO NOTHING: first-ever record per key survives. */
   private def upsertDoNothingQ(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
@@ -415,6 +454,33 @@ object SparkEntry {
       .orderBy("y", "m", "d")
   }
 
+  /** Interval-bounded incremental ingest (reference: helpers.py:10-47 —
+    * each run extracts only [data_interval_start, data_interval_end)):
+    * two consecutive interval runs stage their slices, the first interval
+    * re-runs to prove dynamic-partition-overwrite idempotency (a doubled
+    * count would fail the oracle), then the read-back filters on the
+    * partition columns so only the requested slice's directories are
+    * scanned (PartitionFilters — pinned by PlanShapeSpec). */
+  private def incrementalInterval(s: SparkSession, d: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_incremental_events"
+    // fixture reset: dynamic overwrite only replaces partitions present in
+    // the incoming write, so stale partitions from an older run must go
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+    val e = events(s, d).select("event_id", "ts", "value")
+    Staging.writeSlice(e, "ts", "2024-01-10", "2024-01-12", path) // run 1
+    Staging.writeSlice(e, "ts", "2024-01-12", "2024-01-14", path) // run 2
+    Staging.writeSlice(e, "ts", "2024-01-10", "2024-01-12", path) // run 1 re-run (idempotent)
+    Staging.readStaged(s, path)
+      .filter(col("y") === 2024 && col("m") === 1 && col("d") >= 10 && col("d") < 12)
+      .groupBy(
+        col("y").cast(LongType).as("y"),
+        col("m").cast(LongType).as("m"),
+        col("d").cast(LongType).as("d"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 2).as("total"))
+      .orderBy("y", "m", "d")
+  }
+
   /** Batched, rate-limited scrape over customer ids with the deterministic
     * stub fetcher (the oracle mirrors the stub's derivation). */
   private def scrapeProfiles(s: SparkSession, d: String): DataFrame =
@@ -459,6 +525,8 @@ object SparkEntry {
     "dim_customer" -> (dimCustomer _),
     "dim_date" -> (dimDate _),
     "fact_orders" -> (factOrders _),
+    "fact_multi_role" -> (factMultiRole _),
+    "incremental_interval" -> (incrementalInterval _),
     "upsert_do_nothing" -> (upsertDoNothingQ _),
     "upsert_do_update" -> (upsertDoUpdateQ _),
     "json_extract_events" -> (jsonExtractEvents _),
@@ -579,6 +647,28 @@ object SparkEntry {
         | o_orderstatus, o_totalprice
         |FROM orders JOIN dimc ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "fact_multi_role" ->
+      """WITH dimn AS (
+        | SELECT CAST(dense_rank() OVER (ORDER BY n_nationkey) AS BIGINT) AS nation_sk, n_nationkey
+        | FROM nation)
+        |SELECT l_orderkey, l_linenumber,
+        | cn.nation_sk AS cust_nation_sk, sn.nation_sk AS supp_nation_sk,
+        | CAST(year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate) AS BIGINT) AS date_sk,
+        | l_extendedprice
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN dimn cn ON c_nationkey = cn.n_nationkey
+        | JOIN dimn sn ON s_nationkey = sn.n_nationkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "incremental_interval" ->
+      """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+        | CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "upsert_do_nothing" ->
       """SELECT user_id, event_type, event_id,
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, value

@@ -38,4 +38,24 @@ object Staging {
   def readStaged(spark: SparkSession, path: String,
       format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path)
+
+  /** Interval-bounded incremental staging run (reference:
+    * dags/scripts/helpers.py:10-47 — every hourly run extracts only
+    * `[data_interval_start, data_interval_end)` and stages under that run's
+    * y/m/d key). The slice filter sits directly on the timestamp column so
+    * it pushes into the source scan, and the write uses DYNAMIC partition
+    * overwrite: a re-run of the same interval replaces only the slice's own
+    * y/m/d partitions — idempotent like the reference's keyed S3 puts —
+    * without ever truncating the rest of the lake (plain `overwrite` would). */
+  def writeSlice(df: DataFrame, tsCol: String, start: String, end: String,
+      path: String, format: String = "parquet"): Unit =
+    withDateParts(
+        df.filter(col(tsCol) >= to_timestamp(lit(start)) &&
+          col(tsCol) < to_timestamp(lit(end))),
+        tsCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .format(format)
+      .partitionBy("y", "m", "d")
+      .save(path)
 }

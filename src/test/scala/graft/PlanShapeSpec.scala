@@ -80,4 +80,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("sim_lsh_topk")
     assert(p.contains("hyperplane_bucket"), p)
   }
+
+  test("fact_multi_role resolves every dim role via broadcast, no fact shuffle") {
+    val p = plan("fact_multi_role")
+    // nation x2 roles + date + supplier + orders + customer: every join on
+    // the fact spine is broadcast — the fact rows themselves never hash-
+    // shuffle (the only hash exchanges sit inside the tiny dim builds'
+    // dense_rank windows, bounded by dim cardinality)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("incremental read-back prunes to the interval's partitions") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_incremental_events"
+    val p = sources.Staging.readStaged(spark, path)
+      .filter(col("y") === 2024 && col("m") === 1 && col("d") >= 10 && col("d") < 12)
+      .queryExecution.executedPlan.toString
+    // the y/m/d predicates must land in PartitionFilters (directory
+    // pruning), not in post-scan DataFilters (the display truncates the
+    // filter list with "...", so assert the leading predicates)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+    assert(pf.isDefined, p)
+    assert(pf.get.contains("= 2024") && pf.get.contains(">= 10"), p)
+    assert(p.contains("DataFilters: []"), p)
+  }
 }
