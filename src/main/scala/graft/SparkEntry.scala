@@ -155,7 +155,11 @@ object SparkEntry {
       .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
       .dropNaSubset(Seq("k", "user_id"))
       .withColumn("event_ts", tsString(col("ts")))
-      .dedupKeepFirst(Seq("event_id"), Seq(col("event_id")))
+      // keep-first order on NON-NULL payload columns (not just the key) so
+      // the pick is deterministic even if event_id ever duplicated — and the
+      // oracle mirrors the same QUALIFY, instead of silently relying on
+      // event_id uniqueness in the current testdata
+      .dedupKeepFirst(Seq("event_id"), Seq(col("ts"), col("user_id"), col("event_type")))
       .select("event_id", "user_id", "event_type", "event_ts", "amount", "k")
       .orderBy("event_id")
 
@@ -250,6 +254,30 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Huge-dimension variant of fact resolution: surrogate keys from
+    * [[Star.hashSk]] — a pure 64-bit hash of the natural key, fully
+    * distributed with NO global dense_rank window — the SK strategy for
+    * dimensions whose cardinality rivals the fact table's (a dense_rank
+    * window funnels the whole dim through one total order; a hash is a
+    * map-side projection). The hash SK drives the resolution join AND the
+    * downstream back-join to the dim; the oracle resolves on natural keys,
+    * so any hash collision surfaces as extra or mismatched rows. */
+  private def factOrdersHashSk(s: SparkSession, d: String): DataFrame = {
+    val dim = customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("customer_sk", Star.hashSk(Seq(col("c_custkey"))))
+    val resolved = Star.resolveSk(
+        orders(s, d).select("o_orderkey", "o_custkey"),
+        dim.select("customer_sk", "c_custkey"),
+        col("o_custkey") === col("c_custkey"), "customer_sk",
+        broadcastDim = false) // huge-dim posture: shuffle join, AQE decides
+      .select("o_orderkey", "customer_sk")
+    resolved
+      .join(dim.select("customer_sk", "c_name"), Seq("customer_sk"))
+      .select("o_orderkey", "c_name")
+      .orderBy("o_orderkey")
+  }
+
   /** ON CONFLICT DO NOTHING: first-ever record per key survives. */
   private def upsertDoNothingQ(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
@@ -338,6 +366,16 @@ object SparkEntry {
   /** Exact n-gram Jaccard near-dup pairs (tau=0.5, 3-shingles). */
   private def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
+      .orderBy("d1", "d2")
+
+  /** Exact n-gram Jaccard with the stop-shingle skew cap ENGAGED (shingles
+    * in more than 2 documents are dropped before the self-join — the bound
+    * that keeps hot shingles from blowing up sum(f^2) at scale). The oracle
+    * mirrors the df filter, so the cap path is hash-checked end-to-end
+    * rather than unit-tested only. */
+  private def dedupNgramJaccardCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5,
+        maxShingleFreq = Some(2L))
       .orderBy("d1", "d2")
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard (approx
@@ -495,8 +533,13 @@ object SparkEntry {
     * click (point-in-time lookup; operators/Temporal.scala). */
   private def asofJoinQ(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
+    // dedup the lookup side to one click per (user, ts) — max click_id wins —
+    // so the as-of match is tie-free BY CONSTRUCTION on both engines (DuckDB
+    // ASOF leaves the equal-timestamp pick unspecified; relying on it not
+    // happening in the data is exactly the fragility this removes)
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("click_id").desc))
     val purchases = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
     Temporal.asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
@@ -534,6 +577,8 @@ object SparkEntry {
     "sessionize" -> (sessionize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard_capped" -> (dedupNgramJaccardCapped _),
+    "fact_orders_hashsk" -> (factOrdersHashSk _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -602,12 +647,16 @@ object SparkEntry {
         | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
         |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
     "clean_pipeline" ->
+      // COALESCE mirrors fillNaValues(amount -> 0.0); QUALIFY mirrors
+      // dedupKeepFirst(event_id) — both previously absent, so equivalence
+      // silently rested on the testdata having no null values / dup ids
       """SELECT event_id, user_id, event_type,
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
-        | CASE WHEN value > 100 THEN 100.0 ELSE value END AS amount,
+        | COALESCE(CASE WHEN value > 100 THEN 100.0 ELSE value END, 0.0) AS amount,
         | CAST(props->>'$.k' AS BIGINT) AS k
         |FROM events
         |WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL AND user_id IS NOT NULL
+        |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id, event_type) = 1
         |ORDER BY event_id""".stripMargin,
     "dedup_keep_first" ->
       """SELECT user_id, event_type, event_id,
@@ -707,7 +756,7 @@ object SparkEntry {
       """SELECT min(doc_id) AS canonical_id, md5(text) AS content_hash, COUNT(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
         |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
         |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
@@ -718,6 +767,24 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
         |WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_ngram_jaccard_capped" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |        FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 2),
+        |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh)),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, common,
+        | CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) AS jaccard
+        |FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+    "fact_orders_hashsk" ->
+      """SELECT o_orderkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "dedup_embedding" ->
       """WITH nr AS (
         | SELECT vec_id, label, embedding,
@@ -751,7 +818,7 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) <= 10
         |ORDER BY q_id, rk""".stripMargin,
     "text_langid" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') w FROM documents),
         |s AS (SELECT doc_id, len(w) AS nt,
         | CAST(len(list_filter(w, x -> x IN ('der','die','das','und','zu','ein','eine','mit','von','nicht'))) AS BIGINT) hits_de,
         | CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) hits_en,
@@ -770,10 +837,10 @@ object SparkEntry {
       """WITH s AS (
         | SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_q,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS n_punct,
         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
-        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
         |    x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) AS n_stopwords
         | FROM documents)
         |SELECT doc_id, n_chars_q, n_tokens, n_punct, n_digits, n_stopwords,
@@ -785,12 +852,12 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
-        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+        | CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS distinct_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS sh_hash
         |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3)
         |SELECT doc_id,
@@ -800,15 +867,21 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sh_hash) <= 8
         |ORDER BY doc_id, rk""".stripMargin,
     "multimodal_features" ->
-      """SELECT doc_id, 'text/plain' AS media_type, source,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        | md5(text) AS digest,
-        | CAST(ascii(substr(text,1,1)) * 16777216 + ascii(substr(text,2,1)) * 65536
-        |    + ascii(substr(text,3,1)) * 256 + ascii(substr(text,4,1)) AS BIGINT) AS header,
-        | CAST(64 + (ascii(substr(text,1,1)) * 16777216 + ascii(substr(text,2,1)) * 65536
-        |    + ascii(substr(text,3,1)) * 256 + ascii(substr(text,4,1))) % 1857 AS BIGINT) AS width,
-        | CAST(64 + octet_length(encode(text)) % 1017 AS BIGINT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      // header = big-endian fold of the first (up to) 4 PAYLOAD BYTES,
+      // byte-exact as a hex-prefix parse — no ASCII or length->=4
+      // assumption (the old ascii(substr(...)) formulation diverged on
+      // multibyte chars and on documents shorter than 4 chars)
+      """WITH b AS (
+        | SELECT doc_id, source, octet_length(encode(text)) AS byte_len, md5(text) AS digest,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 8)) AS BIGINT) END AS header
+        | FROM documents)
+        |SELECT doc_id, 'text/plain' AS media_type, source,
+        | CAST(byte_len AS BIGINT) AS byte_len, digest,
+        | CAST(header AS BIGINT) AS header,
+        | CAST(64 + header % 1857 AS BIGINT) AS width,
+        | CAST(64 + byte_len % 1017 AS BIGINT) AS height
+        |FROM b ORDER BY doc_id""".stripMargin,
     "staged_partitioned_write" ->
       """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
         | CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS n,
@@ -819,7 +892,7 @@ object SparkEntry {
         | c_custkey % 3 AS visibility, c_custkey % 100 AS steam_level
         |FROM customer WHERE c_custkey % 97 != 0 ORDER BY profile_id""".stripMargin,
     "decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS h
         |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
         |fp AS (SELECT doc_id, h FROM sh
@@ -841,7 +914,8 @@ object SparkEntry {
         |      generate_subscripts(embedding, 1) AS pos FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "asof_join" ->
-      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
         |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, c.click_id AS asof_click_id

@@ -32,6 +32,7 @@ case class TopKPerGroupNode(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"top-k per group needs k >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =

@@ -30,6 +30,24 @@ class PropertiesSpec extends AnyFunSuite {
       v <- Gen.alphaStr.map(_.take(4))
     } yield (k, ord, v))
 
+  test("hashSk is deterministic and collision-free on realistic key spaces") {
+    val keysGen = Gen.listOfN(2000, Gen.choose(Long.MinValue, Long.MaxValue))
+    forAll(keysGen, n = 3) { keys =>
+      val distinct = keys.distinct
+      val df = distinct.toDF("k")
+      val hashed = df.select(Star.hashSk(Seq(col("k"))).as("sk"))
+      // injective on the sample (64-bit space vs thousands of keys) — a
+      // collision here would mean the SK strategy silently merges dim rows
+      assert(hashed.distinct().count() == distinct.size.toLong)
+      // deterministic across partitionings (retried tasks must agree)
+      val a = df.repartition(7).select(col("k"), Star.hashSk(Seq(col("k"))).as("sk"))
+        .orderBy("k").collect().toSeq
+      val b = df.repartition(2).select(col("k"), Star.hashSk(Seq(col("k"))).as("sk"))
+        .orderBy("k").collect().toSeq
+      assert(a == b)
+    }
+  }
+
   test("dedupKeepFirst is insensitive to input partitioning and order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {

@@ -27,6 +27,16 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(custom == windowed)
   }
 
+  test("k <= 0 is rejected up front, not an NPE at execution") {
+    val src = Tables.part(spark, sf).select("p_brand", "p_partkey")
+    for (k <- Seq(0, -1)) {
+      val e = intercept[IllegalArgumentException] {
+        TopKPerGroup(src, Seq("p_brand"), Seq(("p_partkey", false)), k = k)
+      }
+      assert(e.getMessage.contains("k >= 1"), e.getMessage)
+    }
+  }
+
   test("plans as partial -> exchange -> final") {
     val src = Tables.part(spark, sf).select("p_brand", "p_partkey")
     val df = TopKPerGroup(src, Seq("p_brand"), Seq(("p_partkey", false)), k = 2)
