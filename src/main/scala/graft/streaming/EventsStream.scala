@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's hourly ingestion cadence (DAG
@@ -108,5 +108,48 @@ object EventsStream {
           open.foreach(state.update)
           closed.reverse.iterator
       }
+  }
+
+  /** The same gap-session logic on `transformWithState` — Spark 4's
+    * successor to `flatMapGroupsWithState`: state lives in named, typed
+    * handles (`ValueState`) instead of one opaque blob, can carry a TTL,
+    * and runs on the RocksDB state store (the disk-backed store that keeps
+    * huge key spaces out of executor heap — the property that matters when
+    * the tracker holds one entry per active user at 100 TB/day).
+    * Semantics are spec-pinned identical to [[sessionTracker]]. */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionEvent, ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts_ms)
+      var closed = List.empty[ClosedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur = cur match {
+          case Some(s) if e.ts_ms - s.last_ms > gapMs =>
+            closed ::= ClosedSession(user, s.start_ms, s.last_ms, s.n_events)
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L))
+          case Some(s) =>
+            Some(s.copy(last_ms = e.ts_ms, n_events = s.n_events + 1L))
+          case None =>
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L))
+        }
+      }
+      cur.foreach(open.update)
+      closed.reverse.iterator
+    }
+  }
+
+  def sessionTrackerTws(events: Dataset[SessionEvent], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs), TimeMode.None(), OutputMode.Append())
   }
 }

@@ -92,6 +92,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState session tracker mirrors flatMapGroupsWithState semantics") {
+    implicit val sql = spark.sqlContext
+    // transformWithState requires the RocksDB state store (its scale story:
+    // disk-backed state, huge key spaces off-heap)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[SessionEvent]
+      val q = EventsStream.sessionTrackerTws(input.toDS(), gapMs = 1000L)
+        .writeStream.format("memory").queryName("sessions_tws_out")
+        .outputMode("append").start()
+      try {
+        input.addData(SessionEvent(1L, 1000L), SessionEvent(1L, 1500L))
+        q.processAllAvailable()
+        assert(spark.table("sessions_tws_out").count() == 0) // still open
+        // gap > 1000ms closes user 1's session; user 2 opens
+        input.addData(SessionEvent(1L, 5000L), SessionEvent(2L, 100L))
+        q.processAllAvailable()
+        val closed = spark.table("sessions_tws_out").as[ClosedSession].collect().toSet
+        assert(closed == Set(ClosedSession(1L, 1000L, 1500L, 2L)))
+        // state persists across micro-batches per user
+        input.addData(SessionEvent(1L, 9000L), SessionEvent(2L, 5000L))
+        q.processAllAvailable()
+        val closed2 = spark.table("sessions_tws_out").as[ClosedSession].collect().toSet
+        assert(closed2 == Set(
+          ClosedSession(1L, 1000L, 1500L, 2L),
+          ClosedSession(1L, 5000L, 5000L, 1L),
+          ClosedSession(2L, 100L, 100L, 1L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("warehouse sink generates the reference's upsert DML") {
+    import graft.streaming.WarehouseSink
+    assert(WarehouseSink.upsertSql("dim_player", Seq("k", "a", "b"), Seq("k"), doUpdate = false)
+      == "INSERT INTO dim_player (k, a, b) VALUES (?, ?, ?) ON CONFLICT (k) DO NOTHING")
+    assert(WarehouseSink.upsertSql("dim_player", Seq("k", "a", "b"), Seq("k"), doUpdate = true)
+      == "INSERT INTO dim_player (k, a, b) VALUES (?, ?, ?) " +
+        "ON CONFLICT (k) DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+    intercept[IllegalArgumentException] {
+      WarehouseSink.upsertSql("t", Seq("a"), Seq("missing"), doUpdate = true)
+    }
+  }
+
+  test("warehouse sink writeBatch: per-key latest wins, re-delivery harmless") {
+    import graft.streaming.WarehouseSink
+    val store = StreamingSpec.warehouse
+    store.clear()
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      WarehouseSink.writeBatch(rows.toDF("k", "ver", "v"), "t", Seq("k"), Seq("ver"),
+        doUpdate = true, StreamingSpec.newExec _)
+    write(Seq((1L, 1L, "old"), (2L, 1L, "b"), (1L, 2L, "mid"))) // batch dedups to ver=2
+    write(Seq((1L, 3L, "new")))
+    write(Seq((1L, 3L, "new"))) // re-delivered micro-batch: idempotent
+    import scala.jdk.CollectionConverters._
+    val out = store.asScala.toMap.map { case (k, row) => (k, row(2)) }
+    assert(out == Map(1L -> "new", 2L -> "b"))
+  }
+
   test("foreachBatch upsert sink is idempotent and latest-wins") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)]
@@ -138,4 +197,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(got <= batch)
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  /** In-memory "warehouse table": key -> row, honoring ON CONFLICT DO
+    * UPDATE (shared across executor threads in local mode). */
+  val warehouse = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Any]]()
+
+  /** Test SqlExecutor: stages rows, applies at commit, discards on
+    * rollback — the transaction contract the JDBC binding has. */
+  class MemExecutor(keyIdx: Int) extends graft.streaming.WarehouseSink.SqlExecutor {
+    private var staged = List.empty[Seq[Any]]
+    override def execute(sql: String, params: Seq[Any]): Unit = {
+      assert(sql.contains("ON CONFLICT"), sql)
+      staged ::= params
+    }
+    override def commit(): Unit =
+      staged.reverse.foreach(p => warehouse.put(p(keyIdx).asInstanceOf[Long], p))
+    override def rollback(): Unit = staged = Nil
+    override def close(): Unit = ()
+  }
+
+  /** Executor factory shipped to partitions (references only this object —
+    * nothing from the non-serializable suite instance). */
+  def newExec(): graft.streaming.WarehouseSink.SqlExecutor = new MemExecutor(0)
 }
