@@ -151,6 +151,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(1L -> "new", 2L -> "b"))
   }
 
+  test("warehouse sink adapter drives a real foreachBatch stream") {
+    import graft.streaming.WarehouseSink
+    implicit val sql = spark.sqlContext
+    val store = StreamingSpec.warehouse
+    store.clear()
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("k", "ver", "v")
+      .writeStream
+      .foreachBatch(WarehouseSink.sink("t", Seq("k"), Seq("ver"),
+        doUpdate = true, StreamingSpec.newExec _))
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, "old"), (2L, 1L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "new"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val out = store.asScala.toMap.map { case (k, row) => (k, row(2)) }
+      assert(out == Map(1L -> "new", 2L -> "b"))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink is idempotent and latest-wins") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)]
