@@ -549,6 +549,26 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join: purchases matched to every 30-minute
+    * post-click attribution window of the same user — the bucketized
+    * equi-join formulation (operators/Temporal.intervalJoin), never a
+    * nested-loop range join. */
+  private def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("start_ts"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    Temporal.intervalJoin(purchases, clicks, "ts", "start_ts", "end_ts",
+        binWidthUs = 1800L * 1000000L, keys = Seq("user_id"))
+      .select(
+        col("event_id"), col("user_id"), tsString(col("ts")).as("ts"),
+        col("click_id"), tsString(col("start_ts")).as("click_ts"))
+      .orderBy("event_id", "click_id")
+  }
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
@@ -594,7 +614,8 @@ object SparkEntry {
     "decontaminate" -> (decontaminateQ _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
-    "asof_join" -> (asofJoinQ _)
+    "asof_join" -> (asofJoinQ _),
+    "range_join" -> (rangeJoinQ _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -920,6 +941,16 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
         | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, c.click_id AS asof_click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+    "range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS start_ts,
+        |            ts + INTERVAL 30 MINUTE AS end_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | c.click_id, strftime(c.start_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND p.ts >= c.start_ts AND p.ts < c.end_ts
+        |ORDER BY p.event_id, c.click_id""".stripMargin
   )
 }

@@ -40,4 +40,38 @@ object Temporal {
     val asofCols = lvFields.map(f => col("__asof").getField(f).as(s"asof_$f"))
     carried.select(right.columns.map(col) ++ asofCols: _*)
   }
+
+  /** Bucketized range (interval) join: each `points` row whose timestamp
+    * falls inside a `intervals` row's `[startTs, endTs)` — with NO
+    * non-equi join in the plan.
+    *
+    * Why an operator: Spark plans a bare range predicate as a broadcast
+    * nested-loop (or cartesian) join — O(|P| x |I|) compares, the classic
+    * non-starter at scale. This composes the standard bucketization: both
+    * sides map to fixed-width time bins (an interval explodes to every bin
+    * it covers; a point has exactly ONE bin), the join becomes an
+    * equi-join on (bin [+ keys]) that hash-partitions like any other, and
+    * the exact range filter runs post-join on candidates only. A
+    * (point, interval) pair can meet only in the point's single bin, so no
+    * dedup pass is needed. Replication is bounded by interval_length /
+    * binWidth + 1 rows per interval — pick `binWidthUs` near the typical
+    * interval length.
+    *
+    * Equivalence to the naive range join is property-tested
+    * (PropertiesSpec); the registered query is DuckDB-oracle-checked. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      ptTs: String, startTs: String, endTs: String,
+      binWidthUs: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidthUs > 0, "binWidthUs must be positive")
+    val p = points.withColumn("__bin",
+      floor(unix_micros(col(ptTs)) / binWidthUs).cast("long"))
+    val iv = intervals
+      .filter(col(endTs) > col(startTs)) // empty intervals match nothing
+      .withColumn("__bin", explode(sequence(
+        floor(unix_micros(col(startTs)) / binWidthUs).cast("long"),
+        floor((unix_micros(col(endTs)) - 1) / binWidthUs).cast("long"))))
+    p.join(iv, Seq("__bin") ++ keys)
+      .filter(col(ptTs) >= col(startTs) && col(ptTs) < col(endTs))
+      .drop("__bin")
+  }
 }

@@ -92,6 +92,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("range_join never plans a nested-loop over the range predicate") {
+    val p = plan("range_join")
+    // the bucketization turns the range predicate into an equi-join on
+    // (bin, user); the exact bounds run as a post-join filter
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("incremental read-back prunes to the interval's partitions") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices

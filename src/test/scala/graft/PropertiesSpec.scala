@@ -48,6 +48,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketized interval join equals the naive range join exactly") {
+    import java.sql.Timestamp
+    val ptsGen = Gen.listOfN(40, Gen.choose(0L, 100_000L))
+    val ivGen = Gen.listOfN(15, for {
+      s <- Gen.choose(0L, 100_000L)
+      len <- Gen.choose(-5_000L, 40_000L) // include empty/negative intervals
+    } yield (s, s + len))
+    forAll(Gen.zip(ptsGen, ivGen), n = 5) { case (ptMs, ivs) =>
+      val points = ptMs.zipWithIndex
+        .map { case (ms, i) => (i.toLong, new Timestamp(ms)) }
+        .toDF("p_id", "ts")
+      val intervals = ivs.zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, new Timestamp(s), new Timestamp(e)) }
+        .toDF("iv_id", "start_ts", "end_ts")
+      // bin width deliberately NOT aligned to interval lengths
+      val bucketized = graft.operators.Temporal
+        .intervalJoin(points, intervals, "ts", "start_ts", "end_ts", binWidthUs = 7_000_000L)
+        .select("p_id", "iv_id").orderBy("p_id", "iv_id").collect().toSeq
+      val naive = points.join(intervals,
+          col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+        .select("p_id", "iv_id").orderBy("p_id", "iv_id").collect().toSeq
+      assert(bucketized == naive)
+    }
+  }
+
   test("dedupKeepFirst is insensitive to input partitioning and order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {
