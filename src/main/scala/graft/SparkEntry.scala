@@ -100,6 +100,21 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_customers").desc, col("n_name"))
 
+  /** The same counts-by-country rollup THROUGH the deterministic salted
+    * join (operators/Skew.saltedJoin): the hot-key defense for when one
+    * natural key dominates a 100 TB fact table. Salting is semantically
+    * invisible, so the oracle is the plain join — hash-equality here
+    * proves the salt/replicate/drop round-trip loses and duplicates
+    * nothing. */
+  private def countsByCountrySalted(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        customer(s, d).select(col("c_custkey"), col("c_nationkey").as("nationkey")),
+        nation(s, d).select(col("n_nationkey").as("nationkey"), col("n_name")),
+        keys = Seq("nationkey"), saltBy = Seq(col("c_custkey")), salts = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_name"))
+
   /** README insight 5: histogram binning, fully distributed. */
   private def histogramValues(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -578,6 +593,7 @@ object SparkEntry {
     "q3_top_unshipped" -> (q3TopUnshipped _),
     "q5_nation_revenue" -> (q5NationRevenue _),
     "counts_by_country" -> (countsByCountry _),
+    "counts_by_country_salted" -> (countsByCountrySalted _),
     "histogram_values" -> (histogramValues _),
     "topk_names" -> (topkNames _),
     "topk_per_group" -> (topkPerGroup _),
@@ -648,6 +664,11 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "counts_by_country" ->
+      """SELECT n_name, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_customers DESC, n_name""".stripMargin,
+    "counts_by_country_salted" ->
+      // salting is semantically invisible: the oracle is the PLAIN join
       """SELECT n_name, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_customers DESC, n_name""".stripMargin,
