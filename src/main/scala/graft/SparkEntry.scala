@@ -194,6 +194,15 @@ object SparkEntry {
       naturalKey = Seq("l_orderkey", "l_linenumber"),
       notNull = Seq("l_quantity", "l_shipdate", "l_extendedprice"))
 
+  /** Referential-integrity gate: orphan FK rows that the reference's
+    * INNER-JOIN fact resolution would silently drop. */
+  private def dqReferential(s: SparkSession, d: String): DataFrame =
+    Quality.referentialReport(Seq(
+      ("lineitem_orphan_orderkey", lineitem(s, d), col("l_orderkey"),
+        orders(s, d), col("o_orderkey")),
+      ("orders_orphan_custkey", orders(s, d), col("o_custkey"),
+        customer(s, d), col("c_custkey"))))
+
   // ------------------------------------------------------------------
   // Star schema (SURVEY §2 #8-12)
   // ------------------------------------------------------------------
@@ -392,6 +401,15 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5,
         maxShingleFreq = Some(2L))
       .orderBy("d1", "d2")
+
+  /** Near-dup CLUSTERS from the exact-Jaccard pair graph: connected
+    * components, canonical = min doc id in the component (transitive
+    * "keep one per cluster" — the step after pair generation). Oracle =
+    * DuckDB recursive-CTE transitive closure. */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5))
+      .orderBy("doc_id")
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard (approx
     * recall — rows-only check). */
@@ -601,6 +619,8 @@ object SparkEntry {
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
+    "dq_referential" -> (dqReferential _),
+    "dedup_clusters" -> (dedupClusters _),
     "dim_customer" -> (dimCustomer _),
     "dim_date" -> (dimDate _),
     "fact_orders" -> (factOrders _),
@@ -717,6 +737,33 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'null_l_extendedprice', CAST(COUNT(*) FILTER (l_extendedprice IS NULL) AS BIGINT) FROM lineitem
         |) ORDER BY check_name""".stripMargin,
+    "dq_referential" ->
+      """SELECT check_name, violations FROM (
+        | SELECT 'lineitem_orphan_orderkey' AS check_name,
+        |  CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS violations
+        | FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        | UNION ALL
+        | SELECT 'orders_orphan_custkey',
+        |  CAST(COUNT(*) FILTER (c_custkey IS NULL) AS BIGINT)
+        | FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |) ORDER BY check_name""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cnt JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |          WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |)
+        |SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "dim_customer" ->
       """SELECT CAST(dense_rank() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
         | c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

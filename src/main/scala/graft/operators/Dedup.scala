@@ -216,6 +216,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Canonicalize near-dup PAIRS into clusters: connected components of
+    * the pair graph, canonical = the minimum doc id reachable in the
+    * component. This is the step every dedup pipeline runs after pair
+    * generation — "keep one document per near-dup cluster", where clusters
+    * are transitive (A~B, B~C => drop two of three even if A!~C).
+    *
+    * Algorithm: iterative min-label propagation WITH pointer jumping —
+    * each round a node takes the min of (its label, its neighbors' labels,
+    * its label's label). The label-of-label hop halves chain lengths, so
+    * convergence is O(log n) rounds even on path graphs (plain neighbor
+    * propagation needs diameter rounds). Each round is two hash joins +
+    * one aggregation; `localCheckpoint` truncates the growing lineage. The
+    * per-round convergence test is a driver SCALAR (count of changed
+    * labels) — iteration control, not data collection; rounds are
+    * logarithmic in component size. */
+  def clusterPairs(pairs: DataFrame, d1: String = "d1", d2: String = "d2"): DataFrame = {
+    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+      .unionByName(pairs.select(col(d2).as("a"), col(d1).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nlabel")), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val parentMin = labels
+        .join(labels.select(col("id").as("label"), col("label").as("plabel")), Seq("label"))
+        .select(col("id"), col("plabel").as("pmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .join(parentMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"),
+            coalesce(col("nmin"), col("label")),
+            coalesce(col("pmin"), col("label"))).as("next"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next") =!= col("label")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label")).localCheckpoint(true)
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** Benchmark decontamination — the cross-corpus variant of near-dup
     * detection every training-data pipeline needs: flag training documents
     * sharing any bottom-k fingerprint shingle hash with a benchmark/eval

@@ -30,6 +30,26 @@ object Quality {
       .orderBy("check_name")
   }
 
+  /** Referential-integrity orphan check: child rows whose foreign key has
+    * no parent. The reference's fact loads resolve FKs with INNER JOINs
+    * (sql_queries.py:20-31), which silently DROP orphans — this gate makes
+    * them visible before the load. A left-anti join: one shuffle on the
+    * key (or a broadcast when the parent key set is dim-sized). */
+  def orphans(child: DataFrame, fk: org.apache.spark.sql.Column,
+      parent: DataFrame, pk: org.apache.spark.sql.Column): DataFrame =
+    child.join(parent.select(pk), fk === pk, "left_anti")
+
+  /** One (check_name, violations) row per named orphan check. */
+  def referentialReport(
+      checks: Seq[(String, DataFrame, org.apache.spark.sql.Column, DataFrame, org.apache.spark.sql.Column)]
+  ): DataFrame =
+    checks.map { case (name, child, fk, parent, pk) =>
+      orphans(child, fk, parent, pk)
+        .agg(count(lit(1)).cast("long").as("violations"))
+        .withColumn("check_name", lit(name))
+        .select("check_name", "violations")
+    }.reduce(_ unionByName _).orderBy("check_name")
+
   /** Throws if any check reports violations (the reference's hard gate). */
   def assertClean(df: DataFrame, naturalKey: Seq[String], notNull: Seq[String]): Unit = {
     val bad = report(df, naturalKey, notNull)

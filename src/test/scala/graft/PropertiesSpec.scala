@@ -48,6 +48,36 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairs equals a driver union-find on random pair graphs") {
+    val pairGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
+    forAll(pairGen, n = 4) { pairs =>
+      whenever(pairs.nonEmpty) {
+        val got = Dedup.clusterPairs(pairs.toDF("d1", "d2"))
+          .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        // reference: driver union-find keeping the min id as each root
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.map(i => (i, find(i)))
+        assert(got == want)
+      }
+    }
+  }
+
+  test("clusterPairs converges on a long chain (pointer jumping, not diameter rounds)") {
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.clusterPairs(chain).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L to 40L).map(i => (i, 0L)))
+  }
+
   test("bucketized interval join equals the naive range join exactly") {
     import java.sql.Timestamp
     val ptsGen = Gen.listOfN(40, Gen.choose(0L, 100_000L))
