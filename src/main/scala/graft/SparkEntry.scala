@@ -465,6 +465,11 @@ object SparkEntry {
       .select("doc_id", "ws_tokens", "distinct_tokens", "bpe_tokens")
       .orderBy("doc_id")
 
+  /** Exact heavy-hitter tokens (> 1/50 of token mass) via the
+    * Misra-Gries candidate prune. */
+  private def textHeavyHitters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyHitters(documents(s, d), "text", k = 50)
+
   /** Bottom-8 md5 shingle sketch per document. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(documents(s, d), "doc_id", "text")
@@ -644,6 +649,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "multimodal_features" -> (multimodalFeatures _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
@@ -955,6 +961,12 @@ object SparkEntry {
         |FROM sh
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sh_hash) <= 8
         |ORDER BY doc_id, rk""".stripMargin,
+    "text_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
+        |tot AS (SELECT COUNT(*) AS t FROM toks)
+        |SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        |HAVING COUNT(*) > (SELECT t FROM tot) / 50.0
+        |ORDER BY n DESC, tok""".stripMargin,
     "multimodal_features" ->
       // header = big-endian fold of the first (up to) 4 PAYLOAD BYTES,
       // byte-exact as a hex-prefix parse — no ASCII or length->=4

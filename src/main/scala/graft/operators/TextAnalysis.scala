@@ -93,6 +93,52 @@ object TextAnalysis {
           .cast(LongType))
   }
 
+  /** EXACT distributed heavy hitters (tokens with > total/k of the token
+    * mass) via a two-pass Misra-Gries candidate prune — the frequency
+    * sketch every corpus-statistics pipeline needs at web scale.
+    *
+    * Why not a plain groupBy: over a 100 TB corpus the distinct-token
+    * space is enormous (typos, code, URLs), and `groupBy(token).count`
+    * shuffles one partial per distinct token per partition. Pass 1 runs a
+    * Misra-Gries summary of capacity k INSIDE each partition
+    * (`mapPartitions` — the justified imperative case: bounded mutable
+    * state): by the averaging argument, any token with global frequency
+    * > total/k must survive the sketch in at least one partition, so the
+    * union of per-partition candidates (<= k x partitions rows — tiny) is
+    * a SUPERSET of the true heavy hitters. Pass 2 broadcast-semi-joins the
+    * token stream against the candidate set and exact-counts only those,
+    * then applies the threshold — output counts are EXACT (DuckDB-oracle
+    * hash-checked), only the pruning is approximate. */
+  def heavyHitters(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import docs.sparkSession.implicits._
+    val toks = docs.select(explode(wsTokens(col(textCol))).as("tok")).as[String]
+    val candidates = toks.mapPartitions { it =>
+      val summary = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        summary.get(t) match {
+          case Some(c) => summary(t) = c + 1
+          case None if summary.size < k => summary(t) = 1L
+          case None => // Misra-Gries step: decrement all, evict zeros
+            val dead = List.newBuilder[String]
+            summary.foreachEntry { (key, c) =>
+              if (c == 1L) dead += key else summary(key) = c - 1
+            }
+            dead.result().foreach(summary.remove)
+        }
+      }
+      summary.keysIterator
+    }.distinct()
+    val total = toks.toDF("tok").agg(count(lit(1)).as("__total"))
+    toks.toDF("tok")
+      .join(broadcast(candidates.toDF("tok")), Seq("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") > col("__total") / lit(k.toDouble))
+      .select(col("tok"), col("n"))
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   /** Document fingerprint: bottom-k sketch over hashed word shingles —
     * the MinHash-style content signature used for fast containment checks.
     * md5-hex is used as the hash so the sketch is reproducible in any

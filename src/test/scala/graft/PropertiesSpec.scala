@@ -48,6 +48,25 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
+    // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
+    val tokGen = Gen.listOfN(400, Gen.frequency(
+      (6, Gen.oneOf("hot1", "hot2", "hot3")),
+      (4, Gen.choose(0, 5000).map(i => s"rare$i"))))
+    forAll(tokGen, n = 4) { toks =>
+      val docs = toks.grouped(20).map(_.mkString(" ")).toSeq.toDF("text")
+        .repartition(5) // several partitions => per-partition sketches must merge
+      for (k <- Seq(5, 20)) {
+        val got = graft.operators.TextAnalysis.heavyHitters(docs, "text", k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val want = counts.filter(_._2 > toks.size.toDouble / k).toSeq
+          .sortBy { case (t, n) => (-n, t) }
+        assert(got == want, s"k=$k")
+      }
+    }
+  }
+
   test("clusterPairs equals a driver union-find on random pair graphs") {
     val pairGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
