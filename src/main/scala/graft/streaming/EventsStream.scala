@@ -152,4 +152,72 @@ object EventsStream {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs), TimeMode.None(), OutputMode.Append())
   }
+
+  /** A session event carrying a real event-time column (for watermarks). */
+  case class TimedSessionEvent(user_id: Long, ts_ms: Long,
+      event_time: java.sql.Timestamp)
+
+  /** Timer-based session closing — the semantics [[sessionTracker]] and
+    * [[SessionProcessor]] CANNOT express: their sessions only close when a
+    * LATER event from the same user arrives, so an idle user's last
+    * session never emits. Here every input (re)arms an event-time timer at
+    * `last_ms + gapMs`; when the WATERMARK passes it, `handleExpiredTimer`
+    * emits the session and clears the state — idle users close and their
+    * state is GC'd without ever sending another event. This is the
+    * unbounded-state fix that matters at 100 TB/day: state size tracks
+    * ACTIVE users, not all users ever seen. */
+  class TimeoutSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedSessionEvent, ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[TimedSessionEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts_ms)
+      var closed = List.empty[ClosedSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur = cur match {
+          case Some(s) if e.ts_ms - s.last_ms > gapMs =>
+            closed ::= ClosedSession(user, s.start_ms, s.last_ms, s.n_events)
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L))
+          case Some(s) =>
+            Some(s.copy(last_ms = e.ts_ms, n_events = s.n_events + 1L))
+          case None =>
+            Some(OpenSession(e.ts_ms, e.ts_ms, 1L))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        // re-arm: one live timer per user at the current gap deadline
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last_ms + gapMs)
+      }
+      closed.reverse.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (open.exists()) {
+        val s = open.get()
+        open.clear() // idle user: state GC'd, not retained forever
+        Iterator.single(ClosedSession(user, s.start_ms, s.last_ms, s.n_events))
+      } else Iterator.empty
+  }
+
+  /** Watermarked stream of [[TimedSessionEvent]] -> sessions closed either
+    * by a later event OR by gap timeout once the watermark passes. */
+  def sessionTrackerTimeout(events: Dataset[TimedSessionEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .as[TimedSessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimeoutSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -124,6 +124,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("timer-based tracker closes an IDLE user's session when the watermark passes") {
+    import graft.streaming.EventsStream.TimedSessionEvent
+    implicit val sql = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(user: Long, ms: Long) = TimedSessionEvent(user, ms, new Timestamp(ms))
+      val input = MemoryStream[TimedSessionEvent]
+      val q = EventsStream.sessionTrackerTimeout(input.toDS(), gapMs = 1000L)
+        .writeStream.format("memory").queryName("sessions_timeout_out")
+        .outputMode("append").start()
+      try {
+        input.addData(ev(1L, 1000L), ev(1L, 1500L))
+        q.processAllAvailable()
+        assert(spark.table("sessions_timeout_out").count() == 0) // open, wm at 1500
+        // user 1 goes IDLE; only user 99's far-future event advances the
+        // watermark past 1500 + gap — the no-timeout trackers would keep
+        // user 1's session open forever here
+        input.addData(ev(99L, 100_000L))
+        q.processAllAvailable()
+        input.addData(ev(99L, 200_000L)) // one more batch so timers fire post-wm-advance
+        q.processAllAvailable()
+        val closed = spark.table("sessions_timeout_out").as[ClosedSession].collect().toSet
+        assert(closed.contains(ClosedSession(1L, 1000L, 1500L, 2L)), closed.toString)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("warehouse sink generates the reference's upsert DML") {
     import graft.streaming.WarehouseSink
     assert(WarehouseSink.upsertSql("dim_player", Seq("k", "a", "b"), Seq("k"), doUpdate = false)
