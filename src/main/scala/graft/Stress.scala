@@ -124,6 +124,27 @@ object Stress {
         .asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
         .count()
     }
+    time("interval_join") {
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.Temporal
+        .intervalJoin(purchases, clicks, "ts", "start_ts", "end_ts",
+          binWidthUs = 1800L * 1000000L, keys = Seq("user_id"))
+        .count()
+    }
+    time("heavy_hitters") {
+      TextAnalysis.heavyHitters(docs, "text", k = 50).count()
+    }
+    // cluster the MINHASH pairs (the approximate scale path feeds the
+    // canonicalizer at 100 TB, not the exact join): ~1M pair edges over
+    // 100k nodes, replica cliques -> few pointer-jumping rounds
+    time("dedup_clusters") {
+      Dedup.clusterPairs(Dedup.minhashLshPairs(docs, "doc_id", "text")).count()
+    }
     spark.stop()
   }
 }
