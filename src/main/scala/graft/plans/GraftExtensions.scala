@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatCosine, FloatDotProduct}
+import graft.functions.{FloatCosine, FloatDotProduct, MinHashBands, SimHash64}
 
 /** Session extension point for the engine's native expressions — the
   * idiomatic way to ship custom Catalyst code: users add
@@ -17,14 +17,22 @@ import graft.functions.{FloatCosine, FloatDotProduct}
   *  - `float_dot(a, b)` — codegen'd array<float> dot product
   *    (see [[graft.functions.FloatDotProduct]]);
   *  - `float_cosine(a, b)` — single-pass codegen'd cosine similarity
-  *    (see [[graft.functions.FloatCosine]]).
+  *    (see [[graft.functions.FloatCosine]]);
+  *  - `simhash64(tokens)` — zero-shuffle 64-bit SimHash signature
+  *    (see [[graft.functions.SimHash64]]);
+  *  - `minhash_bands(shingles, numPerm, bands)` — one-pass MinHash
+  *    signature + LSH band hashes (see [[graft.functions.MinHashBands]];
+  *    numPerm/bands must be integer literals — they shape the kernel).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def binary(name: String, build: (Expression, Expression) => Expression) = (
+  private def fn(name: String, build: Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo(getClass.getName, name),
-    (children: Seq[Expression]) => {
+    build)
+
+  private def binary(name: String, build: (Expression, Expression) => Expression) =
+    fn(name, { children =>
       require(children.size == 2, s"$name takes exactly 2 arguments")
       build(children.head, children(1))
     })
@@ -32,6 +40,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary("float_dot", FloatDotProduct(_, _)))
     ext.injectFunction(binary("float_cosine", FloatCosine(_, _)))
+    ext.injectFunction(fn("simhash64", { children =>
+      require(children.size == 1, "simhash64 takes exactly 1 argument")
+      SimHash64(children.head)
+    }))
+    ext.injectFunction(fn("minhash_bands", { children =>
+      require(children.size == 3,
+        "minhash_bands takes (shingles, numPerm, bands)")
+      MinHashBands(children.head,
+        GraftExtensions.requireIntLiteral(children(1)),
+        GraftExtensions.requireIntLiteral(children(2)))
+    }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}
+
+object GraftExtensions {
+  /** numPerm/bands SHAPE the generated kernel, so they must be integer
+    * literals at resolution time — reject anything else up front. */
+  private[graft] def requireIntLiteral(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
   }
 }

@@ -26,6 +26,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(d == 11.0)
   }
 
+  test("simhash64 and minhash_bands run from SQL via the extension builders") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64",
+      exprs => graft.functions.SimHash64(exprs.head),
+      "built-in")
+    val viaSql = spark.sql("SELECT simhash64(array('a', 'b', 'a')) AS s")
+      .head().getLong(0)
+    val viaDf = Seq("a b a").toDF("text")
+      .select(graft.functions.simhash64(graft.functions.wsTokens(col("text"))))
+      .head().getLong(0)
+    assert(viaSql == viaDf)
+    // non-literal numPerm/bands must be rejected (they shape the kernel)
+    intercept[IllegalArgumentException] {
+      graft.plans.GraftExtensions.requireIntLiteral(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    }
+  }
+
   test("float_dot stays inside whole-stage codegen") {
     // arrays derived from range's id so ConstantFolding can't evaluate the
     // expression at optimize time — it must survive into codegen

@@ -221,6 +221,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full reference loop: stream -> hourly rollup -> warehouse upsert") {
+    import graft.streaming.WarehouseSink
+    implicit val sql = spark.sqlContext
+    val store = StreamingSpec.hourlyWarehouse
+    store.clear()
+    val input = MemoryStream[(Timestamp, String, Double)]
+    // the reference's whole hourly DAG in one streaming pipeline: ingest ->
+    // windowed rollup (the SAME transform as the batch query) -> idempotent
+    // ON CONFLICT warehouse load
+    val q = EventsStream.hourlyRollup(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream
+      .foreachBatch(WarehouseSink.sink("hourly_rollup",
+        keys = Seq("hour_start", "event_type"), latestBy = Seq("n"),
+        doUpdate = true, StreamingSpec.newHourlyExec _))
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 2.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), "late", 0.0)) // close hour 10
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val hour10 = store.asScala.collect {
+        case (k, row) if k == Seq[Any]("2024-01-01 10:00:00", "click") => row
+      }.toSeq
+      assert(hour10.map(r => (r(2), r(3))) == Seq((2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("file stream source reads the events parquet incrementally") {
     val sf = "/root/testdata/sf0.001"
     // file sources need a DIRECTORY of files (the incremental drop zone)
@@ -271,4 +301,18 @@ object StreamingSpec {
   /** Executor factory shipped to partitions (references only this object —
     * nothing from the non-serializable suite instance). */
   def newExec(): graft.streaming.WarehouseSink.SqlExecutor = new MemExecutor(0)
+
+  /** Composite-key warehouse for the hourly-rollup integration test:
+    * key = (hour_start, event_type). */
+  val hourlyWarehouse = new java.util.concurrent.ConcurrentHashMap[Seq[Any], Seq[Any]]()
+
+  class HourlyExecutor extends graft.streaming.WarehouseSink.SqlExecutor {
+    private var staged = List.empty[Seq[Any]]
+    override def execute(sql: String, params: Seq[Any]): Unit = staged ::= params
+    override def commit(): Unit =
+      staged.reverse.foreach(p => hourlyWarehouse.put(p.take(2), p))
+    override def rollback(): Unit = staged = Nil
+    override def close(): Unit = ()
+  }
+  def newHourlyExec(): graft.streaming.WarehouseSink.SqlExecutor = new HourlyExecutor
 }
