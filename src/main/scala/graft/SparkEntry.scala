@@ -470,6 +470,21 @@ object SparkEntry {
   private def textHeavyHitters(s: SparkSession, d: String): DataFrame =
     TextAnalysis.heavyHitters(documents(s, d), "text", k = 50)
 
+  /** Deterministic stratified sampling: k docs per source group, chosen
+    * by md5 pseudo-random order (md5 agrees across engines, so the
+    * "random" sample is exactly reproducible AND oracle-checkable — no
+    * rand(), no reservoir state). Served by the heap TopKPerGroup
+    * operator: O(n log k) per partition with map-side partials, the scale
+    * path for "subsample m documents per domain" over a 100 TB corpus. */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(
+      col("source"), col("doc_id"),
+      md5(concat_ws("|", col("doc_id"), col("text"))).as("rnd"))
+    graft.plans.TopKPerGroup(scored, Seq("source"),
+        order = Seq(("rnd", false), ("doc_id", false)), k = 3)
+      .orderBy("source", "rnd", "doc_id")
+  }
+
   /** Bottom-8 md5 shingle sketch per document. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(documents(s, d), "doc_id", "text")
@@ -650,6 +665,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "sample_stratified" -> (sampleStratified _),
     "multimodal_features" -> (multimodalFeatures _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
@@ -961,6 +977,12 @@ object SparkEntry {
         |FROM sh
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sh_hash) <= 8
         |ORDER BY doc_id, rk""".stripMargin,
+    "sample_stratified" ->
+      """SELECT source, doc_id, md5(concat_ws('|', doc_id, text)) AS rnd
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(concat_ws('|', doc_id, text)), doc_id) <= 3
+        |ORDER BY source, rnd, doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
         |tot AS (SELECT COUNT(*) AS t FROM toks)

@@ -72,7 +72,8 @@ class PropertiesSpec extends AnyFunSuite {
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
     forAll(pairGen, n = 4) { pairs =>
       whenever(pairs.nonEmpty) {
-        val got = Dedup.clusterPairs(pairs.toDF("d1", "d2"))
+        // repartition: component labels must not depend on data placement
+        val got = Dedup.clusterPairs(pairs.toDF("d1", "d2").repartition(7))
           .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
         // reference: driver union-find keeping the min id as each root
         val parent = scala.collection.mutable.Map[Long, Long]()
@@ -119,6 +120,18 @@ class PropertiesSpec extends AnyFunSuite {
           col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
         .select("p_id", "iv_id").orderBy("p_id", "iv_id").collect().toSeq
       assert(bucketized == naive)
+      // keyed variant (the range_join query's path): key both sides mod 3
+      val pk = points.withColumn("k", col("p_id") % 3)
+      val ik = intervals.withColumn("k", col("iv_id") % 3)
+      val bucketizedK = graft.operators.Temporal
+        .intervalJoin(pk, ik, "ts", "start_ts", "end_ts",
+          binWidthUs = 7_000_000L, keys = Seq("k"))
+        .select("p_id", "iv_id").orderBy("p_id", "iv_id").collect().toSeq
+      val naiveK = pk.join(ik.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") &&
+            col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+        .select("p_id", "iv_id").orderBy("p_id", "iv_id").collect().toSeq
+      assert(bucketizedK == naiveK)
     }
   }
 
