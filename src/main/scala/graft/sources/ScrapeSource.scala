@@ -42,6 +42,33 @@ object ScrapeSource {
       }
   }
 
+  /** Retry decorator for any fetcher — the structural analog of the
+    * reference's Airflow task retries (`retries=3` on the DAG's operators:
+    * dags/rust_twitter_steam_pipeline.py), moved to where it belongs in a
+    * distributed connector: around each BATCHED request, inside the
+    * partition, so one flaky call retries alone instead of resubmitting a
+    * whole Spark task (let alone a whole DAG task). Backoff doubles per
+    * attempt; the final failure rethrows and normal Spark task retry takes
+    * over as the outer safety net. */
+  class RetryingFetcher(inner: ProfileFetcher, maxAttempts: Int = 3,
+      initialBackoffMs: Long = 100L) extends ProfileFetcher {
+    require(maxAttempts >= 1, s"need maxAttempts >= 1, got $maxAttempts")
+    def fetchBatch(ids: Seq[Long]): Seq[Profile] = {
+      var attempt = 1
+      var backoff = initialBackoffMs
+      while (true) {
+        try return inner.fetchBatch(ids)
+        catch {
+          case t: Throwable if attempt < maxAttempts =>
+            Thread.sleep(backoff)
+            backoff *= 2
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
   /** Injectable vanity-name resolution strategy (the reference's
     * ResolveVanityURL step: steamcommunity.com/id/<name> must be resolved
     * to a numeric id before the batched profile fetch —

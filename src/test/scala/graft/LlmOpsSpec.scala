@@ -206,6 +206,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.find(_.profile_id == 5L).get.name == "player_5")
   }
 
+  test("retrying fetcher retries per batch with backoff, then rethrows") {
+    LlmOpsSpec.flakyCalls.set(0)
+    val flaky = new ScrapeSource.ProfileFetcher {
+      def fetchBatch(ids: Seq[Long]): Seq[ScrapeSource.Profile] = {
+        // first two calls of every 3 fail — a retried batch succeeds on
+        // attempt 3, so maxAttempts=3 recovers everything
+        if (LlmOpsSpec.flakyCalls.getAndIncrement() % 3 != 2)
+          throw new RuntimeException("transient fetch failure")
+        new ScrapeSource.StubFetcher().fetchBatch(ids)
+      }
+    }
+    val ids = spark.range(1, 51).toDF("id").coalesce(1)
+    val out = ScrapeSource.scrape(ids, "id",
+      new ScrapeSource.RetryingFetcher(flaky, maxAttempts = 3, initialBackoffMs = 1L),
+      batchSize = 10).collect()
+    assert(out.length == 50)
+    // with a single attempt the transient failure is fatal
+    LlmOpsSpec.flakyCalls.set(0)
+    intercept[org.apache.spark.SparkException] {
+      ScrapeSource.scrape(ids, "id",
+        new ScrapeSource.RetryingFetcher(flaky, maxAttempts = 1),
+        batchSize = 10).collect()
+    }
+  }
+
   test("staging writes y/m/d partitions that prune on read") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_staging_spec").toString
     Staging.writeStaged(Tables.events(spark, sf).select("event_id", "ts"), "ts", tmp)
@@ -217,4 +242,10 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(year($"ts") === 2024 && month($"ts") === 1 && dayofmonth($"ts") === 1).count()
     assert(pruned.count() == direct)
   }
+}
+
+object LlmOpsSpec {
+  /** Shared across executor threads in local mode: counts flaky-fetcher
+    * calls so retry behavior is deterministic. */
+  val flakyCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
