@@ -392,6 +392,17 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
       .orderBy("d1", "d2")
 
+  /** Exact dedup over NORMALIZED text (lowercase, punctuation stripped,
+    * whitespace collapsed): catches the trivial variants plain
+    * content-hash dedup misses; normalization is a codegen'd projection,
+    * so the cost profile is identical to dedup_exact. */
+  private def dedupExactNormalized(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(
+        documents(s, d).withColumn("text", normalizeText(col("text"))),
+        "doc_id", "text")
+      .select("canonical_id", "content_hash", "group_size")
+      .orderBy("canonical_id")
+
   /** Exact n-gram Jaccard with the stop-shingle skew cap ENGAGED (shingles
     * in more than 2 documents are dropped before the self-join — the bound
     * that keeps hot shingles from blowing up sum(f^2) at scale). The oracle
@@ -602,6 +613,35 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Funnel conversion: for every user with a click, did a purchase follow
+    * the FIRST click? (sequential-pattern analytics over the event
+    * stream — one agg + one keyed left join, both on user_id so the
+    * partitioning is reused.) */
+  private def funnelConversion(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val fc = e.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__pu"), col("ts").as("__pts"))
+    fc.join(p, col("user_id") === col("__pu"), "left")
+      .groupBy(col("user_id"), col("first_click"))
+      .agg(max(when(col("__pts") >= col("first_click"), 1L).otherwise(0L)).as("converted"))
+      .select(col("user_id"), tsString(col("first_click")).as("first_click"), col("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Per-flag price percentiles — exact linear-interpolation quantiles
+    * (Spark `percentile`; matches DuckDB `quantile_cont` bit-for-bit). */
+  private def pricePercentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .orderBy("l_returnflag")
+
   /** Range (interval) join: purchases matched to every 30-minute
     * post-click attribution window of the same user — the bucketized
     * equi-join formulation (operators/Temporal.intervalJoin), never a
@@ -652,6 +692,9 @@ object SparkEntry {
     "hourly_rollup" -> (hourlyRollup _),
     "sessionize" -> (sessionize _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
+    "funnel_conversion" -> (funnelConversion _),
+    "price_percentiles" -> (pricePercentiles _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_jaccard_capped" -> (dedupNgramJaccardCapped _),
     "fact_orders_hashsk" -> (factOrdersHashSk _),
@@ -866,6 +909,26 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, md5(text) AS content_hash, COUNT(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
+    "dedup_exact_normalized" ->
+      """SELECT min(doc_id) AS canonical_id,
+        | md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS content_hash,
+        | COUNT(*) AS group_size
+        |FROM documents GROUP BY 2 ORDER BY canonical_id""".stripMargin,
+    "funnel_conversion" ->
+      """WITH fc AS (SELECT user_id, MIN(ts) AS first_click FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT fc.user_id, strftime(fc.first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+        | CAST(MAX(CASE WHEN p.ts >= fc.first_click THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |FROM fc LEFT JOIN p ON p.user_id = fc.user_id
+        |GROUP BY fc.user_id, fc.first_click ORDER BY fc.user_id""".stripMargin,
+    "price_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.25) AS p25,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | quantile_cont(l_extendedprice, 0.75) AS p75,
+        | quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh

@@ -145,6 +145,13 @@ package object functions {
     column(HyperplaneBucket(expression(vec), planes))
   }
 
+  /** Text normalization for dedup: lowercase, punctuation -> space,
+    * collapse whitespace, trim — catches the trivial variants (case,
+    * punctuation, spacing) that exact content-hash dedup misses. Pure
+    * codegen'd string ops; zero shuffle. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[\\p{Punct}]", " "), "\\s+", " "))
+
   // ---- text shingling ----
 
   /** Whitespace tokens. */
