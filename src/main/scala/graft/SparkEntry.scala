@@ -642,6 +642,22 @@ object SparkEntry {
         expr("percentile(l_extendedprice, 0.95)").as("p95"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles — the 100 TB scale path beside the exact
+    * baseline: `approx_percentile` (KLL-style sketch) keeps bounded
+    * per-group state and merges map-side, where exact `percentile`
+    * materializes every value per group. Rows-only check (approximate by
+    * design), mirroring the exact/approx pairing used across the dedup
+    * family. */
+  private def pricePercentilesApprox(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("p75"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("p95"))
+      .orderBy("l_returnflag")
+
   /** Range (interval) join: purchases matched to every 30-minute
     * post-click attribution window of the same user — the bucketized
     * equi-join formulation (operators/Temporal.intervalJoin), never a
@@ -695,6 +711,7 @@ object SparkEntry {
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "funnel_conversion" -> (funnelConversion _),
     "price_percentiles" -> (pricePercentiles _),
+    "price_percentiles_approx" -> (pricePercentilesApprox _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_jaccard_capped" -> (dedupNgramJaccardCapped _),
     "fact_orders_hashsk" -> (factOrdersHashSk _),

@@ -48,6 +48,19 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles track the exact quantiles (scale-path accuracy)") {
+    val exact = SparkEntry.queries("price_percentiles")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+    val approx = SparkEntry.queries("price_percentiles_approx")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (flag, es) =>
+      es.zip(approx(flag)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.05, s"$flag: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
     // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
     val tokGen = Gen.listOfN(400, Gen.frequency(

@@ -221,6 +221,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming staged write lands y/m/d partitioned parquet incrementally") {
+    import graft.sources.Staging
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_stage").toString
+    // the reference's hourly staged S3 drop as a continuous partitioned
+    // parquet sink: same y/m/d layout, same pruning on read-back
+    val q = Staging.withDateParts(input.toDF().toDF("ts", "v"), "ts")
+      .writeStream.format("parquet")
+      .option("checkpointLocation", dir + "/_ckpt")
+      .partitionBy("y", "m", "d")
+      .outputMode("append").start(dir + "/data")
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-02 10:00:00"), 2L))
+      q.processAllAvailable()
+      assert(Staging.readStaged(spark, dir + "/data").count() == 2)
+      assert(new java.io.File(dir + "/data/y=2024/m=1/d=1").exists)
+      assert(new java.io.File(dir + "/data/y=2024/m=1/d=2").exists)
+    } finally q.stop()
+  }
+
   test("full reference loop: stream -> hourly rollup -> warehouse upsert") {
     import graft.streaming.WarehouseSink
     implicit val sql = spark.sqlContext
