@@ -51,9 +51,17 @@ object Dedup {
     val sh0 = shingleRows(docs, idCol, textCol, n)
     val sh = maxShingleFreq match {
       case Some(cap) =>
+        // Cap-sizing contract: the cap exists to drop STOP-shingles, so on
+        // any sane parameterization |hot| << corpus vocabulary (zipfian
+        // head) and the anti-join's build side is tiny. A too-low cap on a
+        // dense corpus makes `hot` approach the whole vocabulary — the
+        // anti-join then dominates (measured: cap=2 on the dense test
+        // corpus is SLOWER than uncapped). No broadcast hint here: AQE
+        // sees the actual post-filter size and picks broadcast only when
+        // `hot` really is small, instead of force-shipping a huge set.
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("sh")
-        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+        sh0.join(hot, Seq("sh"), "left_anti")
       case None => sh0
     }
     // join on a 64-bit shingle hash, not the string: the self-join shuffles
@@ -230,8 +238,17 @@ object Dedup {
     * one aggregation; `localCheckpoint` truncates the growing lineage. The
     * per-round convergence test is a driver SCALAR (count of changed
     * labels) — iteration control, not data collection; rounds are
-    * logarithmic in component size. */
+    * logarithmic in component size.
+    *
+    * Storage bookkeeping: each round's checkpoint supersedes the previous
+    * round's, and the superseded blocks are unpersisted IMMEDIATELY (as are
+    * the edges once the loop converges) — without this, rounds x
+    * full-label-set of storage accumulates for the life of the session,
+    * which at billions of nodes and ~30 pointer-jumping rounds floods
+    * executor storage. Exactly ONE checkpoint (the final label set) backs
+    * the returned DataFrame; call [[releaseClusters]] when done with it. */
   def clusterPairs(pairs: DataFrame, d1: String = "d1", d2: String = "d2"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
     val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .unionByName(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
@@ -257,10 +274,24 @@ object Dedup {
             coalesce(col("pmin"), col("label"))).as("next"))
         .localCheckpoint(true)
       converged = updated.filter(col("next") =!= col("label")).isEmpty
-      labels = updated.select(col("id"), col("next").as("label")).localCheckpoint(true)
+      val next = updated.select(col("id"), col("next").as("label")).localCheckpoint(true)
+      // `next` is eagerly materialized above, so this round's intermediate
+      // and the previous round's labels can be freed before the next round
+      Bridge.unpersistCheckpoints(updated)
+      Bridge.unpersistCheckpoints(labels)
+      labels = next
     }
+    // the result reads only the final label checkpoint — the edge blocks
+    // are dead weight once the loop converges
+    Bridge.unpersistCheckpoints(edges)
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  /** Free the checkpoint blocks backing a [[clusterPairs]] result once the
+    * caller has consumed (written/collected) it. The frame is not
+    * recomputable afterwards. */
+  def releaseClusters(clusters: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(clusters)
 
   /** Benchmark decontamination — the cross-corpus variant of near-dup
     * detection every training-data pipeline needs: flag training documents

@@ -42,13 +42,15 @@ object Quality {
   /** One (check_name, violations) row per named orphan check. */
   def referentialReport(
       checks: Seq[(String, DataFrame, org.apache.spark.sql.Column, DataFrame, org.apache.spark.sql.Column)]
-  ): DataFrame =
+  ): DataFrame = {
+    require(checks.nonEmpty, "referentialReport needs at least one check")
     checks.map { case (name, child, fk, parent, pk) =>
       orphans(child, fk, parent, pk)
         .agg(count(lit(1)).cast("long").as("violations"))
         .withColumn("check_name", lit(name))
         .select("check_name", "violations")
     }.reduce(_ unionByName _).orderBy("check_name")
+  }
 
   /** Throws if any check reports violations (the reference's hard gate). */
   def assertClean(df: DataFrame, naturalKey: Seq[String], notNull: Seq[String]): Unit = {

@@ -63,6 +63,10 @@ object Temporal {
       ptTs: String, startTs: String, endTs: String,
       binWidthUs: Long, keys: Seq[String] = Nil): DataFrame = {
     require(binWidthUs > 0, "binWidthUs must be positive")
+    // __bin is the operator's internal equi-join key: a pre-existing column
+    // of that name would be silently overwritten and corrupt the join
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not contain the reserved column __bin")
     val p = points.withColumn("__bin",
       floor(unix_micros(col(ptTs)) / binWidthUs).cast("long"))
     val iv = intervals

@@ -59,7 +59,11 @@ object ScrapeSource {
       while (true) {
         try return inner.fetchBatch(ids)
         catch {
-          case t: Throwable if attempt < maxAttempts =>
+          // NonFatal only: OutOfMemoryError / InterruptedException and
+          // friends must propagate to Spark's task handling immediately —
+          // retrying them would sleep through a fatal condition (and
+          // swallow the interrupt flag on task kill)
+          case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
             Thread.sleep(backoff)
             backoff *= 2
             attempt += 1

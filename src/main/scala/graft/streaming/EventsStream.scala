@@ -192,8 +192,11 @@ object EventsStream {
       }
       cur.foreach { s =>
         open.update(s)
-        // re-arm: one live timer per user at the current gap deadline
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        // re-arm: one live timer per user at the current gap deadline.
+        // Materialize before deleting — mutating the timer store while
+        // iterating its own iterator is fragile against store internals.
+        val armed = getHandle.listTimers().map(_.asInstanceOf[Long]).toSeq
+        armed.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(s.last_ms + gapMs)
       }
       closed.reverse.iterator

@@ -16,4 +16,18 @@ object Bridge {
   /** Wrap a (resolved) logical plan as a DataFrame on `spark`. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Unpersist every `localCheckpoint` block set a DataFrame's plan reads
+    * from. `Dataset.unpersist` cannot do this — checkpoints persist their
+    * RDD directly, outside the CacheManager — so iterative operators that
+    * checkpoint per round (e.g. connected components) would otherwise
+    * retain every superseded round's blocks for the life of the session.
+    * After this call the DataFrame is NOT recomputable (a local checkpoint
+    * truncates lineage); only release frames that will never be read again. */
+  def unpersistCheckpoints(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.logical.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

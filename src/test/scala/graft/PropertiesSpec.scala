@@ -111,6 +111,23 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == (0L to 40L).map(i => (i, 0L)))
   }
 
+  test("clusterPairs retains exactly one checkpoint (the result) and releases on demand") {
+    // the iterative rounds must unpersist superseded localCheckpoints:
+    // without it, rounds x |labels| of storage accumulates for the session
+    // (the 100 TB scale-killer) — so after the operator only the FINAL
+    // label set may remain, and releaseClusters must free that too
+    val sc = spark.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val clusters = Dedup.clusterPairs(chain)
+    assert(clusters.count() == 41)
+    val retained = sc.getPersistentRDDs.keySet -- baseline
+    assert(retained.size == 1,
+      s"expected only the final label checkpoint to survive, got ${retained.size}")
+    Dedup.releaseClusters(clusters)
+    assert((sc.getPersistentRDDs.keySet -- baseline).isEmpty)
+  }
+
   test("bucketized interval join equals the naive range join exactly") {
     import java.sql.Timestamp
     val ptsGen = Gen.listOfN(40, Gen.choose(0L, 100_000L))
