@@ -422,6 +422,19 @@ object SparkEntry {
         Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5))
       .orderBy("doc_id")
 
+  /** The 100 TB cluster pipeline END-TO-END: MinHash+LSH candidate pairs
+    * (fixed-width signatures, bucket-scoped joins — never the exact
+    * sum(f^2) self-join) feed the connected-components canonicalizer.
+    * This is the composition a web-scale dedup actually runs; the exact
+    * variant above is the verification baseline. Approximate by design
+    * (rows-only check); property-tested: the LSH clusters REFINE the
+    * exact-Jaccard clusters (every LSH cluster sits inside one exact
+    * cluster, since verified-LSH pairs are a subset of exact pairs). */
+  private def dedupClustersLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterPairs(
+        Dedup.minhashLshPairs(documents(s, d), "doc_id", "text"))
+      .orderBy("doc_id")
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard (approx
     * recall — rows-only check). */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -697,6 +710,7 @@ object SparkEntry {
     "dq_report" -> (dqReport _),
     "dq_referential" -> (dqReferential _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_lsh" -> (dedupClustersLsh _),
     "dim_customer" -> (dimCustomer _),
     "dim_date" -> (dimDate _),
     "fact_orders" -> (factOrders _),

@@ -42,8 +42,25 @@ object Star {
   }
 
   /** Fully-distributed alternative SK for huge dimensions: a 64-bit hash of
-    * the natural key. No total order, no single-reducer window. */
+    * the natural key. No total order, no single-reducer window.
+    *
+    * Collision contract (birthday bound): P(any collision) ~ n^2 / 2^65 —
+    * negligible below ~10^8 distinct keys (~0.03% at 10^8) but REAL at
+    * 10^9 (~2.7%). For dimensions in that regime use [[hashSk128]]. */
   def hashSk(naturalKey: Seq[Column]): Column = xxhash64(naturalKey: _*)
+
+  /** 128-bit SK for the regime where dim cardinality rivals the fact table
+    * (the exact use case this API targets — where 64 bits hits the birthday
+    * bound above): two INDEPENDENTLY-seeded xxhash64 halves as a 16-byte
+    * struct key. The second half prepends a constant to the key columns,
+    * which reseeds the whole xxhash chain, giving an independent family
+    * member; P(any collision) ~ n^2 / 2^129 — ~10^-21 even at 10^9 rows.
+    * Still a pure map-side codegen projection: no total order, no window,
+    * and struct equality joins/groups like any other key. */
+  def hashSk128(naturalKey: Seq[Column]): Column =
+    struct(
+      xxhash64(naturalKey: _*).as("h1"),
+      xxhash64((lit(0x9E3779B97F4A7C15L) +: naturalKey): _*).as("h2"))
 
   /** Generate the Date_Dim from the observed date range of a column —
     * `sequence` + `explode`, computed distributed with no driver loop

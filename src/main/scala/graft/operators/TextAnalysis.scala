@@ -113,9 +113,21 @@ object TextAnalysis {
     require(k >= 1, s"need k >= 1, got $k")
     import docs.sparkSession.implicits._
     val toks = docs.select(explode(wsTokens(col(textCol))).as("tok")).as[String]
-    val candidates = toks.mapPartitions { it =>
+    // Pass 1 — ONE corpus tokenization produces BOTH the Misra-Gries
+    // candidate summaries and each partition's token count (the global
+    // total is their sum): at 100 TB tokenization dominates, so folding
+    // the total into this traversal removes a whole corpus pass vs
+    // computing it as a separate count job. The pass-1 output is tiny
+    // (<= (k+1) rows per partition: candidate rows cnt=0, one null-token
+    // count row) and is eagerly checkpointed so the candidate set and the
+    // total both read it without re-running the pass; the checkpoint
+    // blocks are <= (k+1) x partitions rows and can be freed after the
+    // result is consumed with Bridge.unpersistCheckpoints.
+    val pass1 = toks.mapPartitions { it =>
+      var partTokens = 0L
       val summary = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { t =>
+        partTokens += 1
         summary.get(t) match {
           case Some(c) => summary(t) = c + 1
           case None if summary.size < k => summary(t) = 1L
@@ -127,11 +139,15 @@ object TextAnalysis {
             dead.result().foreach(summary.remove)
         }
       }
-      summary.keysIterator
-    }.distinct()
-    val total = toks.toDF("tok").agg(count(lit(1)).as("__total"))
+      Iterator.single((null: String, partTokens)) ++ summary.keysIterator.map((_, 0L))
+    }.toDF("tok", "cnt").localCheckpoint(true)
+    val candidates = pass1.filter(col("tok").isNotNull).select("tok").distinct()
+    val total = pass1.filter(col("tok").isNull)
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("__total"))
+    // Pass 2 — the only other corpus tokenization: exact-recount just the
+    // candidate tokens, then apply the global threshold
     toks.toDF("tok")
-      .join(broadcast(candidates.toDF("tok")), Seq("tok"))
+      .join(broadcast(candidates), Seq("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
       .filter(col("n") > col("__total") / lit(k.toDouble))

@@ -25,6 +25,29 @@ object EventsStream {
   def fromParquetDir(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
 
+  /** One-shot incremental catch-up over a staged lake — the batch-cadence
+    * analog of the reference's S3KeySensor-gated hourly DAG (reference:
+    * dags/rust_twitter_steam_pipeline.py:66,217-236 — every run waits for
+    * the hour's key, then loads exactly that slice). `Trigger.AvailableNow`
+    * drains everything that exists at start (in rate-limited micro-batches)
+    * and STOPS, so a cron/Airflow task can invoke it on the old cadence;
+    * the stream checkpoint replaces the sensor + interval bookkeeping:
+    * newly-arrived partition files are discovered, processed exactly once,
+    * and never reprocessed, and a crashed run resumes idempotently from
+    * the checkpoint. This is the migration path for the reference's hourly
+    * batch users who aren't ready for an always-on stream. */
+  def catchupOnce(spark: SparkSession, path: String, schema: StructType,
+      checkpoint: String)(process: (DataFrame, Long) => Unit): Unit = {
+    val q = fromParquetDir(spark, path, schema)
+      .writeStream
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        process(batch.toDF(), id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
   /** Watermarked tumbling-hour rollup — identical logic to the batch
     * `hourly_rollup` query (shared transform). Append mode emits each hour
     * once its watermark passes. */

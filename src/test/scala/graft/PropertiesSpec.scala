@@ -48,6 +48,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hashSk128 is deterministic, injective, and its halves are independent") {
+    val df = (0L until 5000L).toDF("k")
+    val sk = df.select(Star.hashSk128(Seq(col("k"))).as("sk"))
+    assert(sk.distinct().count() == 5000L)
+    // deterministic across partitionings (retried tasks must agree)
+    val a = df.repartition(7).select(col("k"), Star.hashSk128(Seq(col("k"))).as("sk"))
+      .orderBy("k").collect().toSeq
+    val b = df.repartition(3).select(col("k"), Star.hashSk128(Seq(col("k"))).as("sk"))
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+    // the reseeded half is a different hash-family member, not a copy
+    assert(sk.filter(col("sk.h1") === col("sk.h2")).count() == 0L)
+    // and each half individually is injective on the sample — the struct's
+    // width is real, not one good half carrying a degenerate one
+    assert(sk.select(col("sk.h1")).distinct().count() == 5000L)
+    assert(sk.select(col("sk.h2")).distinct().count() == 5000L)
+  }
+
+  test("LSH clusters refine the exact-Jaccard clusters (coarsening consistency)") {
+    // verified-LSH pairs are a subset of exact pairs (tested above), so
+    // every LSH connected component must sit INSIDE one exact component:
+    // the scale path may split clusters (missed candidates) but must never
+    // merge documents the exact pipeline keeps apart
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Dedup.clusterPairs(
+        Dedup.minhashLshPairs(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_._2).foreach { case (canon, members) =>
+      val exactRoots = members.map { case (id, _) => exact(id) }.distinct
+      assert(exactRoots.size == 1,
+        s"LSH cluster $canon spans ${exactRoots.size} exact clusters")
+    }
+  }
+
   test("approx percentiles track the exact quantiles (scale-path accuracy)") {
     val exact = SparkEntry.queries("price_percentiles")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> Seq(1, 2, 3, 4).map(r.getDouble)).toMap
@@ -78,6 +116,20 @@ class PropertiesSpec extends AnyFunSuite {
         assert(got == want, s"k=$k")
       }
     }
+  }
+
+  test("heavyHitters tokenizes the corpus exactly twice (candidates+total, recount)") {
+    // at 100 TB tokenization dominates the query cost: the total-count
+    // fold must not reintroduce a third corpus pass
+    val acc = spark.sparkContext.longAccumulator("doc-scans")
+    val base = (0 until 60).map(i => s"tok$i a b c a b a").toDF("text")
+    val counted = base.as[String]
+      .mapPartitions(it => it.map { t => acc.add(1); t })
+      .toDF("text")
+    val got = graft.operators.TextAnalysis.heavyHitters(counted, "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 180L), ("b", 120L))) // 420 tokens, threshold 105
+    assert(acc.value == 120L, s"expected 60 docs x 2 passes, got ${acc.value}")
   }
 
   test("clusterPairs equals a driver union-find on random pair graphs") {
