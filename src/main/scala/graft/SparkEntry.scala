@@ -494,6 +494,44 @@ object SparkEntry {
   private def textHeavyHitters(s: SparkSession, d: String): DataFrame =
     TextAnalysis.heavyHitters(documents(s, d), "text", k = 50)
 
+  /** Gopher/C4-style repetition quality signals: duplicated-token and
+    * duplicated-n-gram fractions per document (zero shuffle). */
+  private def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-document top-3 TF-IDF terms, ranked by the heap TopKPerGroup
+    * operator. */
+  private def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+
+  /** Exact per-type distinct-user counts — the count-distinct baseline.
+    * Spark plans `countDistinct` as a two-phase expand/partial-distinct
+    * aggregate, so the shuffle carries one row per DISTINCT (type, user)
+    * pair — at 100 TB with billions of users that shuffle is the cost,
+    * which is what the HLL variant below removes. */
+  private def distinctUsers(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** HLL++ approximate distinct users — the 100 TB scale path: per-group
+    * state is a FIXED-SIZE register sketch merged map-side (no distinct
+    * expansion, no (type, user) shuffle), at a declared 1% rsd.
+    * Rows-only check (approximate by design); property-tested within 5%
+    * of the exact counts, mirroring the percentile exact/approx pairing. */
+  private def distinctUsersApprox(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Deterministic stratified sampling: k docs per source group, chosen
     * by md5 pseudo-random order (md5 agrees across engines, so the
     * "random" sample is exactly reproducible AND oracle-checkable — no
@@ -739,6 +777,10 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_repetition" -> (textRepetition _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
+    "distinct_users" -> (distinctUsers _),
+    "distinct_users_approx" -> (distinctUsersApprox _),
     "sample_stratified" -> (sampleStratified _),
     "multimodal_features" -> (multimodalFeatures _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
@@ -1077,6 +1119,38 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(concat_ws('|', doc_id, text)), doc_id) <= 3
         |ORDER BY source, rnd, doc_id""".stripMargin,
+    "text_repetition" ->
+      // ratios are single IEEE divides of integer counts — bit-identical
+      // across engines, no rounding convention needed; docs with no n-gram
+      // of a length yield NULL on both sides
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |g AS (SELECT doc_id, w,
+        |  [array_to_string(w[i:i+1], ' ') for i in generate_series(1, len(w)-1)] AS g2,
+        |  [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)] AS g3
+        |  FROM t)
+        |SELECT doc_id,
+        | CAST(len(w) AS BIGINT) AS n_tokens_r,
+        | CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / NULLIF(CAST(len(w) AS DOUBLE), 0) AS dup_token_frac,
+        | CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / NULLIF(CAST(len(g2) AS DOUBLE), 0) AS dup_2gram_frac,
+        | CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / NULLIF(CAST(len(g3) AS DOUBLE), 0) AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      // round(.., 6) on BOTH sides: ln may differ in the last ulp between
+      // engines; the ranking compares the rounded score so rank sets agree
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        round(tf * (ln((n + 1.0) / (df + 1)) + 1), 6) AS tfidf
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM s
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
         |tot AS (SELECT COUNT(*) AS t FROM toks)

@@ -155,6 +155,59 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** Repetition signals — the Gopher/C4-style quality filters that flag
+    * boilerplate and spam before training: the fraction of duplicated
+    * tokens and duplicated word 2-/3-grams per document (0 = all unique,
+    * -> 1 = one phrase repeated). Pure per-row projections over built-in
+    * collection expressions — zero shuffle, scan speed at 100 TB. Ratios
+    * are single IEEE divides of integer counts, so they reproduce
+    * bit-identically in any engine (no rounding convention needed);
+    * degenerate docs (no n-gram of that length) yield null, not NaN. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    def dupFrac(arr: Column): Column =
+      ratio(size(arr) - size(array_distinct(arr)), size(arr))
+    val toks = wsTokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).cast(LongType).as("n_tokens_r"),
+      dupFrac(toks).as("dup_token_frac"),
+      dupFrac(wordShingles(col(textCol), 2)).as("dup_2gram_frac"),
+      dupFrac(wordShingles(col(textCol), 3)).as("dup_3gram_frac"))
+  }
+
+  /** Per-document top-k TF-IDF terms — the corpus-statistics operator
+    * behind keyword extraction and topic tagging over a training corpus.
+    * tf = in-document term count; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    * score emitted rounded to 6 dp (the engine-parity convention for
+    * transcendental math: Spark's and the oracle's ln may differ in the
+    * last ulp, and 6 dp is far above that).
+    *
+    * Scale shape: tf is one (doc, term) shuffle with map-side partials;
+    * df aggregates the already-deduped tf rows (rows = corpus vocabulary
+    * x docs containing it, never raw tokens); N broadcasts as a scalar;
+    * the final ranking runs on the heap [[graft.plans.TopKPerGroup]]
+    * operator (O(n log k) partial/final, no per-doc full sort). */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(
+      col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("__n") + 1).cast(DoubleType) / (col("df") + 1)) + 1), 6))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+    graft.plans.TopKPerGroup(scored, Seq(idCol),
+      order = Seq(("tfidf", true), ("term", false)), k = k)
+  }
+
   /** Document fingerprint: bottom-k sketch over hashed word shingles —
     * the MinHash-style content signature used for fast containment checks.
     * md5-hex is used as the hash so the sketch is reproducible in any

@@ -99,6 +99,18 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx distinct counts track the exact counts (HLL scale-path accuracy)") {
+    val exact = SparkEntry.queries("distinct_users")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("distinct_users_approx")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (t, e) =>
+      assert(math.abs(approx(t) - e).toDouble / e < 0.05,
+        s"$t: approx ${approx(t)} vs exact $e")
+    }
+  }
+
   test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
     // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
     val tokGen = Gen.listOfN(400, Gen.frequency(
