@@ -435,6 +435,22 @@ object SparkEntry {
         Dedup.minhashLshPairs(documents(s, d), "doc_id", "text"))
       .orderBy("doc_id")
 
+  /** Leakage-safe train/val/test assignment over exact-dup clusters: all
+    * copies of a document get the same split (md5 bucket of the cluster
+    * canonical — deterministic, engine-portable, no rand()). The operator
+    * takes ANY doc->canonical mapping; the near-dup composition (clusters
+    * from LSH pairs) is property-tested in LlmOpsSpec. */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val mapping = docs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .join(
+        Dedup.exact(docs, "doc_id", "text").select("content_hash", "canonical_id"),
+        "content_hash")
+      .select("doc_id", "canonical_id")
+    Dedup.assignSplits(docs, mapping, "doc_id").orderBy("doc_id")
+  }
+
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard (approx
     * recall — rows-only check). */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
@@ -782,6 +798,7 @@ object SparkEntry {
     "distinct_users" -> (distinctUsers _),
     "distinct_users_approx" -> (distinctUsersApprox _),
     "sample_stratified" -> (sampleStratified _),
+    "split_assign" -> (splitAssign _),
     "multimodal_features" -> (multimodalFeatures _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
@@ -1151,6 +1168,15 @@ object SparkEntry {
     "distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "split_assign" ->
+      """WITH g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+        |           FROM documents),
+        |b AS (SELECT doc_id, canon,
+        |       CAST(concat('0x', substr(md5(CAST(canon AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+        |      FROM g)
+        |SELECT doc_id, canon AS split_key, CAST(bucket AS BIGINT) AS bucket,
+        | CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "text_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
         |tot AS (SELECT COUNT(*) AS t FROM toks)

@@ -293,6 +293,43 @@ object Dedup {
   def releaseClusters(clusters: DataFrame): Unit =
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(clusters)
 
+  /** Leakage-safe train/val/test split assignment. Independently splitting
+    * DOCUMENTS leaks evaluation data: a near-duplicate of a test document
+    * lands in train with probability trainPct. The fix every curation
+    * pipeline runs: split by the document's dedup CLUSTER — all members of
+    * a duplicate cluster (exact groups, or [[clusterPairs]] components for
+    * near-dups) ride the same assignment.
+    *
+    * `clusters` maps doc -> canonical id (docs absent from it are their own
+    * canonical — singleton clusters need no row, so the input can be the
+    * SPARSE pair-derived mapping). Assignment is a deterministic md5 bucket
+    * of the canonical id: no rand() (retried tasks must agree), and md5
+    * agrees across engines so the split is exactly reproducible anywhere.
+    * One keyed join + a codegen'd projection — nothing here is heavier
+    * than the dedup that produced the clusters. */
+  def assignSplits(docs: DataFrame, clusters: DataFrame, idCol: String,
+      buckets: Int = 10, trainBuckets: Int = 8, valBuckets: Int = 1): DataFrame = {
+    require(buckets >= 2 && trainBuckets >= 1 && valBuckets >= 0 &&
+      trainBuckets + valBuckets < buckets,
+      s"need train/val/test buckets to partition 0..${buckets - 1}")
+    val canon = docs
+      .join(clusters.select(col("doc_id").as(idCol), col("canonical_id")),
+        Seq(idCol), "left")
+      .withColumn("__canon", coalesce(col("canonical_id"), col(idCol)))
+    // first 8 md5 hex chars of the canonical id -> uniform bucket (the
+    // same engine-portable construction as sample_stratified)
+    val bucket =
+      conv(substring(md5(col("__canon").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % buckets
+    canon.select(
+      col(idCol),
+      col("__canon").as("split_key"),
+      bucket.as("bucket"),
+      when(bucket < trainBuckets, "train")
+        .when(bucket < trainBuckets + valBuckets, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Benchmark decontamination — the cross-corpus variant of near-dup
     * detection every training-data pipeline needs: flag training documents
     * sharing any bottom-k fingerprint shingle hash with a benchmark/eval

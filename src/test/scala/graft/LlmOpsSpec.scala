@@ -162,6 +162,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.exact(docs, "doc_id", "text").count() == 1)
   }
 
+  test("assignSplits keeps every near-dup cluster in ONE split (no leakage)") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = Dedup.clusterPairs(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    val assigned = Dedup.assignSplits(docs, clusters, "doc_id")
+    // every member of a cluster must carry the cluster's split — the whole
+    // point: a near-dup of a test doc must never land in train
+    val perCluster = assigned
+      .groupBy("split_key")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(perCluster.isEmpty)
+    // coverage: every doc assigned exactly once, all three splits nonempty
+    // at this corpus size, and buckets respect the 8/1/1 layout
+    assert(assigned.count() == docs.count())
+    val bySplit = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+    val badBucket = assigned.filter(
+      (col("split") === "train" && col("bucket") >= 8) ||
+      (col("split") === "val" && col("bucket") =!= 8) ||
+      (col("split") === "test" && col("bucket") =!= 9)).count()
+    assert(badBucket == 0L)
+    // release LAST: `assigned` reads the cluster checkpoint until here
+    Dedup.releaseClusters(clusters)
+  }
+
   test("decontaminate flags training docs overlapping the benchmark") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

@@ -81,6 +81,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("hyperplane_bucket"), p)
   }
 
+  test("text_repetition is a zero-shuffle projection (no exchange before the sort)") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("tfidf ranks through the heap TopKPerGroup operator with map-side tf partials") {
+    val p = plan("tfidf_top_terms")
+    assert("TopKPerGroup 3".r.findAllIn(p).size == 2, p) // partial + final heap
+    assert(p.contains("partial_count"), p)               // tf combines map-side
+  }
+
+  test("approx distinct keeps HLL sketch state, merged map-side (one group shuffle)") {
+    val exact = plan("distinct_users")
+    val approx = plan("distinct_users_approx")
+    assert(approx.contains("partial_approx_count_distinct"), approx)
+    // the exact plan pays an extra shuffle for the distinct expansion; the
+    // sketch path must group-shuffle exactly once
+    val shuffles = "Exchange hashpartitioning".r
+    assert(shuffles.findAllIn(approx).size == 1, approx)
+    assert(shuffles.findAllIn(exact).size == 2, exact)
+  }
+
   test("fact_multi_role resolves every dim role via broadcast, no fact shuffle") {
     val p = plan("fact_multi_role")
     // the four HINTED dim joins (nation in both roles, date, supplier) must
