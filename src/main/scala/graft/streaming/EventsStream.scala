@@ -90,6 +90,33 @@ object EventsStream {
     }
   }
 
+  /** Watermarked stream-stream attribution join: each purchase matched to
+    * the same user's clicks in `[click_ts, click_ts + window)` — the
+    * STREAMING face of the batch `Temporal.intervalJoin` (identical
+    * semantics; parity is spec-pinned by running this very function over
+    * batch frames, where the watermark is a no-op).
+    *
+    * Why the watermarks on BOTH sides: they are what lets Spark bound the
+    * join state. The time-range condition plus the click watermark tells
+    * the engine a buffered click is dead once the watermark passes
+    * click_ts + window, and vice versa for purchases — so state is
+    * O(arrival rate x window), not O(stream length). Without them a
+    * stream-stream inner join must buffer both streams forever, the
+    * unbounded-state trap at 100 TB/day. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      userCol: String = "user_id", clickTs: String = "click_ts",
+      purchaseTs: String = "purchase_ts",
+      window: String = "30 minutes", delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark(clickTs, delay)
+    val p = purchases.withWatermark(purchaseTs, delay)
+      .withColumnRenamed(userCol, "__p_user")
+    p.join(c,
+        col("__p_user") === col(userCol) &&
+          col(purchaseTs) >= col(clickTs) &&
+          col(purchaseTs) < col(clickTs) + expr(s"INTERVAL $window"))
+      .drop("__p_user")
+  }
+
   // ---- stateful sessionization (#16) ----
 
   /** Minimal event for session tracking (event-time in epoch millis). */

@@ -242,6 +242,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches purchases to in-window clicks") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventsStream.attributionJoin(
+        clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+        purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"))
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, 100L, ts("2024-01-01 10:00:00")),
+        (2L, 200L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, 900L, ts("2024-01-01 10:10:00")), // in window of click 100
+        (1L, 901L, ts("2024-01-01 11:00:00")), // outside the 30-min window
+        (3L, 902L, ts("2024-01-01 10:05:00"))) // no click for user 3
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((900L, 100L)))
+      // a later click joins a later purchase across micro-batches
+      clicks.addData((2L, 201L, ts("2024-01-01 11:30:00")))
+      purchases.addData((2L, 903L, ts("2024-01-01 11:45:00")))
+      q.processAllAvailable()
+      val got2 = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got2 == Set((900L, 100L), (903L, 201L)))
+      // the join must run with state bounded by watermarks, not unbounded
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("attribution join on batch frames equals the bucketized interval join") {
+    // the SAME function body serves batch (watermark = no-op): parity with
+    // Temporal.intervalJoin pins that stream and batch attribution agree
+    val clicks = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 10:20:00")),
+      (2L, 200L, ts("2024-01-01 09:00:00"))).toDF("user_id", "click_id", "click_ts")
+    val purchases = Seq(
+      (1L, 900L, ts("2024-01-01 10:25:00")), // inside both click windows
+      (1L, 901L, ts("2024-01-01 10:45:00")), // inside 101's window only
+      (2L, 902L, ts("2024-01-01 09:30:00")), // exactly at window end: excluded
+      (2L, 903L, ts("2024-01-01 09:29:59"))).toDF("user_id", "purchase_id", "purchase_ts")
+    val streamShaped = EventsStream.attributionJoin(clicks, purchases)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchShaped = graft.operators.Temporal.intervalJoin(
+        purchases, clicks
+          .withColumn("end_ts", col("click_ts") + expr("INTERVAL 30 MINUTES")),
+        "purchase_ts", "click_ts", "end_ts",
+        binWidthUs = 600L * 1000000L, keys = Seq("user_id"))
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamShaped == batchShaped)
+    assert(streamShaped == Set((900L, 100L), (900L, 101L), (901L, 101L), (903L, 200L)))
+  }
+
   test("AvailableNow catch-up processes exactly the newly-arrived partitions") {
     import graft.sources.Staging
     val root = java.nio.file.Files.createTempDirectory("graft_catchup").toString
