@@ -697,6 +697,44 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Cohort retention: users grouped by first-seen day, activity counted
+    * at each day offset — the engagement rollup behind every retention
+    * dashboard. Shape: the first-seen agg and the (user, day) activity
+    * join both hash on user_id, so the join REUSES the aggregation's
+    * partitioning (one user_id shuffle feeds both), then one rollup
+    * shuffle on (cohort, offset). */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val firstSeen = e.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    active.join(firstSeen, "user_id")
+      .groupBy(
+        col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
+      .agg(count(lit(1)).as("active_users")) // active is distinct per (user, day)
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Percentile-gated quality filter: keep documents at or above the
+    * corpus p25 quality score — the composition (score -> corpus
+    * threshold -> filter) every curation pipeline runs before training.
+    * The threshold is ONE broadcast scalar (exact percentile, bit-equal
+    * to the oracle's quantile_cont), so the filter itself is a zero-
+    * shuffle scan + codegen'd comparison. */
+  private def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(documents(s, d), "text")
+      .select(col("doc_id"), col("quality_score"))
+    val thr = q.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    q.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("__thr"))
+      .select("doc_id", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Per-flag price percentiles — exact linear-interpolation quantiles
     * (Spark `percentile`; matches DuckDB `quantile_cont` bit-for-bit). */
   private def pricePercentiles(s: SparkSession, d: String): DataFrame =
@@ -778,6 +816,8 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "funnel_conversion" -> (funnelConversion _),
+    "cohort_retention" -> (cohortRetention _),
+    "quality_filter" -> (qualityFilter _),
     "price_percentiles" -> (pricePercentiles _),
     "price_percentiles_approx" -> (pricePercentilesApprox _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -1012,6 +1052,26 @@ object SparkEntry {
         | CAST(MAX(CASE WHEN p.ts >= fc.first_click THEN 1 ELSE 0 END) AS BIGINT) AS converted
         |FROM fc LEFT JOIN p ON p.user_id = fc.user_id
         |GROUP BY fc.user_id, fc.first_click ORDER BY fc.user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |            FROM events GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(fs.cohort_day, '%Y-%m-%d') AS cohort_day,
+        | CAST(d.day - fs.cohort_day AS BIGINT) AS day_offset,
+        | COUNT(*) AS active_users
+        |FROM d JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "quality_filter" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS DOUBLE)
+        |     / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 0.5 AS quality_score
+        | FROM documents),
+        |t AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM s)
+        |SELECT doc_id, quality_score FROM s, t
+        |WHERE quality_score >= thr ORDER BY doc_id""".stripMargin,
     "price_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_extendedprice, 0.25) AS p25,
