@@ -563,6 +563,36 @@ object SparkEntry {
       .orderBy("source", "rnd", "doc_id")
   }
 
+  /** PII redaction, exercised end-to-end: the fixture column appends a
+    * deterministic synthetic email + IP + phone derived from doc_id (the
+    * test corpus contains no natural PII), the operator scrubs them, and
+    * the oracle mirrors both steps — hash equality proves byte-identical
+    * redaction and exact match counts across engines. */
+  private def piiScrubQ(s: SparkSession, d: String): DataFrame = {
+    val enriched = documents(s, d).withColumn("text",
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@mail.example.com from 192.168."),
+        (col("doc_id") % 256).cast(StringType),
+        lit(".17 call 555-867-5309")))
+    TextAnalysis.scrubPii(enriched, "text")
+      .select(
+        col("doc_id"),
+        md5(col("text_scrubbed")).as("scrub_hash"),
+        col("n_pii"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-window chunking (32-token chunks, stride 24). */
+  private def docChunks(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .select(
+        col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Bottom-8 md5 shingle sketch per document. */
   private def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(documents(s, d), "doc_id", "text")
@@ -834,6 +864,8 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_repetition" -> (textRepetition _),
+    "pii_scrub" -> (piiScrubQ _),
+    "doc_chunks" -> (docChunks _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "distinct_users" -> (distinctUsers _),
     "distinct_users_approx" -> (distinctUsersApprox _),
@@ -1237,6 +1269,37 @@ object SparkEntry {
         |SELECT doc_id, canon AS split_key, CAST(bucket AS BIGINT) AS bucket,
         | CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      // replacement order mirrors TextAnalysis.piiPatterns (email, ipv4,
+      // ssn, phone — innermost regexp_replace first); DuckDB needs the
+      // explicit 'g' flag where Spark's regexp_replace is always global
+      """WITH base AS (
+        | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@mail.example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+        |   || '.17 call 555-867-5309' AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PII]', 'g') AS scrubbed,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |   + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+        |   + len(regexp_extract_all(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_pii
+        | FROM base)
+        |SELECT doc_id, md5(scrubbed) AS scrub_hash, CAST(n_pii AS BIGINT) AS n_pii
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |c AS (SELECT doc_id, s, array_to_string(w[s:s+31], ' ') AS chunk
+        |      FROM t, unnest(generate_series(1, greatest(len(w) - 32 + 1, 1), 24)) st(s))
+        |SELECT doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+        | CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_chunk_tokens,
+        | md5(chunk) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
         |tot AS (SELECT COUNT(*) AS t FROM toks)

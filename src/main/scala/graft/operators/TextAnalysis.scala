@@ -155,6 +155,62 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** PII patterns scrubbed before training data leaves curation. Kept to
+    * constructs with identical semantics in Java regex and RE2 (`\b`,
+    * `\d`, bounded repetition) so the scrub is engine-reproducible. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[- ]\\d{3}[- ]\\d{4}\\b")
+
+  /** PII redaction — the curation gate no training corpus ships without:
+    * emails, IPv4s, SSN- and phone-shaped tokens replaced by a fixed
+    * token, plus the per-document match count (the audit column). A chain
+    * of codegen'd `regexp_replace`s — zero shuffle, scan speed; the
+    * replacement token contains no digits or '@' so later patterns never
+    * match earlier redactions. */
+  def scrubPii(docs: DataFrame, textCol: String,
+      token: String = "[PII]"): DataFrame = {
+    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, p)) => regexp_replace(c, p, token)
+    }
+    // counts run per pattern on the ORIGINAL text (patterns are disjoint
+    // by construction: the email/IP/SSN/phone shapes can't overlap)
+    val nPii = piiPatterns
+      .map { case (_, p) => size(regexp_extract_all(col(textCol), lit(p), lit(0))) }
+      .reduce(_ + _)
+    docs
+      .withColumn("text_scrubbed", scrubbed)
+      .withColumn("n_pii", nPii.cast(LongType))
+  }
+
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * segmentation step before embedding or training. Chunks start at
+    * token 1, 1+stride, ... up to the last full-window start (a document
+    * shorter than `chunkSize` yields one partial chunk); tokens beyond
+    * the last start+chunkSize are covered only when the stride overlaps
+    * them — the standard sliding-window contract. One per-row transform +
+    * posexplode: no shuffle until the caller aggregates. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"need chunkSize >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize, got $stride")
+    val words = wsTokens(col(textCol))
+    val lastStart = greatest(size(words) - chunkSize + 1, lit(1))
+    val chunks = transform(
+      sequence(lit(1), lastStart, lit(stride)),
+      s => concat_ws(" ", slice(words, s, lit(chunkSize))))
+    docs
+      .select(col(idCol), posexplode(chunks))
+      .toDF(idCol, "chunk_id", "chunk_text")
+      .select(
+        col(idCol), col("chunk_id").cast(LongType),
+        size(wsTokens(col("chunk_text"))).cast(LongType).as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
   /** Repetition signals — the Gopher/C4-style quality filters that flag
     * boilerplate and spam before training: the fraction of duplicated
     * tokens and duplicated word 2-/3-grams per document (0 = all unique,

@@ -162,6 +162,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Dedup.exact(docs, "doc_id", "text").count() == 1)
   }
 
+  test("scrubPii redacts emails, ips, ssns, phones and counts matches") {
+    val df = Seq(
+      (1L, "write me at alice.smith+x@corp.example.org today"),
+      (2L, "server 10.0.255.3 and ssn 123-45-6789 leaked"),
+      (3L, "call 555 867 5309 or 555-867-5309"),
+      (4L, "clean text with number 12345 and date 2024-01-01")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df, "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+    assert(out(0) == ("write me at [PII] today", 1L))
+    assert(out(1) == ("server [PII] and ssn [PII] leaked", 2L))
+    assert(out(2) == ("call [PII] or [PII]", 2L))
+    // 12345 and 2024-01-01 match none of the shapes — no false redaction
+    assert(out(3) == ("clean text with number 12345 and date 2024-01-01", 0L))
+  }
+
+  test("chunkTokens slides overlapping windows and covers short docs") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "short doc")                        // below chunk size
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // starts 1,3,5,7 (last full-window start = 10-4+1 = 7)
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t5 t6 t7 t8"),
+      (1L, 3L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "short doc")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(df, "doc_id", "text", chunkSize = 4, stride = 5)
+    }
+  }
+
   test("assignSplits keeps every near-dup cluster in ONE split (no leakage)") {
     val docs = Tables.documents(spark, sf)
     val clusters = Dedup.clusterPairs(Dedup.minhashLshPairs(docs, "doc_id", "text"))
