@@ -729,20 +729,24 @@ object SparkEntry {
 
   /** Cohort retention: users grouped by first-seen day, activity counted
     * at each day offset — the engagement rollup behind every retention
-    * dashboard. Shape: the first-seen agg and the (user, day) activity
-    * join both hash on user_id, so the join REUSES the aggregation's
-    * partitioning (one user_id shuffle feeds both), then one rollup
-    * shuffle on (cohort, offset). */
+    * dashboard. Shape: ONE per-user aggregation computes the cohort day
+    * AND the active-day set together (collect_set state is bounded by the
+    * activity horizon in DAYS, not events), so the whole query is one
+    * user_id shuffle plus the small (cohort, offset) rollup — where the
+    * textbook first-seen-join-activity formulation shuffles the events
+    * twice on different keys and joins the results. */
   private def cohortRetention(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
-    val firstSeen = e.groupBy("user_id")
-      .agg(min(to_date(col("ts"))).as("cohort_day"))
-    val active = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    active.join(firstSeen, "user_id")
+    val perUser = e.groupBy("user_id")
+      .agg(
+        min(to_date(col("ts"))).as("cohort_day"),
+        collect_set(to_date(col("ts"))).as("__days"))
+    perUser
+      .select(col("cohort_day"), explode(col("__days")).as("day"))
       .groupBy(
         col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
-      .agg(count(lit(1)).as("active_users")) // active is distinct per (user, day)
+      .agg(count(lit(1)).as("active_users")) // __days is a set: one row per (user, day)
       .select(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("active_users"))

@@ -139,6 +139,20 @@ object Stress {
     time("heavy_hitters") {
       TextAnalysis.heavyHitters(docs, "text", k = 50).count()
     }
+    // the scan-speed claims: repetition/scrub are pure projections, the
+    // chunker is projection + explode — their 20x cost must stay ~linear
+    time("text_repetition") {
+      TextAnalysis.repetition(docs, "doc_id", "text").count()
+    }
+    time("pii_scrub") {
+      TextAnalysis.scrubPii(docs, "text").agg(sum(col("n_pii"))).count()
+    }
+    time("doc_chunks") {
+      TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24).count()
+    }
+    time("tfidf_top_terms") {
+      TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()
+    }
     // cluster the MINHASH pairs (the approximate scale path feeds the
     // canonicalizer at 100 TB, not the exact join): ~1M pair edges over
     // 100k nodes, replica cliques -> few pointer-jumping rounds

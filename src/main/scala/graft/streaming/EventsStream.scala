@@ -117,6 +117,34 @@ object EventsStream {
       .drop("__p_user")
   }
 
+  /** Stream-static decontamination: documents arriving on a stream are
+    * dropped when they share any bottom-k fingerprint hash with a STATIC
+    * benchmark corpus — ingest-time eval-set hygiene, so contaminated
+    * documents never land in the lake at all (the batch
+    * `Dedup.decontaminate` is the audit over what already landed).
+    *
+    * Shape: the benchmark fingerprint set collapses to ONE row holding the
+    * hash set (benchmarks are thousands of docs — dim-sized by
+    * definition), broadcast into every micro-batch; each document's
+    * fingerprint is a per-row projection and the check is an
+    * `arrays_overlap` filter. No stream-side aggregation, no state, append
+    * mode — the micro-batch cost is a scan. */
+  def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8): DataFrame = {
+    import graft.functions.wordShingles
+    val fp = slice(sort_array(transform(
+      array_distinct(wordShingles(col(textCol), shingleN)), s => md5(s))), 1, k)
+    val benchArr = graft.operators.TextAnalysis
+      .fingerprint(benchmark, idCol, textCol, shingleN, k)
+      .agg(collect_set(col("sh_hash")).as("__bench"))
+    docs
+      .withColumn("__fp", fp)
+      .crossJoin(broadcast(benchArr))
+      .filter(!arrays_overlap(col("__fp"), col("__bench")))
+      .drop("__fp", "__bench")
+  }
+
   // ---- stateful sessionization (#16) ----
 
   /** Minimal event for session tracking (event-time in epoch millis). */

@@ -103,6 +103,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles.findAllIn(exact).size == 2, exact)
   }
 
+  test("pii scrub and chunking are zero-shuffle projections") {
+    assert(!plan("pii_scrub").contains("Exchange hashpartitioning"), plan("pii_scrub"))
+    assert(!plan("doc_chunks").contains("Exchange hashpartitioning"), plan("doc_chunks"))
+  }
+
+  test("cohort retention is ONE user shuffle plus the rollup (no distinct+join)") {
+    val p = plan("cohort_retention")
+    // the single-pass formulation: per-user agg (user_id) + cohort rollup —
+    // a regression to the distinct+join shape adds a third hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("quality_filter broadcasts the percentile threshold as one scalar") {
+    val p = plan("quality_filter")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus side must not hash-shuffle: the only exchanges are the
+    // single-partition percentile agg and the final output sort
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("fact_multi_role resolves every dim role via broadcast, no fact shuffle") {
     val p = plan("fact_multi_role")
     // the four HINTED dim joins (nation in both roles, date, supplier) must

@@ -242,6 +242,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static decontamination drops benchmark-overlapping docs at ingest") {
+    implicit val sql = spark.sqlContext
+    val bench = Seq((100L, "the secret eval question about geography today"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = EventsStream.decontaminateStream(
+        input.toDF().toDF("doc_id", "text"), bench, "doc_id", "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the secret eval question about geography today rephrased"), // overlaps
+        (2L, "a completely unrelated training document goes right here"))
+      q.processAllAvailable()
+      input.addData((3L, "another clean one arrives in a later micro batch"))
+      q.processAllAvailable()
+      val kept = spark.table("decon_out").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(2L, 3L))
+      // parity: the same function over batch frames keeps exactly the docs
+      // the batch audit marks clean
+      val batchDocs = Seq(
+        (1L, "the secret eval question about geography today rephrased"),
+        (2L, "a completely unrelated training document goes right here"),
+        (3L, "another clean one arrives in a later micro batch")).toDF("doc_id", "text")
+      val streamed = EventsStream.decontaminateStream(batchDocs, bench, "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val audited = graft.operators.Dedup.decontaminate(batchDocs, bench, "doc_id", "text")
+        .filter(!col("contaminated")).select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == audited && streamed == Seq(2L, 3L))
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches purchases to in-window clicks") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
