@@ -584,6 +584,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-source mixture sampling: each source kept at its
+    * target probability by an md5 draw on the doc id — a zero-shuffle
+    * filter, idempotent across re-runs and incremental loads. */
+  private def corpusMix(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.mixtureSample(
+        documents(s, d), "source", "doc_id",
+        weights = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+        defaultWeight = 0.375)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Greedy fixed-budget sequence packing over the 32/24 token chunks:
+    * one keyed window per source assigns each chunk its training-sequence
+    * id by running token count. */
+  private def packSequencesQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.packSequences(
+        TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 24, carry = Seq("source")),
+        "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512L)
+      .select("source", "doc_id", "chunk_id", "n_chunk_tokens", "seq_id")
+      .orderBy("source", "doc_id", "chunk_id")
+
+  /** Learned IVF coarse quantizer: Lloyd's k-means (k=8, 3 iterations),
+    * deterministic seeds and exact-decimal means — rows-only (the
+    * iterative build has no SQL-expressible oracle; determinism and SSE
+    * descent are property-tested). */
+  private def kmeansCentroidsQ(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansCentroids(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .orderBy("cell", "pos")
+
   /** Token-window chunking (32-token chunks, stride 24). */
   private def docChunks(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
@@ -870,6 +901,9 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "pii_scrub" -> (piiScrubQ _),
     "doc_chunks" -> (docChunks _),
+    "corpus_mix" -> (corpusMix _),
+    "pack_sequences" -> (packSequencesQ _),
+    "kmeans_centroids" -> (kmeansCentroidsQ _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "distinct_users" -> (distinctUsers _),
     "distinct_users_approx" -> (distinctUsersApprox _),
@@ -1296,6 +1330,27 @@ object SparkEntry {
         | FROM base)
         |SELECT doc_id, md5(scrubbed) AS scrub_hash, CAST(n_pii AS BIGINT) AS n_pii
         |FROM s ORDER BY doc_id""".stripMargin,
+    "corpus_mix" ->
+      // FLOOR mirrors Spark's double->long truncation of weight * 2^32 (a
+      // bare CAST would round-to-nearest in DuckDB); weights are eighths so
+      // the product is exact in double on both engines anyway
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < CAST(FLOOR((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+        |                 WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        |                 ELSE 0.375 END) * 4294967296) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') w FROM documents),
+        |c AS (SELECT doc_id, source, s, array_to_string(w[s:s+31], ' ') AS chunk
+        |      FROM t, unnest(generate_series(1, greatest(len(w) - 32 + 1, 1), 24)) st(s)),
+        |x AS (SELECT source, doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+        |       CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_chunk_tokens
+        |      FROM c),
+        |p AS (SELECT source, doc_id, chunk_id, n_chunk_tokens,
+        |       SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+        |         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM p0) SELECT 1""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |c AS (SELECT doc_id, s, array_to_string(w[s:s+31], ' ') AS chunk

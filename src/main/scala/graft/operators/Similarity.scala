@@ -68,6 +68,52 @@ object Similarity {
       .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 12)))
         .cast(DoubleType) / count(col("x"))).as("centroid"))
 
+  /** Lloyd's k-means over the embedding column — the data-driven IVF
+    * coarse-quantizer build ([[groupCentroids]] derives cells from an
+    * existing LABEL column; this LEARNS them from the vectors, which is
+    * what a real IVF index build does). Each iteration costs ONE corpus
+    * scan (cell assignment through the codegen'd NearestCells kernel —
+    * the whole centroid matrix scored per row inside codegen) plus one
+    * scalar-shuffle mean (decimal-exact, per dim); the k x dim centroid
+    * matrix lives on the driver between rounds — the same justified
+    * index-size collect as [[ivfTopK]]. Deterministic end to end: seeds
+    * are the k vectors with smallest md5(id) (no rand(), partitioning-
+    * independent), assignment ties break by cell order inside the kernel,
+    * and means are order-independent decimal sums — so the index is
+    * bit-reproducible run to run. An emptied cell keeps its previous
+    * centroid (the standard fix). Returns (cell, pos, centroid) rows
+    * from the FINAL assignment pass. */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    var cents: Array[Array[Double]] = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("__r", md5(col(idCol).cast(StringType)))
+      .orderBy(col("__r"), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cellNames = cents.indices.map(i => f"c$i%03d").toArray
+
+    def assign(): DataFrame = emb.select(
+      col(vecCol),
+      graft.functions.nearestCells(col(vecCol), cents, cellNames, 1)
+        .getItem(0).as("cell"))
+
+    for (_ <- 1 until iters) {
+      val updated = groupCentroids(assign(), "cell", vecCol)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+        }
+      cents = cellNames.zipWithIndex.map { case (n, i) => updated.getOrElse(n, cents(i)) }
+    }
+    groupCentroids(assign(), "cell", vecCol)
+  }
+
   /** IVF approximate top-k: k-cell inverted-file search. The corpus is
     * partitioned into cells by nearest centroid (the [[groupCentroids]]
     * output is the index build); each query probes only its `nProbe`

@@ -193,7 +193,7 @@ object TextAnalysis {
     * them — the standard sliding-window contract. One per-row transform +
     * posexplode: no shuffle until the caller aggregates. */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int, stride: Int): DataFrame = {
+      chunkSize: Int, stride: Int, carry: Seq[String] = Nil): DataFrame = {
     require(chunkSize >= 1, s"need chunkSize >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride <= chunkSize, got $stride")
@@ -203,12 +203,12 @@ object TextAnalysis {
       sequence(lit(1), lastStart, lit(stride)),
       s => concat_ws(" ", slice(words, s, lit(chunkSize))))
     docs
-      .select(col(idCol), posexplode(chunks))
-      .toDF(idCol, "chunk_id", "chunk_text")
-      .select(
-        col(idCol), col("chunk_id").cast(LongType),
+      .select((col(idCol) +: carry.map(col)) :+ posexplode(chunks): _*)
+      .toDF(((idCol +: carry) ++ Seq("chunk_id", "chunk_text")): _*)
+      .select((col(idCol) +: carry.map(col)) ++ Seq(
+        col("chunk_id").cast(LongType).as("chunk_id"),
         size(wsTokens(col("chunk_text"))).cast(LongType).as("n_chunk_tokens"),
-        col("chunk_text"))
+        col("chunk_text")): _*)
   }
 
   /** Repetition signals — the Gopher/C4-style quality filters that flag
