@@ -606,6 +606,20 @@ object SparkEntry {
       .select("source", "doc_id", "chunk_id", "n_chunk_tokens", "seq_id")
       .orderBy("source", "doc_id", "chunk_id")
 
+  /** The 100 TB packing path: same greedy packing but within
+    * (source, md5-shard-of-doc_id) — 8 parallel running sums per source
+    * instead of one serial scan; sequence identity = (source, shard,
+    * seq_id). Whole documents stay in one shard, so intra-doc chunk order
+    * is preserved. */
+  private def packSequencesShardedQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.packSequences(
+        TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 24, carry = Seq("source")),
+        "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512L,
+        shards = 8)
+      .select("source", "shard", "doc_id", "chunk_id", "n_chunk_tokens", "seq_id")
+      .orderBy("source", "shard", "doc_id", "chunk_id")
+
   /** Learned IVF coarse quantizer: Lloyd's k-means (k=8, 3 iterations),
     * deterministic seeds and exact-decimal means — rows-only (the
     * iterative build has no SQL-expressible oracle; determinism and SSE
@@ -903,6 +917,7 @@ object SparkEntry {
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
     "pack_sequences" -> (packSequencesQ _),
+    "pack_sequences_sharded" -> (packSequencesShardedQ _),
     "kmeans_centroids" -> (kmeansCentroidsQ _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "distinct_users" -> (distinctUsers _),
@@ -1309,25 +1324,32 @@ object SparkEntry {
         |FROM b ORDER BY doc_id""".stripMargin,
     "pii_scrub" ->
       // replacement order mirrors TextAnalysis.piiPatterns (email, ipv4,
-      // ssn, phone — innermost regexp_replace first); DuckDB needs the
-      // explicit 'g' flag where Spark's regexp_replace is always global
+      // ssn, phone); each pattern is COUNTED on the text after the earlier
+      // patterns were replaced (progressive count = replacements actually
+      // made), exactly like scrubPii. DuckDB needs the explicit 'g' flag
+      // where Spark's regexp_replace is always global
       """WITH base AS (
         | SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
         |   || '@mail.example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
-        |   || '.17 call 555-867-5309' AS t
+        |   || '.17 call 555-867-5309' AS s0
         | FROM documents),
+        |r1 AS (SELECT doc_id, s0,
+        |        regexp_replace(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g') AS s1
+        |       FROM base),
+        |r2 AS (SELECT doc_id, s0, s1,
+        |        regexp_replace(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g') AS s2
+        |       FROM r1),
+        |r3 AS (SELECT doc_id, s0, s1, s2,
+        |        regexp_replace(s2, '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g') AS s3
+        |       FROM r2),
         |s AS (
         | SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '[PII]', 'g'),
-        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PII]', 'g') AS scrubbed,
-        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |   + len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-        |   + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
-        |   + len(regexp_extract_all(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_pii
-        | FROM base)
+        |  regexp_replace(s3, '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PII]', 'g') AS scrubbed,
+        |  len(regexp_extract_all(s0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(s1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |   + len(regexp_extract_all(s2, '\b\d{3}-\d{2}-\d{4}\b'))
+        |   + len(regexp_extract_all(s3, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_pii
+        | FROM r3)
         |SELECT doc_id, md5(scrubbed) AS scrub_hash, CAST(n_pii AS BIGINT) AS n_pii
         |FROM s ORDER BY doc_id""".stripMargin,
     "corpus_mix" ->
@@ -1350,7 +1372,28 @@ object SparkEntry {
         |p AS (SELECT source, doc_id, chunk_id, n_chunk_tokens,
         |       SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
         |         ROWS UNBOUNDED PRECEDING) AS cum
-        |      FROM p0) SELECT 1""".stripMargin,
+        |      FROM x)
+        |SELECT source, doc_id, chunk_id, n_chunk_tokens,
+        | CAST(FLOOR((cum - n_chunk_tokens) / 512) AS BIGINT) AS seq_id
+        |FROM p ORDER BY source, doc_id, chunk_id""".stripMargin,
+    "pack_sequences_sharded" ->
+      // shard = big-endian parse of the first 8 md5 hex chars of doc_id,
+      // mod 8 — the hex-prefix parse equals Spark's conv(..., 16, 10)
+      """WITH t AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') w FROM documents),
+        |c AS (SELECT doc_id, source, s, array_to_string(w[s:s+31], ' ') AS chunk
+        |      FROM t, unnest(generate_series(1, greatest(len(w) - 32 + 1, 1), 24)) st(s)),
+        |x AS (SELECT source, doc_id,
+        |       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |       CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+        |       CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_chunk_tokens
+        |      FROM c),
+        |p AS (SELECT source, shard, doc_id, chunk_id, n_chunk_tokens,
+        |       SUM(n_chunk_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id, chunk_id
+        |         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM x)
+        |SELECT source, shard, doc_id, chunk_id, n_chunk_tokens,
+        | CAST(FLOOR((cum - n_chunk_tokens) / 512) AS BIGINT) AS seq_id
+        |FROM p ORDER BY source, shard, doc_id, chunk_id""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |c AS (SELECT doc_id, s, array_to_string(w[s:s+31], ' ') AS chunk

@@ -40,15 +40,37 @@ object Curation {
     * fixed-length pretraining sequences (minimal padding); a chunk that
     * straddles a boundary stays in the earlier sequence, so a sequence
     * can exceed the budget by less than one chunk (the trainer then
-    * splits or pads — the standard greedy contract). One keyed window =
-    * one shuffle; the running sum is integer-exact. */
+    * splits or pads — the standard greedy contract). The running sum is
+    * integer-exact.
+    *
+    * SCALE: with `shards = 1` the window partitions by `groupCol` alone —
+    * every chunk of a source funnels through ONE task for the cumulative
+    * sum, which is a serial scan of the whole corpus when there are only
+    * a handful of sources. Pass `shards > 1` to pack within
+    * `(groupCol, shard)`, where shard is a deterministic md5 bucket of
+    * the leading order column (the document key), so whole documents stay
+    * together and the running sums parallelize across `shards` tasks per
+    * source. Sequence identity is then `(groupCol, shard, seq_id)` — the
+    * `shard` column is kept in the output. Packing per shard is the real
+    * pipeline contract anyway (sequences are materialized per output
+    * file/shard), and the md5 bucket keeps assignment reproducible across
+    * re-runs and engines (no rand(), no partition-id dependence). */
   def packSequences(chunks: DataFrame, groupCol: String,
-      orderCols: Seq[String], tokenCol: String, budget: Long): DataFrame = {
+      orderCols: Seq[String], tokenCol: String, budget: Long,
+      shards: Int = 1): DataFrame = {
     require(budget >= 1, s"need budget >= 1, got $budget")
-    val w = Window.partitionBy(col(groupCol))
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val sharded = shards > 1
+    val withShard =
+      if (!sharded) chunks
+      else chunks.withColumn("shard",
+        conv(substring(md5(col(orderCols.head).cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % shards)
+    val partCols = if (sharded) Seq(col(groupCol), col("shard")) else Seq(col(groupCol))
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    chunks
+    withShard
       .withColumn("__cum", sum(col(tokenCol)).over(w))
       .withColumn("seq_id",
         floor((col("__cum") - col(tokenCol)) / budget).cast(LongType))

@@ -172,14 +172,17 @@ object TextAnalysis {
     * match earlier redactions. */
   def scrubPii(docs: DataFrame, textCol: String,
       token: String = "[PII]"): DataFrame = {
-    val scrubbed = piiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, p)) => regexp_replace(c, p, token)
-    }
-    // counts run per pattern on the ORIGINAL text (patterns are disjoint
-    // by construction: the email/IP/SSN/phone shapes can't overlap)
-    val nPii = piiPatterns
-      .map { case (_, p) => size(regexp_extract_all(col(textCol), lit(p), lit(0))) }
-      .reduce(_ + _)
+    // each pattern is counted on the text AFTER the earlier patterns have
+    // been replaced, so a span that two patterns could both match (e.g. a
+    // phone number inside an address-like email) is counted exactly once —
+    // n_pii equals the number of replacements actually made
+    val (scrubbed, counts) = piiPatterns
+      .foldLeft((col(textCol), Vector.empty[Column])) {
+        case ((c, cnts), (_, p)) =>
+          (regexp_replace(c, p, token),
+            cnts :+ size(regexp_extract_all(c, lit(p), lit(0))))
+      }
+    val nPii = counts.reduce(_ + _)
     docs
       .withColumn("text_scrubbed", scrubbed)
       .withColumn("n_pii", nPii.cast(LongType))
