@@ -622,8 +622,9 @@ object SparkEntry {
 
   /** Learned IVF coarse quantizer: Lloyd's k-means (k=8, 3 iterations),
     * deterministic seeds and exact-decimal means — rows-only (the
-    * iterative build has no SQL-expressible oracle; determinism and SSE
-    * descent are property-tested). */
+    * iterative build has no SQL-expressible oracle; determinism, SSE
+    * descent, the <= k cell bound, and empty-cell carry-forward are
+    * property-tested in CurationSpec). */
   private def kmeansCentroidsQ(s: SparkSession, d: String): DataFrame =
     Similarity.kmeansCentroids(embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 3)
@@ -814,6 +815,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The 100 TB form of the percentile gate: the threshold comes from
+    * `approx_percentile` (KLL-style sketch — bounded per-partition state,
+    * map-side merge) instead of exact `percentile`, which materializes
+    * EVERY score in one aggregation buffer (the same exact-vs-approx
+    * pairing as price_percentiles/_approx, and the same reason). The
+    * filter itself is unchanged: one broadcast scalar, zero-shuffle
+    * codegen'd comparison. Rows-only check (the sketch threshold is a
+    * real score near p25, not the interpolated exact value); the kept-set
+    * divergence vs the exact gate is property-tested < 5%. */
+  private def qualityFilterApprox(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(documents(s, d), "text")
+      .select(col("doc_id"), col("quality_score"))
+    val thr = q.agg(
+      expr("approx_percentile(quality_score, 0.25, 10000)").as("__thr"))
+    q.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("__thr"))
+      .select("doc_id", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** Per-flag price percentiles — exact linear-interpolation quantiles
     * (Spark `percentile`; matches DuckDB `quantile_cont` bit-for-bit). */
   private def pricePercentiles(s: SparkSession, d: String): DataFrame =
@@ -897,6 +918,7 @@ object SparkEntry {
     "funnel_conversion" -> (funnelConversion _),
     "cohort_retention" -> (cohortRetention _),
     "quality_filter" -> (qualityFilter _),
+    "quality_filter_approx" -> (qualityFilterApprox _),
     "price_percentiles" -> (pricePercentiles _),
     "price_percentiles_approx" -> (pricePercentilesApprox _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),

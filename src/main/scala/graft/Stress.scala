@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
@@ -136,19 +136,47 @@ object Stress {
           binWidthUs = 1800L * 1000000L, keys = Seq("user_id"))
         .count()
     }
+    time("cohort_retention") {
+      // the single-shuffle rollup from SparkEntry.cohortRetention; count()
+      // is a fair forcing here (aggregate cardinality needs the full agg)
+      val perUser = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cohort_day"),
+          collect_set(to_date(col("ts"))).as("__days"))
+      perUser.select(col("cohort_day"), explode(col("__days")).as("day"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+        .count()
+    }
     time("heavy_hitters") {
       TextAnalysis.heavyHitters(docs, "text", k = 50).count()
     }
     // the scan-speed claims: repetition/scrub are pure projections, the
-    // chunker is projection + explode — their 20x cost must stay ~linear
+    // chunker is projection + explode — their 20x cost must stay ~linear.
+    // Each bench aggregates a CHECKSUM over the computed columns (not a
+    // bare count), so column pruning cannot eliminate the expressions
+    // being timed; the checksum row also carries the row count.
+    def forced(df: DataFrame, checksum: Column): Long =
+      df.agg(checksum.as("__ck"), count(lit(1)).as("__n")).head().getLong(1)
     time("text_repetition") {
-      TextAnalysis.repetition(docs, "doc_id", "text").count()
+      forced(TextAnalysis.repetition(docs, "doc_id", "text"),
+        sum(col("dup_token_frac") + col("dup_2gram_frac") + col("dup_3gram_frac")))
     }
     time("pii_scrub") {
-      TextAnalysis.scrubPii(docs, "text").agg(sum(col("n_pii"))).count()
+      forced(TextAnalysis.scrubPii(docs, "text"),
+        sum(crc32(col("text_scrubbed")) + col("n_pii")))
     }
     time("doc_chunks") {
-      TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24).count()
+      forced(TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24),
+        sum(crc32(col("chunk_text")) + col("n_chunk_tokens")))
+    }
+    time("pack_sequences") {
+      forced(graft.operators.Curation.packSequences(
+          TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24)
+            .withColumn("source", (col("doc_id") % 5).cast("string")),
+          "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens",
+          budget = 512L, shards = 8),
+        sum(col("seq_id") + col("shard")))
     }
     time("tfidf_top_terms") {
       TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Similarity}
+
+/** Curation-family coverage: mixture sampling boundaries/idempotency,
+  * greedy sequence packing (incl. the sharded scale form), and the
+  * k-means coarse quantizer (determinism, SSE descent, cell bounds,
+  * empty-cell carry-forward).
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-curation-test")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------------------
+  // mixtureSample
+  // ------------------------------------------------------------------
+
+  def mixPool: DataFrame = spark.range(0, 2000)
+    .select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "web").otherwise("books").as("source"))
+
+  test("mixture weight 1.0 keeps every doc, 0.0 drops every doc") {
+    val out = Curation.mixtureSample(mixPool, "source", "doc_id",
+      Map("web" -> 1.0, "books" -> 0.0), defaultWeight = 0.5)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("web", 0L) == 1000L)
+    assert(bySource.getOrElse("books", 0L) == 0L)
+  }
+
+  test("mixture default weight applies to unlisted sources") {
+    val listedOnly = Curation.mixtureSample(mixPool, "source", "doc_id",
+      Map("web" -> 1.0), defaultWeight = 0.0)
+    assert(listedOnly.filter(col("source") === "books").count() == 0L)
+    val explicitBooks = Curation.mixtureSample(mixPool, "source", "doc_id",
+      Map("web" -> 1.0, "books" -> 0.25), defaultWeight = 0.0)
+    val defaultBooks = Curation.mixtureSample(mixPool, "source", "doc_id",
+      Map("web" -> 1.0), defaultWeight = 0.25)
+    // the default path draws exactly like an explicit weight
+    assert(explicitBooks.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      defaultBooks.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("mixture is idempotent and monotone in the weight (keyed draw)") {
+    def ids(w: Double): Set[Long] =
+      Curation.mixtureSample(mixPool, "source", "doc_id",
+        Map.empty, defaultWeight = w)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(0.3)
+    val b = ids(0.3)
+    assert(a == b) // same draw on re-run: retried tasks / re-reads agree
+    // a doc kept at w stays kept at any w' >= w (draw is keyed on the id,
+    // not re-rolled) — incremental weight changes never churn the sample
+    assert(a.subsetOf(ids(0.6)))
+  }
+
+  test("mixture kept fraction approaches the weight") {
+    val kept = Curation.mixtureSample(mixPool, "source", "doc_id",
+      Map.empty, defaultWeight = 0.3).count()
+    val frac = kept.toDouble / 2000.0
+    assert(math.abs(frac - 0.3) < 0.03, s"kept fraction $frac vs weight 0.3")
+  }
+
+  test("mixture rejects weights outside [0, 1]") {
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(mixPool, "source", "doc_id", Map("web" -> 1.5), 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(mixPool, "source", "doc_id", Map.empty, -0.1)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // packSequences
+  // ------------------------------------------------------------------
+
+  def chunks: DataFrame = Seq(
+    ("web", 1L, 0L, 3L), ("web", 1L, 1L, 3L), ("web", 2L, 0L, 3L),
+    ("web", 2L, 1L, 3L), ("books", 9L, 0L, 5L), ("books", 9L, 1L, 5L)
+  ).toDF("source", "doc_id", "chunk_id", "n_tokens")
+
+  test("packing assigns chunks greedily; a straddling chunk stays in the earlier sequence") {
+    val out = Curation.packSequences(chunks, "source",
+        Seq("doc_id", "chunk_id"), "n_tokens", budget = 8L)
+      .orderBy("source", "doc_id", "chunk_id")
+      .select("source", "doc_id", "chunk_id", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // web cums: 3,6,9,12 -> tokens_before 0,3,6,9 -> seqs 0,0,0,1
+    // (the third chunk ends at 9 > 8 but STARTED inside the budget: greedy keeps it)
+    // books cums: 5,10 -> before 0,5 -> seqs 0,0
+    assert(out.toSeq == Seq(
+      ("books", 9L, 0L, 0L), ("books", 9L, 1L, 0L),
+      ("web", 1L, 0L, 0L), ("web", 1L, 1L, 0L),
+      ("web", 2L, 0L, 0L), ("web", 2L, 1L, 1L)))
+  }
+
+  test("sharded packing keeps documents whole and packs each shard like an unsharded run") {
+    val docs = Tables.documents(spark, sf)
+    val c = graft.operators.TextAnalysis.chunkTokens(docs, "doc_id", "text", 64, 56)
+      .withColumn("source", (col("doc_id") % 3).cast("string"))
+    val sharded = Curation.packSequences(c, "source",
+      Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512L, shards = 4)
+    // every document's chunks land in exactly one shard
+    val split = sharded.groupBy("doc_id")
+      .agg(countDistinct(col("shard")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(split == 0L)
+    // within each (source, shard), the assignment equals an unsharded run
+    // over just that slice — sharding only narrows the window partition
+    val slices = sharded.select("source", "shard").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(slices.length > 4) // the md5 bucket actually spreads
+    slices.take(3).foreach { case (src, sh) =>
+      val slice = sharded.filter(col("source") === src && col("shard") === sh)
+      val alone = Curation.packSequences(
+        slice.drop("seq_id", "shard"), "source",
+        Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512L)
+      val got = slice.orderBy("doc_id", "chunk_id")
+        .select("doc_id", "chunk_id", "seq_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = alone.orderBy("doc_id", "chunk_id")
+        .select("doc_id", "chunk_id", "seq_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"slice ($src, $sh)")
+    }
+  }
+
+  test("packing rejects non-positive budget and shards") {
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(chunks, "source", Seq("doc_id"), "n_tokens", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.packSequences(chunks, "source", Seq("doc_id"), "n_tokens", 8L, shards = 0)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // kmeansCentroids
+  // ------------------------------------------------------------------
+
+  def emb: DataFrame = Tables.embeddings(spark, sf)
+
+  /** Corpus SSE against a (cell, pos, centroid) table: assign each vector
+    * to its nearest centroid (same kernel the operator uses), then sum
+    * squared per-dimension residuals. */
+  def sse(vectors: DataFrame, cents: DataFrame): Double = {
+    val m = cents.collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) => c -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+      .toArray.sortBy(_._1)
+    val assigned = vectors.select(
+      col("embedding"),
+      graft.functions.nearestCells(col("embedding"), m.map(_._2), m.map(_._1), 1)
+        .getItem(0).as("cell"))
+    assigned
+      .select(col("cell").as("a_cell"), posexplode(col("embedding")).as(Seq("a_pos", "x")))
+      .join(cents,
+        col("a_cell") === col("cell") && col("a_pos").cast("long") === col("pos"))
+      .agg(sum(pow(col("x").cast("double") - col("centroid"), 2.0)))
+      .head().getDouble(0)
+  }
+
+  test("kmeans centroids are bit-reproducible across runs") {
+    def run() = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .orderBy("cell", "pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(run() == run())
+  }
+
+  test("kmeans SSE is non-increasing in the iteration count") {
+    val sses = (1 to 4).map { it =>
+      sse(emb, Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = it))
+    }
+    sses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"SSE rose: $sses")
+    }
+    assert(sses.last < sses.head) // and the descent is real, not flat
+  }
+
+  test("kmeans emits at most k cells and survives emptied cells") {
+    // 3 of 4 points identical with k=3: at least two seeds coincide, so a
+    // cell empties on the first assignment and must carry its centroid
+    val tiny = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(0f, 0f)), (4L, Array(10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansCentroids(tiny, "vec_id", "embedding", k = 3, iters = 3)
+    val cells = out.select("cell").distinct().collect().map(_.getString(0)).sorted
+    assert(cells.length <= 3)
+    val byCell = out.collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rows) => c -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq }
+    // the two surviving centroids are exactly the two point masses
+    assert(byCell.values.toSet == Set(Seq(0.0, 0.0), Seq(10.0, 10.0)))
+
+    val big = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(big.select("cell").distinct().count() <= 8L)
+  }
+}

@@ -111,6 +111,18 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile gate keeps nearly the exact gate's set (quality filter pairing)") {
+    val exact = SparkEntry.queries("quality_filter")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("quality_filter_approx")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.getLong(0)).toSet
+    // the sketch threshold sits at a real score near p25, so the two kept
+    // sets differ only in docs scored between the two thresholds
+    val diff = (exact diff approx).size + (approx diff exact).size
+    assert(diff.toDouble / exact.size < 0.05,
+      s"kept sets diverge by $diff of ${exact.size}")
+  }
+
   test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
     // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
     val tokGen = Gen.listOfN(400, Gen.frequency(
