@@ -663,6 +663,30 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The bloom-gated decontamination scale path: bit-identical result to
+    * `decontaminate` (bloom prunes, the exact join decides), checked by
+    * the SAME oracle SQL. */
+  private def decontaminateBloomQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Per-eval-doc n-gram contamination rate: what fraction of each
+    * held-out (bench) doc's distinct 3-gram shingles appears anywhere in
+    * the training split. Same train/bench split as `decontaminate`. */
+  private def ngramContaminationQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.ngramContamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Per-label embedding centroids (the IVF coarse-quantizer build). */
   private def embeddingCentroids(s: SparkSession, d: String): DataFrame =
     Similarity.groupCentroids(embeddings(s, d), "label", "embedding")
@@ -950,11 +974,28 @@ object SparkEntry {
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
+    "decontaminate_bloom" -> (decontaminateBloomQ _),
+    "ngram_contamination" -> (ngramContaminationQ _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "asof_join" -> (asofJoinQ _),
     "range_join" -> (rangeJoinQ _)
   )
+
+  /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
+    * is exact (the filter only prunes the join input). */
+  private val decontaminateOracle: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS h
+      |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+      |fp AS (SELECT doc_id, h FROM sh
+      |       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 8),
+      |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 50 = 0)
+      |SELECT t.doc_id,
+      | max(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) = 1 AS contaminated
+      |FROM fp t LEFT JOIN bench b ON t.h = b.h
+      |WHERE t.doc_id % 50 != 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1455,18 +1496,22 @@ object SparkEntry {
       """SELECT c_custkey AS profile_id, 'player_' || c_custkey AS name,
         | c_custkey % 3 AS visibility, c_custkey % 100 AS steam_level
         |FROM customer WHERE c_custkey % 97 != 0 ORDER BY profile_id""".stripMargin,
-    "decontaminate" ->
+    "decontaminate" -> decontaminateOracle,
+    // bit-identical by construction (bloom prunes, the exact join
+    // decides) — the SAME oracle checks the scale path
+    "decontaminate_bloom" -> decontaminateOracle,
+    "ngram_contamination" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS h
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS g
         |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
-        |fp AS (SELECT doc_id, h FROM sh
-        |       QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 8),
-        |bench AS (SELECT DISTINCT h FROM fp WHERE doc_id % 50 = 0)
-        |SELECT t.doc_id,
-        | max(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) = 1 AS contaminated
-        |FROM fp t LEFT JOIN bench b ON t.h = b.h
-        |WHERE t.doc_id % 50 != 0
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+        |train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 != 0),
+        |bench AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 = 0)
+        |SELECT b.doc_id, COUNT(*) AS n_ngrams,
+        | CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        | CAST(CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS contamination
+        |FROM bench b LEFT JOIN train t ON b.g = t.g
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "embedding_centroids" ->
       // the double -> VARCHAR -> DECIMAL route makes DuckDB round the
       // shortest-roundtrip decimal repr like Spark's Cast does; DuckDB's

@@ -350,6 +350,79 @@ object Dedup {
       .drop("__hit")
   }
 
+  /** Bloom-gated decontamination — the form of [[decontaminate]] for when
+    * the benchmark fingerprint SET no longer broadcasts comfortably as
+    * exact rows (10^8+ distinct hashes at full eval-suite scale): the
+    * bench hashes compress into a Bloom filter (~1.2 GB at 10^9 items /
+    * 1% fpp vs 8+ GB of exact longs — and tunable down), every training
+    * fingerprint is probed MAP-SIDE through the codegen'd
+    * `BloomFilterMightContain` kernel, and only the bloom-positive
+    * survivors (true hits + fpp of the rest) reach an exact keyed join
+    * that removes the false positives. The result is bit-identical to
+    * [[decontaminate]] — the bloom only PRUNES the join input, the exact
+    * join decides — so the same SQL oracle checks both. Build is a
+    * distributed treeAggregate (`stat.bloomFilter`); the filter ships as
+    * an expression literal inside the task broadcast. */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val fpTrain = TextAnalysis.fingerprint(train, idCol, textCol, shingleN, k)
+      .withColumn("__h", xxhash64(col("sh_hash")))
+    val fpBench = TextAnalysis.fingerprint(benchmark, idCol, textCol, shingleN, k)
+      .select(xxhash64(col("sh_hash")).as("__bench_h")).distinct()
+    val nBench = math.max(fpBench.count(), 1L)
+    val bloom = fpBench.stat.bloomFilter("__bench_h", nBench, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val hits = fpTrain
+      .filter(Bridge.bloomMightContain(bytes, col("__h")))
+      .join(fpBench, col("__h") === col("__bench_h"), "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+    // one row per doc WITH a fingerprint (>= shingleN tokens) — the same
+    // row universe as [[decontaminate]], so the two stay bit-identical
+    fpTrain.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", col("__hit").isNotNull)
+      .drop("__hit")
+  }
+
+  /** Per-eval-document n-gram contamination rate — the standard "what
+    * fraction of this benchmark doc's n-grams appear anywhere in the
+    * training corpus" report (the membership direction is the REVERSE of
+    * [[decontaminate]]: there the bench set flags training docs; here the
+    * training corpus scores the bench docs). Scale shape: the bench
+    * n-gram set is small by construction, so it broadcasts; ONE scan of
+    * the training corpus semi-joins its exploded n-grams map-side against
+    * that broadcast and emits only the matching grams (bounded by the
+    * bench set, never by the corpus) for a distinct; the per-doc rollup
+    * then joins bench-sized tables. The training gram stream is never
+    * shuffled whole. Docs with no n-gram of length n produce no row (no
+    * rate is defined), mirrored by the oracle. */
+  def ngramContamination(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val benchG = benchmark.select(
+      col(idCol), explode(array_distinct(wordShingles(col(textCol), n))).as("g"))
+    val benchSet = benchG.select("g").distinct()
+    val present = train
+      .select(explode(array_distinct(wordShingles(col(textCol), n))).as("g"))
+      .join(broadcast(benchSet), Seq("g"), "left_semi")
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    benchG
+      .join(broadcast(present), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+  }
+
   /** Embedding-cosine near-dup pairs within blocks. Norms are precomputed
     * once per vector (map-side); the block join compares only within
     * `blockCol` groups — at scale the block is an LSH bucket (see

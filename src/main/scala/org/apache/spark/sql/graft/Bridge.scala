@@ -17,6 +17,20 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Membership probe against a serialized Bloom filter — the SAME
+    * codegen'd expression Spark's own runtime row-group filtering injects
+    * (`BloomFilterMightContain`), with the filter shipped as a binary
+    * literal (it rides the task broadcast like any literal). `value` must
+    * be a LONG column hashed consistently with how the filter was built
+    * (put via `putLong` — e.g. `DataFrameStatFunctions.bloomFilter` over a
+    * long column); the probe uses `mightContainLong`, so build and probe
+    * agree bit-for-bit. */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expression(value)))
+
   /** Unpersist every `localCheckpoint` block set a DataFrame's plan reads
     * from. `Dataset.unpersist` cannot do this — checkpoints persist their
     * RDD directly, outside the CacheManager — so iterative operators that

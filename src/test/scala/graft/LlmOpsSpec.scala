@@ -237,6 +237,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(1L) && !out(2L))
   }
 
+  test("bloom-gated decontamination equals the exact broadcast form bit-for-bit") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = rows(Dedup.decontaminate(train, bench, "doc_id", "text"))
+    val bloom = rows(Dedup.decontaminateBloom(train, bench, "doc_id", "text"))
+    assert(bloom == exact)
+    // an intentionally terrible fpp only changes how much the bloom prunes
+    // — the exact confirm join still decides, so the result is unchanged
+    val sloppy = rows(Dedup.decontaminateBloom(train, bench, "doc_id", "text", fpp = 0.5))
+    assert(sloppy == exact)
+    // short docs (no 3-shingle) appear in NEITHER output (same row universe)
+    val shortDoc = Seq((7L, "two words"), (8L, "the quick brown fox is here")).toDF("doc_id", "text")
+    val e2 = rows(Dedup.decontaminate(shortDoc, bench, "doc_id", "text"))
+    val b2 = rows(Dedup.decontaminateBloom(shortDoc, bench, "doc_id", "text"))
+    assert(b2 == e2 && !e2.contains(7L) && e2.contains(8L))
+  }
+
+  test("ngram contamination rates count the shared distinct n-grams") {
+    val train = Seq(
+      (1L, "a b c d e"),           // grams: "a b c","b c d","c d e"
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d e"),         // all 3 grams in train -> 1.0
+      (101L, "a b c q r s"),       // "a b c" only, of 4 grams -> 0.25
+      (102L, "p q r s t")).toDF("doc_id", "text") // none of 3 -> 0.0
+    val out = Dedup.ngramContamination(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(100L) == ((3L, 3L, 1.0)))
+    assert(out(101L) == ((4L, 1L, 0.25)))
+    assert(out(102L) == ((3L, 0L, 0.0)))
+  }
+
   test("group centroids average each dimension exactly") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "a"),

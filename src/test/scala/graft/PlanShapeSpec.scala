@@ -124,6 +124,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("quality_filter_approx keeps the exact gate's zero-shuffle filter shape") {
+    val p = plan("quality_filter_approx")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("decontaminate_bloom probes the filter map-side (might_contain in the scan filter)") {
+    val p = plan("decontaminate_bloom")
+    // the bloom probe must survive as a codegen'd Filter condition — if it
+    // collapses away, every training fingerprint reaches the exact join
+    assert(p.contains("might_contain"), p.take(2000))
+  }
+
+  test("ngram_contamination semi-joins the corpus against the HINTED bench-gram broadcast") {
+    val p = plan("ngram_contamination")
+    // the train gram stream must meet the bench set via broadcast semi join
+    // (map-side prune) — never shuffle whole for a sort-merge join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("fact_multi_role resolves every dim role via broadcast, no fact shuffle") {
     val p = plan("fact_multi_role")
     // the four HINTED dim joins (nation in both roles, date, supplier) must
