@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,7 +13,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Force EVERY output column with a row-hash aggregate: a bare
+      // count() lets column pruning delete computed projections, so a
+      // projection-family query would time little more than the scan
+      // (round-6 fix — timings for those queries step up vs BENCH_r05
+      // by measurement definition, not regression; see SURVEY §7.1).
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(sum(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
+      } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

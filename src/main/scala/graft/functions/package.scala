@@ -130,6 +130,14 @@ package object functions {
     column(SimHash64(expression(tokens)))
   }
 
+  /** One-pass repetition statistics (token count + dup token/2-gram/3-gram
+    * fractions) of a token array — the native [[RepetitionStats]] kernel
+    * (bit-identical to the interpreted HOF formulation it replaced). */
+  def repetitionStats(tokens: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(RepetitionStats(expression(tokens)))
+  }
+
   /** `n` nearest IVF cell names for a float vector against a driver-built
     * centroid matrix — the native one-pass [[NearestCells]] kernel. */
   def nearestCells(vec: Column, centroids: Array[Array[Double]],

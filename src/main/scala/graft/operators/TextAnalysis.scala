@@ -223,6 +223,22 @@ object TextAnalysis {
     * bit-identically in any engine (no rounding convention needed);
     * degenerate docs (no n-gram of that length) yield null, not NaN. */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ONE kernel pass per row ([[graft.functions.RepetitionStats]]); the
+    // four struct-field reads below share the kernel subtree via codegen
+    // subexpression elimination, so the pass runs once
+    val st = repetitionStats(wsTokens(col(textCol)))
+    docs.select(
+      col(idCol),
+      st.getField("n_tokens").as("n_tokens_r"),
+      st.getField("dup_token_frac").as("dup_token_frac"),
+      st.getField("dup_2gram_frac").as("dup_2gram_frac"),
+      st.getField("dup_3gram_frac").as("dup_3gram_frac"))
+  }
+
+  /** The interpreted HOF formulation [[repetition]] replaced — retained as
+    * the property-test twin (the kernel must stay bit-identical to it). */
+  private[graft] def repetitionInterpreted(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     def ratio(num: Column, den: Column): Column =
       when(den === 0, lit(null).cast(DoubleType))
         .otherwise(num.cast(DoubleType) / den.cast(DoubleType))

@@ -123,6 +123,22 @@ class PropertiesSpec extends AnyFunSuite {
       s"kept sets diverge by $diff of ${exact.size}")
   }
 
+  test("repetition kernel is bit-identical to the interpreted HOF formulation") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""), (2L, "one"), (3L, "two words"), (4L, "a a"),
+      (5L, "a b a b a b"), (6L, "x y z x y z x y"),
+      (7L, "  leading and  double  spaces "),
+      (8L, "same same same same")).toDF("doc_id", "text")
+    for (docs <- Seq(edge, graft.Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val kernel = graft.operators.TextAnalysis.repetition(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val hof = graft.operators.TextAnalysis.repetitionInterpreted(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(kernel == hof)
+    }
+  }
+
   test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
     // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
     val tokGen = Gen.listOfN(400, Gen.frequency(
