@@ -435,6 +435,19 @@ object SparkEntry {
         Dedup.minhashLshPairs(documents(s, d), "doc_id", "text"))
       .orderBy("doc_id")
 
+  /** SemDeDup end-to-end: k-means cells block the embedding space, exact
+    * cosine verifies within cells, connected components canonicalize —
+    * "keep one document per semantic-duplicate cluster" over embeddings
+    * instead of text shingles. Rows-only (the k-means build is
+    * iterative); pairs-are-a-subset-of-brute-force and composition are
+    * property-tested in LlmOpsSpec. */
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterPairs(
+        Dedup.semanticPairs(embeddings(s, d), "vec_id", "embedding", tau = 0.35),
+        d1 = "v1", d2 = "v2")
+      .select(col("doc_id").as("vec_id"), col("canonical_id"))
+      .orderBy("vec_id")
+
   /** Leakage-safe train/val/test assignment over exact-dup clusters: all
     * copies of a document get the same split (md5 bucket of the cluster
     * canonical — deterministic, engine-portable, no rand()). The operator
@@ -951,6 +964,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _),
     "sim_topk" -> (simTopK _),
     "sim_lsh_topk" -> (simLshTopK _),
     "text_langid" -> (textLangId _),

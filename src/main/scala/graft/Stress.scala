@@ -74,6 +74,15 @@ object Stress {
     time("embedding_pairs") {
       Dedup.embeddingPairs(emb, "vec_id", "embedding", "label", tau = 0.35).count()
     }
+    time("dedup_semantic") {
+      // k scales with the corpus (cells must stay join-ably small): 64
+      // cells over 40k vectors ~ 600-vector cells; 2 Lloyd iterations.
+      // tau = 0.9: the replica corpus duplicates embeddings verbatim, so
+      // the realistic SemDeDup regime here is the near-identical band
+      Dedup.clusterPairs(
+        Dedup.semanticPairs(emb, "vec_id", "embedding", tau = 0.9,
+          k = 64, iters = 2), d1 = "v1", d2 = "v2").count()
+    }
     time("sim_topk") {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 10).count()

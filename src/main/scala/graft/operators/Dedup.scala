@@ -350,6 +350,26 @@ object Dedup {
       .drop("__hit")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: learn a k-means quantizer
+    * over the embedding space ([[Similarity.kmeansCentroids]]), assign
+    * every vector its nearest cell (one codegen'd kernel pass), and
+    * compare only WITHIN cells ([[embeddingPairs]] with the cell as the
+    * block). This is the embedding-space analog of LSH blocking: the
+    * candidate join touches |cell|^2 per cell instead of corpus^2, and
+    * cells shrink as k grows. Approximate by design — a near-dup pair
+    * split across a cell boundary is missed (recall is traded via k) —
+    * but every EMITTED pair is exact-cosine-verified, so the pairs are
+    * property-tested to be a subset of the all-pairs baseline at the
+    * same tau. Deterministic end to end (kmeans seeds, tie-breaks and
+    * means are all deterministic). */
+  def semanticPairs(emb: DataFrame, idCol: String, vecCol: String,
+      tau: Double, k: Int = 8, iters: Int = 3): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb, idCol, vecCol, k, iters)
+    val assigned = Similarity.assignCells(
+      emb.select(col(idCol), col(vecCol)), vecCol, cents, "__cell")
+    embeddingPairs(assigned, idCol, vecCol, "__cell", tau)
+  }
+
   /** Bloom-gated decontamination — the form of [[decontaminate]] for when
     * the benchmark fingerprint SET no longer broadcasts comfortably as
     * exact rows (10^8+ distinct hashes at full eval-suite scale): the

@@ -114,6 +114,32 @@ object Similarity {
     groupCentroids(assign(), "cell", vecCol)
   }
 
+  /** Collect a (cell, pos, centroid) table into the driver-side matrix the
+    * [[graft.functions.NearestCells]] kernel broadcasts — index-sized by
+    * construction (nCells x dim). */
+  private[operators] def centroidMatrix(
+      centroids: DataFrame): Array[(String, Array[Double])] =
+    centroids
+      .orderBy("pos")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
+      }
+      .toArray.sortBy(_._1)
+
+  /** Assign each vector its nearest centroid cell (one codegen'd
+    * [[graft.functions.NearestCells]] pass; the centroid matrix rides the
+    * task broadcast as a literal). The blocking step of SemDeDup-style
+    * semantic dedup and of the IVF build. */
+  def assignCells(corpus: DataFrame, vecCol: String, centroids: DataFrame,
+      cellCol: String = "cell"): DataFrame = {
+    val m = centroidMatrix(centroids)
+    corpus.withColumn(cellCol,
+      graft.functions.nearestCells(col(vecCol), m.map(_._2), m.map(_._1), 1)
+        .getItem(0))
+  }
+
   /** IVF approximate top-k: k-cell inverted-file search. The corpus is
     * partitioned into cells by nearest centroid (the [[groupCentroids]]
     * output is the index build); each query probes only its `nProbe`
@@ -125,16 +151,8 @@ object Similarity {
     * traded via nProbe (rows-only check). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
     // centroid matrix: cell -> ordered dim values (nCells x dim, tiny)
-    val cents: Array[(String, Array[Double])] = centroids
-      .orderBy("pos")
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getLong(1)).map(_.getDouble(2))
-      }
-      .toArray.sortBy(_._1)
+    val cents = centroidMatrix(centroids)
     val cellNames = cents.map(_._1)
     val centMatrix = cents.map(_._2)
 

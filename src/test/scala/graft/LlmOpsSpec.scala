@@ -272,6 +272,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(102L) == ((3L, 0L, 0.0)))
   }
 
+  test("semantic pairs are exact-verified and a subset of the all-pairs baseline") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Dedup.embeddingPairs(
+      emb.withColumn("__blk", lit(1)), "vec_id", "embedding", "__blk", tau = 0.35))
+    val semantic = pairSet(Dedup.semanticPairs(emb, "vec_id", "embedding", tau = 0.35))
+    assert(semantic.nonEmpty, "blocking killed every pair — test corpus mismatch")
+    assert(semantic.subsetOf(brute)) // within-cell restriction can only drop pairs
+    // determinism: the whole pipeline (seeds, assignment ties, means) repeats
+    val again = pairSet(Dedup.semanticPairs(emb, "vec_id", "embedding", tau = 0.35))
+    assert(again == semantic)
+    // composition: every emitted cluster member appears in some pair
+    val clustered = Dedup.clusterPairs(
+        Dedup.semanticPairs(emb, "vec_id", "embedding", tau = 0.35),
+        d1 = "v1", d2 = "v2")
+    val members = clustered.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(members == semantic.flatMap(p => Set(p._1, p._2)))
+    Dedup.releaseClusters(clustered)
+  }
+
   test("group centroids average each dimension exactly") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "a"),
