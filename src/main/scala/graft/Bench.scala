@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,9 +18,10 @@ object Bench {
       // projection-family query would time little more than the scan
       // (round-6 fix — timings for those queries step up vs BENCH_r05
       // by measurement definition, not regression; see SURVEY §7.1).
+      // bit_xor, not sum: summed row hashes overflow Long under ANSI.
       try {
         val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
+        df.agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
       } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }

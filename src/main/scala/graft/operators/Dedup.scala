@@ -249,13 +249,17 @@ object Dedup {
     * the returned DataFrame; call [[releaseClusters]] when done with it. */
   def clusterPairs(pairs: DataFrame, d1: String = "d1", d2: String = "d2"): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+    // every checkpoint resets plan statistics: the size-only estimator
+    // multiplies through each round's joins, and localCheckpoint would
+    // carry the product into the next round — after ~12 rounds the
+    // carried BigInt has millions of digits and the driver stalls inside
+    // statistics arithmetic (Bridge.resetStats has the full story)
+    def ckpt(df: DataFrame): DataFrame = Bridge.resetStats(df.localCheckpoint(true))
+    val edges = ckpt(pairs.select(col(d1).as("a"), col(d2).as("b"))
       .unionByName(pairs.select(col(d2).as("a"), col(d1).as("b")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -265,16 +269,15 @@ object Dedup {
       val parentMin = labels
         .join(labels.select(col("id").as("label"), col("label").as("plabel")), Seq("label"))
         .select(col("id"), col("plabel").as("pmin"))
-      val updated = labels
+      val updated = ckpt(labels
         .join(neighborMin, Seq("id"), "left")
         .join(parentMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"),
             coalesce(col("nmin"), col("label")),
-            coalesce(col("pmin"), col("label"))).as("next"))
-        .localCheckpoint(true)
+            coalesce(col("pmin"), col("label"))).as("next")))
       converged = updated.filter(col("next") =!= col("label")).isEmpty
-      val next = updated.select(col("id"), col("next").as("label")).localCheckpoint(true)
+      val next = ckpt(updated.select(col("id"), col("next").as("label")))
       // `next` is eagerly materialized above, so this round's intermediate
       // and the previous round's labels can be freed before the next round
       Bridge.unpersistCheckpoints(updated)

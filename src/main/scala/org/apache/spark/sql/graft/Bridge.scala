@@ -17,6 +17,27 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Rewrap a local-checkpointed DataFrame around its ALREADY-MATERIALIZED
+    * RDD with FRESH (default) statistics. `Dataset.localCheckpoint` carries
+    * the origin plan's estimated `sizeInBytes` forward; in an iterative
+    * loop whose round is a few self-joins, the size-only estimator
+    * MULTIPLIES the inputs' estimates, so the carried BigInt grows as
+    * ~3^rounds DIGITS — by round ~12 the driver spends its time in
+    * Karatsuba/Toom-Cook BigInteger multiplication inside plan statistics
+    * (measured: 122 s for one 1379-row round) and AQE never broadcasts the
+    * tiny joins because their estimated size is astronomical. The rewrap
+    * keeps the SAME persisted RDD (so [[unpersistCheckpoints]] still frees
+    * it) but the new LogicalRDD reports default stats, and runtime (AQE)
+    * sizes take over from there. */
+  def resetStats(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ds.sparkSession.internalCreateDataFrame(lr.rdd, df.schema)
+      case _ => df
+    }
+  }
+
   /** Membership probe against a serialized Bloom filter — the SAME
     * codegen'd expression Spark's own runtime row-group filtering injects
     * (`BloomFilterMightContain`), with the filter shipped as a binary
