@@ -172,6 +172,41 @@ class PropertiesSpec extends AnyFunSuite {
     assert(acc.value == 120L, s"expected 60 docs x 2 passes, got ${acc.value}")
   }
 
+  test("checkpoint stat reset bounds iterative plan statistics (BigInt blowup guard)") {
+    import org.apache.spark.sql.graft.Bridge
+    val a = spark.range(1000).toDF("id")
+    val b = a.withColumnRenamed("id", "id2")
+    // the size-only estimator multiplies join inputs: three self-joins
+    // push the estimate's bit-length well past any real size
+    def round(df: org.apache.spark.sql.DataFrame) = df
+      .join(b, col("id") === col("id2")).select(col("id"))
+      .join(a.withColumnRenamed("id", "id3"), col("id") === col("id3"))
+      .select(col("id"))
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    // WITHOUT the reset the carried estimate grows every iteration
+    // (multiplicative); WITH it the bit-length stays flat
+    var plain = a
+    var reset = a
+    var plainBits = Vector.empty[Int]
+    var resetBits = Vector.empty[Int]
+    for (_ <- 1 to 4) {
+      plain = round(plain).localCheckpoint(true)
+      reset = Bridge.resetStats(round(reset).localCheckpoint(true))
+      plainBits :+= bits(plain)
+      resetBits :+= bits(reset)
+    }
+    assert(plainBits.last > plainBits.head,
+      s"checkpoint no longer inherits stats ($plainBits) — revisit resetStats")
+    assert(resetBits.distinct.size == 1 && resetBits.head <= 64,
+      s"resetStats no longer bounds stats ($resetBits)")
+    // same data, same persisted RDD (unpersist through the reset frame works)
+    assert(reset.orderBy("id").collect().toSeq == plain.orderBy("id").collect().toSeq)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Bridge.unpersistCheckpoints(reset)
+    assert(spark.sparkContext.getPersistentRDDs.size == before - 1)
+  }
+
   test("clusterPairs equals a driver union-find on random pair graphs") {
     val pairGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
       .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.distinct)
