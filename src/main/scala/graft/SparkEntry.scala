@@ -676,6 +676,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency passage dedup: drop 3-token passages shared by > 3
+    * documents, reassemble the survivors. (Real corpora use ~50-token
+    * windows; this corpus's cross-document repetition lives at the
+    * 3-gram scale, so the demo parameterization keeps the hot set
+    * non-trivial — 52 hot passages, 265 dropped occurrences at sf0.01.) */
+  private def boilerplatePassages(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dropBoilerplatePassages(documents(s, d), "doc_id", "text",
+        windowTokens = 3, maxDf = 3L)
+      .orderBy("doc_id")
+
   /** The bloom-gated decontamination scale path: bit-identical result to
     * `decontaminate` (bloom prunes, the exact join decides), checked by
     * the SAME oracle SQL. */
@@ -990,6 +1000,7 @@ object SparkEntry {
     "decontaminate" -> (decontaminateQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "ngram_contamination" -> (ngramContaminationQ _),
+    "boilerplate_passages" -> (boilerplatePassages _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "asof_join" -> (asofJoinQ _),
@@ -1514,6 +1525,20 @@ object SparkEntry {
     // bit-identical by construction (bloom prunes, the exact join
     // decides) — the SAME oracle checks the scale path
     "decontaminate_bloom" -> decontaminateOracle,
+    "boilerplate_passages" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |p AS (SELECT doc_id, CAST((s-1)//3 AS BIGINT) AS pid,
+        |        array_to_string(w[s:s+2], ' ') AS ptext
+        |      FROM t, unnest(generate_series(1, greatest(len(w), 1), 3)) st(s)),
+        |hot AS (SELECT ptext FROM p GROUP BY ptext
+        |        HAVING COUNT(DISTINCT doc_id) > 3)
+        |SELECT p.doc_id,
+        | COALESCE(string_agg(CASE WHEN h.ptext IS NULL THEN p.ptext END,
+        |   ' ' ORDER BY p.pid), '') AS text_clean,
+        | CAST(SUM(CASE WHEN h.ptext IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN h.ptext IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM p LEFT JOIN hot h ON p.ptext = h.ptext
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "ngram_contamination" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS g

@@ -283,6 +283,50 @@ object TextAnalysis {
       order = Seq(("tfidf", true), ("term", false)), k = k)
   }
 
+  /** Corpus-frequency passage dedup (RefinedWeb/FineWeb-style boilerplate
+    * removal at passage granularity): split every document into
+    * NON-OVERLAPPING `windowTokens`-token passages (full coverage — the
+    * trailing passage may be short), drop every passage whose document
+    * frequency exceeds `maxDf` (navigation chrome, license footers,
+    * templated headers — content that repeats across unrelated documents),
+    * and reassemble the surviving passages in order. Output:
+    * (id, text_clean, n_kept, n_dropped), one row per input document
+    * (a fully-boilerplate document keeps an empty string).
+    *
+    * Scale shape: passage DF counts shuffle 16-byte digests once
+    * (map-side partial `countDistinct` cuts per-doc repeats first); the
+    * hot set is bounded by totalPassages / maxDf (the heavy-hitter
+    * averaging argument — heavyHitters' broadcast rationale), so it
+    * BROADCASTS and the drop decision is map-side; reassembly is the one
+    * shuffle that moves text, keyed by document. */
+  def dropBoilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, maxDf: Long): DataFrame = {
+    require(windowTokens >= 1, s"need windowTokens >= 1, got $windowTokens")
+    require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
+    val words = wsTokens(col(textCol))
+    val passages = transform(
+      sequence(lit(1), greatest(size(words), lit(1)), lit(windowTokens)),
+      s => concat_ws(" ", slice(words, s, lit(windowTokens))))
+    val p = docs
+      .select(col(idCol), posexplode(passages))
+      .toDF(idCol, "pid", "ptext")
+      .select(col(idCol), col("pid").cast(LongType).as("pid"), col("ptext"),
+        md5(col("ptext")).as("__h"))
+    val hot = p.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("__h").as("__hot"), lit(1).as("__d"))
+    p.join(broadcast(hot), col("__h") === col("__hot"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__d").isNull,
+            struct(col("pid"), col("ptext"))))),
+          x => x.getField("ptext"))).as("text_clean"),
+        sum(when(col("__d").isNull, 1).otherwise(0)).cast(LongType).as("n_kept"),
+        sum(when(col("__d").isNotNull, 1).otherwise(0)).cast(LongType).as("n_dropped"))
+  }
+
   /** Document fingerprint: bottom-k sketch over hashed word shingles —
     * the MinHash-style content signature used for fast containment checks.
     * md5-hex is used as the hash so the sketch is reproducible in any

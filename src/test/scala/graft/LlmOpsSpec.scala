@@ -293,6 +293,30 @@ class LlmOpsSpec extends AnyFunSuite {
     Dedup.releaseClusters(clustered)
   }
 
+  test("boilerplate passage dedup drops only corpus-hot passages, keeps order") {
+    val docs = Seq(
+      (1L, "copyright acme corp unique words here"),   // passages: [copyright acme corp][unique words here]
+      (2L, "copyright acme corp other content two"),
+      (3L, "copyright acme corp third body text"),
+      (4L, "fresh document with no shared window"),
+      (5L, "copyright acme corp")                       // ONLY the hot passage
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dropBoilerplatePassages(docs, "doc_id", "text",
+        windowTokens = 3, maxDf = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "unique words here", 1L, 1L)))
+    assert(out(1) == ((2L, "other content two", 1L, 1L)))
+    assert(out(2) == ((3L, "third body text", 1L, 1L)))
+    assert(out(3) == ((4L, "fresh document with no shared window", 2L, 0L)))
+    assert(out(4) == ((5L, "", 0L, 1L))) // fully boilerplate -> empty, still a row
+    // a passage shared by exactly maxDf docs survives
+    val loose = TextAnalysis.dropBoilerplatePassages(docs, "doc_id", "text",
+        windowTokens = 3, maxDf = 4)
+      .agg(sum(col("n_dropped"))).head().getLong(0)
+    assert(loose == 0L)
+  }
+
   test("group centroids average each dimension exactly") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "a"),

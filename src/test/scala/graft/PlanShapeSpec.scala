@@ -145,6 +145,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("boilerplate_passages broadcasts the hot set (HINTED), drop decision map-side") {
+    val p = plan("boilerplate_passages")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("fact_multi_role resolves every dim role via broadcast, no fact shuffle") {
     val p = plan("fact_multi_role")
     // the four HINTED dim joins (nation in both roles, date, supplier) must
