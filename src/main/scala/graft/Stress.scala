@@ -190,6 +190,11 @@ object Stress {
     time("tfidf_top_terms") {
       TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()
     }
+    time("boilerplate_passages") {
+      forced(TextAnalysis.dropBoilerplatePassages(docs, "doc_id", "text",
+          windowTokens = 3, maxDf = 3L),
+        sum(crc32(col("text_clean")) + col("n_dropped")))
+    }
     // cluster the MINHASH pairs (the approximate scale path feeds the
     // canonicalizer at 100 TB, not the exact join): ~1M pair edges over
     // 100k nodes, replica cliques -> few pointer-jumping rounds

@@ -130,6 +130,14 @@ package object functions {
     column(SimHash64(expression(tokens)))
   }
 
+  /** Bottom-k md5 shingle fingerprint of a token array — the native
+    * one-pass [[ShingleBottomK]] kernel (bit-identical to the
+    * distinct->md5->sort->slice expression chain it replaced). */
+  def shingleBottomK(tokens: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(ShingleBottomK(expression(tokens), n, k))
+  }
+
   /** One-pass repetition statistics (token count + dup token/2-gram/3-gram
     * fractions) of a token array — the native [[RepetitionStats]] kernel
     * (bit-identical to the interpreted HOF formulation it replaced). */

@@ -330,11 +330,24 @@ object TextAnalysis {
   /** Document fingerprint: bottom-k sketch over hashed word shingles —
     * the MinHash-style content signature used for fast containment checks.
     * md5-hex is used as the hash so the sketch is reproducible in any
-    * engine. Computed entirely PER ROW (hash, sort, slice inside one
-    * projection) — zero shuffle, so at 100 TB it runs at scan speed; the
-    * earlier window-function formulation shuffled every shingle row. */
+    * engine. Computed entirely PER ROW by the one-pass
+    * [[graft.functions.ShingleBottomK]] kernel (bounded O(log k) state
+    * per shingle, no interpreted HOF chain, no full sort) — zero shuffle,
+    * so at 100 TB it runs at scan speed; the earlier window-function
+    * formulation shuffled every shingle row. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        posexplode(shingleBottomK(wsTokens(col(textCol)), shingleN, k)))
+      .toDF(idCol, "rk0", "sh_hash")
+      .select(col(idCol), (col("rk0") + 1).cast(LongType).as("rk"), col("sh_hash"))
+
+  /** The interpreted expression chain [[fingerprint]] replaced — retained
+    * as the property-test twin (the kernel must stay bit-identical). */
+  private[graft] def fingerprintInterpreted(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 8): DataFrame =
     docs
       .select(
         col(idCol),

@@ -123,6 +123,23 @@ class PropertiesSpec extends AnyFunSuite {
       s"kept sets diverge by $diff of ${exact.size}")
   }
 
+  test("fingerprint kernel is bit-identical to the interpreted expression chain") {
+    import spark.implicits._
+    val edge = Seq(
+      (1L, ""), (2L, "one two"), (3L, "exactly three tokens"),
+      (4L, "a b c d e f g h i j k l"),
+      (5L, "rep rep rep rep rep"), // duplicate shingles collapse
+      (6L, " leading  and trailing ")).toDF("doc_id", "text")
+    for (docs <- Seq(edge, graft.Tables.documents(spark, "/root/testdata/sf0.001"))) {
+      val kernel = graft.operators.TextAnalysis.fingerprint(docs, "doc_id", "text")
+        .orderBy("doc_id", "rk").collect().map(_.toSeq).toSeq
+      val chain = graft.operators.TextAnalysis
+        .fingerprintInterpreted(docs, "doc_id", "text")
+        .orderBy("doc_id", "rk").collect().map(_.toSeq).toSeq
+      assert(kernel == chain)
+    }
+  }
+
   test("repetition kernel is bit-identical to the interpreted HOF formulation") {
     import spark.implicits._
     val edge = Seq(
