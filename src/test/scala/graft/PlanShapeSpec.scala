@@ -145,6 +145,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("semantic pair generation blocks through NearestCells, never corpus x corpus") {
+    // the registered query's final plan is the components checkpoint scan
+    // (the loop runs eagerly), so guard the pair-generation stage itself
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val p = graft.operators.Dedup
+      .semanticPairs(emb, "vec_id", "embedding", tau = 0.35)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("nearest_cells"), p.take(2000)) // codegen'd cell assignment
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("boilerplate_passages broadcasts the hot set (HINTED), drop decision map-side") {
     val p = plan("boilerplate_passages")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(2000))
