@@ -676,6 +676,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Near-dup decontamination, exact baseline: training docs whose 3-gram
+    * Jaccard vs ANY benchmark doc reaches 0.5 (a 10% bench split here —
+    * near-dup families rarely straddle the 2% split the exact-overlap
+    * decontaminate uses). */
+  private def decontaminateJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("t_id", "b_id")
+  }
+
+  /** Near-dup decontamination, 100 TB path: MinHash bands meet the
+    * broadcast bench bands; exact verify only on candidates. Rows-only
+    * (LSH recall is probabilistic); subset-of-exact property-tested. */
+  private def decontaminateMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.crossMinhashPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("t_id", "b_id")
+  }
+
   /** Corpus-frequency passage dedup: drop 3-token passages shared by > 3
     * documents, reassemble the survivors. (Real corpora use ~50-token
     * windows; this corpus's cross-document repetition lives at the
@@ -1001,6 +1026,8 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "ngram_contamination" -> (ngramContaminationQ _),
     "boilerplate_passages" -> (boilerplatePassages _),
+    "decontaminate_jaccard" -> (decontaminateJaccard _),
+    "decontaminate_minhash" -> (decontaminateMinhash _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "asof_join" -> (asofJoinQ _),
@@ -1525,6 +1552,20 @@ object SparkEntry {
     // bit-identical by construction (bloom prunes, the exact join
     // decides) — the SAME oracle checks the scale path
     "decontaminate_bloom" -> decontaminateOracle,
+    "decontaminate_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |c AS (SELECT t.doc_id AS t_id, b.doc_id AS b_id, COUNT(*) AS common
+        |      FROM sh t JOIN sh b ON t.sh = b.sh
+        |      WHERE t.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+        |      GROUP BY 1, 2)
+        |SELECT c.t_id, c.b_id, CAST(c.common AS BIGINT) AS common,
+        | CAST(c.common AS DOUBLE) / (st.n + sb.n - c.common) AS jaccard
+        |FROM c JOIN sz st ON c.t_id = st.doc_id JOIN sz sb ON c.b_id = sb.doc_id
+        |WHERE CAST(c.common AS DOUBLE) / (st.n + sb.n - c.common) >= 0.5
+        |ORDER BY c.t_id, c.b_id""".stripMargin,
     "boilerplate_passages" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |p AS (SELECT doc_id, CAST((s-1)//3 AS BIGINT) AS pid,

@@ -353,6 +353,75 @@ object Dedup {
       .drop("__hit")
   }
 
+  /** Cross-corpus exact n-gram Jaccard pairs (train x bench) — NEAR-DUP
+    * decontamination: [[decontaminate]] flags exact fingerprint overlap;
+    * this finds training documents that are near-rewrites of benchmark
+    * documents (the GPT-3-style n-gram-overlap eval sweep). Per-doc
+    * shingle-set sizes are map-side projections (no shuffle); the bench
+    * shingle set is small by construction so it BROADCASTS and the only
+    * shuffle groups the (train, bench) hash matches — the train shingle
+    * stream never self-joins (there is no sum(f^2) term, unlike the
+    * within-corpus exact join). Jaccard is computed on hashed distinct
+    * shingle sets (8-byte keys; 2^-64 collision odds — the
+    * [[ngramJaccardPairs]] convention, oracle-checkable on strings). */
+  def crossJaccardPairs(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.5): DataFrame = {
+    def hashed(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
+          .as("shs"))
+      .filter(size(col("shs")) > 0)
+    val t = hashed(train, "t_id")
+    val b = hashed(bench, "b_id")
+    val shT = t.select(col("t_id"), size(col("shs")).as("n1"), explode(col("shs")).as("shh"))
+    val shB = b.select(col("b_id"), size(col("shs")).as("n2"), explode(col("shs")).as("shh"))
+    shT.join(broadcast(shB), Seq("shh"))
+      .groupBy(col("t_id"), col("b_id"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select("t_id", "b_id", "common", "jaccard")
+  }
+
+  /** The 100 TB path for [[crossJaccardPairs]]: MinHash band signatures of
+    * BOTH corpora meet on (band, band_hash) — the bench bands broadcast —
+    * and only the surviving candidates get the exact hashed-set Jaccard
+    * verify. Candidate volume is governed by the LSH S-curve, not by
+    * shingle frequencies; verified pairs are a subset of the exact
+    * cross-corpus pairs at the same tau (property-tested). */
+  def crossMinhashPairs(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 128, bands: Int = 32,
+      tau: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    def banded(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), col(textCol))
+      .repartition(col(as))
+      .select(col(as), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col(as), posexplode(minhashBands(col("shs"), numPerm, bands)))
+      .toDF(as, "band", "band_hash")
+    val cand = banded(train, "t_id")
+      .join(broadcast(banded(bench, "b_id")), Seq("band", "band_hash"))
+      .select("t_id", "b_id").distinct()
+    def hashed(df: DataFrame, as: String, sz: String, shs: String) = df
+      .select(col(idCol).as(as),
+        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
+          .as(shs))
+      .filter(size(col(shs)) > 0)
+      .withColumn(sz, size(col(shs)))
+    cand
+      .join(hashed(train, "t_id", "n1", "shs1"), "t_id")
+      .join(broadcast(hashed(bench, "b_id", "n2", "shs2")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(DoubleType) /
+          size(array_union(col("shs1"), col("shs2"))).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select("t_id", "b_id", "jaccard")
+  }
+
   /** SemDeDup-style semantic near-dup pairs: learn a k-means quantizer
     * over the embedding space ([[Similarity.kmeansCentroids]]), assign
     * every vector its nearest cell (one codegen'd kernel pass), and

@@ -293,6 +293,36 @@ class LlmOpsSpec extends AnyFunSuite {
     Dedup.releaseClusters(clustered)
   }
 
+  test("cross-corpus near-dup decontamination: LSH pairs subset exact, fixtures recalled") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated training text with other words entirely")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // near-rewrite of 1
+      (101L, "benchmark only content sharing nothing with training")).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("t_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.crossJaccardPairs(train, bench, "doc_id", "text", tau = 0.5))
+    assert(exact == Set((1L, 100L))) // the planted rewrite, nothing else
+    val lsh = pairs(Dedup.crossMinhashPairs(train, bench, "doc_id", "text", tau = 0.5))
+    assert(lsh == exact) // j ~ 0.8: the S-curve catches it (deterministic perms)
+
+    // corpus-level: LSH pairs are a subset of the exact pairs at the same tau
+    val docs = Tables.documents(spark, sf)
+    val t = docs.filter(col("doc_id") % 10 =!= 0)
+    val b = docs.filter(col("doc_id") % 10 === 0)
+    val exactAll = pairs(Dedup.crossJaccardPairs(t, b, "doc_id", "text", tau = 0.5))
+    val lshAll = pairs(Dedup.crossMinhashPairs(t, b, "doc_id", "text", tau = 0.5))
+    assert(lshAll.subsetOf(exactAll))
+    // jaccard values agree where both emit (hashed-set convention on both)
+    val ej = Dedup.crossJaccardPairs(t, b, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Dedup.crossMinhashPairs(t, b, "doc_id", "text", tau = 0.5)
+      .collect().foreach { r =>
+        assert(ej((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+      }
+  }
+
   test("boilerplate passage dedup drops only corpus-hot passages, keeps order") {
     val docs = Seq(
       (1L, "copyright acme corp unique words here"),   // passages: [copyright acme corp][unique words here]
