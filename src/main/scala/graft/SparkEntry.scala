@@ -664,6 +664,14 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Uniform frame sampling over the media table (max 8 frames/doc, stub
+    * decode; the sampled-index arithmetic is the oracle-checked part). */
+  private def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.asMedia(documents(s, d), "doc_id", "text", "source"))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+
   /** Benchmark decontamination: training split = doc_id % 50 != 0,
     * benchmark split = the rest; flag training docs sharing any bottom-8
     * fingerprint hash with the benchmark. */
@@ -1020,6 +1028,7 @@ object SparkEntry {
     "sample_stratified" -> (sampleStratified _),
     "split_assign" -> (splitAssign _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
@@ -1539,6 +1548,20 @@ object SparkEntry {
         | CAST(64 + header % 1857 AS BIGINT) AS width,
         | CAST(64 + byte_len % 1017 AS BIGINT) AS height
         |FROM b ORDER BY doc_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH b AS (
+        | SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 8)) AS BIGINT) END AS header
+        | FROM documents),
+        |f AS (SELECT doc_id, header, 1 + byte_len % 240 AS n_frames FROM b),
+        |s AS (SELECT doc_id, header, n_frames,
+        |       CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT) AS stride FROM f)
+        |SELECT doc_id, CAST(g.g AS BIGINT) AS frame_idx,
+        | CAST(g.g * 33 AS BIGINT) AS ts_ms,
+        | CAST((header + g.g * 2654435761) % 256 AS BIGINT) AS luma
+        |FROM s, unnest(generate_series(0, n_frames - 1, stride)) g(g)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "staged_partitioned_write" ->
       """SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
         | CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS n,

@@ -53,6 +53,38 @@ object Multimodal {
     }
   }
 
+  /** A sampled "video" frame: index, timestamp, and a (stub) per-frame
+    * feature. */
+  case class FrameRow(doc_id: Long, frame_idx: Long, ts_ms: Long, luma: Long)
+
+  /** Uniform frame sampling over "video" payloads — the third multimodal
+    * verb beside decode and feature-extract: pick every stride-th frame so
+    * at most `maxFrames` frames survive per document, emit one NARROW row
+    * per sampled frame (the payload never leaves its partition; only
+    * (id, idx, ts, features) rows shuffle). The decode is the same STUB
+    * contract as [[extractFeatures]]: frame count and per-frame "luma"
+    * derive deterministically from the payload bytes (a real build swaps
+    * in the codec's frame iterator; the batching, explode shape, and
+    * narrow output are the production plumbing). 30 fps timestamps. */
+  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int = 8,
+      batchSize: Int = 64): Dataset[FrameRow] = {
+    require(maxFrames >= 1, s"need maxFrames >= 1, got $maxFrames")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val byteLen = r.payload.length.toLong
+          val header = r.payload.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+          val nFrames = 1L + byteLen % 240L // STUB frame count
+          val stride = math.max(1L, math.ceil(nFrames.toDouble / maxFrames).toLong)
+          (0L until nFrames by stride).map { f =>
+            FrameRow(r.doc_id, f, f * 33L, (header + f * 2654435761L) % 256L)
+          }
+        }
+      }
+    }
+  }
+
   /** Wrap a text table as a media table: payload = UTF-8 bytes (standing in
     * for an opaque image/audio blob), metadata kept as typed columns. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String,

@@ -347,6 +347,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(loose == 0L)
   }
 
+  test("frame sampling emits at most maxFrames uniform frames per doc") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf), "doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(media, maxFrames = 8).toDF()
+    val perDoc = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("frame_idx")).as("last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perDoc.nonEmpty && perDoc.forall(_._2 <= 8L)) // sampling cap holds
+    assert(perDoc.forall(_._2 >= 1L))                    // every doc yields frames
+    // uniform stride: consecutive sampled indices differ by a constant
+    val idx = frames.filter(col("doc_id") === perDoc.head._1)
+      .orderBy("frame_idx").collect().map(_.getLong(1))
+    if (idx.length > 2) {
+      val d = idx(1) - idx(0)
+      assert(idx.sliding(2).forall { case Array(a, b) => b - a == d })
+    }
+    // timestamps are 30 fps of the frame index
+    assert(frames.filter(col("ts_ms") =!= col("frame_idx") * 33).count() == 0)
+  }
+
   test("group centroids average each dimension exactly") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "a"),
