@@ -664,6 +664,16 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Resize geometry over the decoded dimensions: fit within a 256-box
+    * preserving aspect ratio (integer floor arithmetic, oracle-exact). */
+  private def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizePlan(
+        Multimodal.extractFeatures(
+          Multimodal.asMedia(documents(s, d), "doc_id", "text", "source")).toDF(),
+        maxDim = 256L)
+      .select("doc_id", "width", "height", "rs_width", "rs_height")
+      .orderBy("doc_id")
+
   /** Uniform frame sampling over the media table (max 8 frames/doc, stub
     * decode; the sampled-index arithmetic is the oracle-checked part). */
   private def multimodalFrames(s: SparkSession, d: String): DataFrame =
@@ -1029,6 +1039,7 @@ object SparkEntry {
     "split_assign" -> (splitAssign _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
@@ -1548,6 +1559,19 @@ object SparkEntry {
         | CAST(64 + header % 1857 AS BIGINT) AS width,
         | CAST(64 + byte_len % 1017 AS BIGINT) AS height
         |FROM b ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """WITH b AS (
+        | SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE CAST(concat('0x', substr(hex(encode(text)), 1, 8)) AS BIGINT) END AS header
+        | FROM documents),
+        |d AS (SELECT doc_id, 64 + header % 1857 AS width, 64 + byte_len % 1017 AS height FROM b)
+        |SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        | CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+        |      ELSE width * 256 // greatest(width, height) END AS BIGINT) AS rs_width,
+        | CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+        |      ELSE height * 256 // greatest(width, height) END AS BIGINT) AS rs_height
+        |FROM d ORDER BY doc_id""".stripMargin,
     "multimodal_frames" ->
       """WITH b AS (
         | SELECT doc_id, octet_length(encode(text)) AS byte_len,

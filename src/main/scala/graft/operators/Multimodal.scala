@@ -85,6 +85,24 @@ object Multimodal {
     }
   }
 
+  /** Fit-within-box resize planning over decoded dimensions — the fourth
+    * multimodal verb: images larger than `maxDim` on their long edge scale
+    * down preserving aspect ratio (integer floor arithmetic, so the plan
+    * is engine-reproducible); smaller images pass through. A pure Column
+    * projection — zero shuffle, scan speed at 100 TB. The actual pixel
+    * resample belongs in the same batched decode pass as
+    * [[extractFeatures]] (STUB here); this computes the target geometry
+    * every resize kernel needs. */
+  def resizePlan(features: DataFrame, maxDim: Long): DataFrame = {
+    require(maxDim >= 1, s"need maxDim >= 1, got $maxDim")
+    val mx = greatest(col("width"), col("height"))
+    def fit(c: String) = when(mx <= maxDim, col(c))
+      .otherwise(expr(s"$c * $maxDim DIV greatest(width, height)"))
+    features
+      .withColumn("rs_width", fit("width"))
+      .withColumn("rs_height", fit("height"))
+  }
+
   /** Wrap a text table as a media table: payload = UTF-8 bytes (standing in
     * for an opaque image/audio blob), metadata kept as typed columns. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String,
