@@ -367,8 +367,14 @@ object Dedup {
   def crossJaccardPairs(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
+    // the repartition spreads the interpreted shingle chain across cores
+    // even when the input is a single-row-group file (one scan task) —
+    // the minhashLshPairs trade: shuffle raw text once, far cheaper than
+    // a serial whole-corpus HOF evaluation
     def hashed(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as),
+      .select(col(idCol).as(as), col(textCol))
+      .repartition(col(as))
+      .select(col(as),
         array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
           .as("shs"))
       .filter(size(col("shs")) > 0)
@@ -407,7 +413,9 @@ object Dedup {
       .join(broadcast(banded(bench, "b_id")), Seq("band", "band_hash"))
       .select("t_id", "b_id").distinct()
     def hashed(df: DataFrame, as: String, sz: String, shs: String) = df
-      .select(col(idCol).as(as),
+      .select(col(idCol).as(as), col(textCol))
+      .repartition(col(as)) // spread the interpreted shingle chain (see crossJaccardPairs)
+      .select(col(as),
         array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
           .as(shs))
       .filter(size(col(shs)) > 0)
