@@ -664,6 +664,14 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Corpus-LM quality score: fit the bigram model on the corpus itself
+    * and score every document (the CCNet self-scoring pattern — outlier
+    * NLL marks boilerplate/spam/wrong-language docs). */
+  private def lmScoreQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    TextAnalysis.lmScore(docs, docs, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Resize geometry over the decoded dimensions: fit within a 256-box
     * preserving aspect ratio (integer floor arithmetic, oracle-exact). */
   private def multimodalResize(s: SparkSession, d: String): DataFrame =
@@ -1026,6 +1034,7 @@ object SparkEntry {
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_repetition" -> (textRepetition _),
+    "lm_score" -> (lmScoreQ _),
     "pii_scrub" -> (piiScrubQ _),
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
@@ -1599,6 +1608,21 @@ object SparkEntry {
     // bit-identical by construction (bloom prunes, the exact join
     // decides) — the SAME oracle checks the scale path
     "decontaminate_bloom" -> decontaminateOracle,
+    "lm_score" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |bi AS (SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS bg
+        |       FROM toks, unnest(generate_series(1, len(w)-1)) i(i) WHERE len(w) >= 2),
+        |uni AS (SELECT u.w AS w FROM toks, unnest(w) u(w)),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM bi GROUP BY bg),
+        |c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+        |v AS (SELECT COUNT(*) AS v FROM c1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(CAST(round(-ln((COALESCE(c2.c2, 0) + 0.5)
+        |     / (COALESCE(c1.c1, 0) + 0.5 * v.v)), 6) AS DECIMAL(28,12))) AS DOUBLE)
+        |   / COUNT(*) AS nll
+        |FROM bi b LEFT JOIN c2 ON b.bg = c2.bg
+        | LEFT JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w, v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "decontaminate_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh

@@ -283,6 +283,47 @@ object TextAnalysis {
       order = Seq(("tfidf", true), ("term", false)), k = k)
   }
 
+  /** CCNet-style n-gram LM scoring — the perplexity-proxy quality signal
+    * curation pipelines gate on (docs that score far from the corpus LM
+    * are boilerplate, spam, or wrong-language): a bigram model with add-k
+    * smoothing is fit on `train` and every `docs` row gets its average
+    * negative log-likelihood. P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k*V).
+    *
+    * Scale shape: the count tables are data-derived (too big to
+    * broadcast at 100 TB), so scoring is two hash equi-joins keyed on
+    * the bigram / unigram strings with map-side partial counts; the
+    * per-doc rollup is one keyed shuffle. V is ONE driver scalar (a
+    * count job). Engine parity: each bigram's -ln(p) rounds to 6 dp
+    * (the tfidf transcendental convention), and the per-doc sum
+    * accumulates in DECIMAL (order-independent — the CLAUDE.md addend
+    * rule) before the final double division. Docs with < 2 tokens have
+    * no bigrams and emit no row (mirrored by the oracle). */
+  def lmScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"need smoothing k > 0, got $k")
+    val biCounts = train
+      .select(explode(wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val uniCounts = train
+      .select(explode(wsTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val v = uniCounts.count() // vocabulary size: one driver scalar
+    val docBi = docs
+      .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
+      .withColumn("w", split(col("bg"), " ").getItem(0))
+    val p = docBi
+      .join(biCounts, Seq("bg"), "left")
+      .join(uniCounts, Seq("w"), "left")
+      .withColumn("__p",
+        (coalesce(col("c2"), lit(0L)) + lit(k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(k) * lit(v.toDouble)))
+    p.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(round(-log(col("__p")), 6).cast(DecimalType(28, 12)))
+          .cast(DoubleType) / count(lit(1))).as("nll"))
+  }
+
   /** Corpus-frequency passage dedup (RefinedWeb/FineWeb-style boilerplate
     * removal at passage granularity): split every document into
     * NON-OVERLAPPING `windowTokens`-token passages (full coverage — the

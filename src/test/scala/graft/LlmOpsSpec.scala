@@ -347,6 +347,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(loose == 0L)
   }
 
+  test("corpus-LM scoring ranks in-distribution text above unseen text") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat")).toDF("doc_id", "text")
+    val scored = Seq(
+      (10L, "the cat sat on the mat"),    // every bigram seen often
+      (11L, "zyx qwv unseen tokens only"), // nothing in the vocab
+      (12L, "x")                           // single token: no bigram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(train, scored, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(12L))            // no bigrams -> no row
+    assert(out(10L)._1 == 5L && out(11L)._1 == 4L)
+    assert(out(10L)._2 < out(11L)._2)     // familiar text scores lower NLL
+    // determinism across runs (shuffled sums accumulate in decimal)
+    val again = TextAnalysis.lmScore(train, scored, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again(10L) == out(10L)._2 && again(11L) == out(11L)._2)
+  }
+
   test("frame sampling emits at most maxFrames uniform frames per doc") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf), "doc_id", "text", "source")
     val frames = Multimodal.sampleFrames(media, maxFrames = 8).toDF()
