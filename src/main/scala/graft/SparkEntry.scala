@@ -664,6 +664,25 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Per-source corpus report — the curation dashboard every pipeline
+    * publishes before a training run: doc/token/char volumes, mean
+    * quality, and the per-source language spread. One rollup over the
+    * per-doc quality projection (map-side partials; sums in DECIMAL for
+    * order-independent exactness, means as one final double divide). */
+  private def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(
+      TextAnalysis.langId(documents(s, d), "text"), "text")
+    q.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars_q")).as("n_chars"),
+        (sum(col("quality_score").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("mean_quality"),
+        countDistinct(col("pred_lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
   /** Corpus-LM quality score: fit the bigram model on the corpus itself
     * and score every document (the CCNet self-scoring pattern — outlier
     * NLL marks boilerplate/spam/wrong-language docs). */
@@ -1035,6 +1054,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_repetition" -> (textRepetition _),
     "lm_score" -> (lmScoreQ _),
+    "corpus_stats" -> (corpusStats _),
     "pii_scrub" -> (piiScrubQ _),
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
@@ -1608,6 +1628,38 @@ object SparkEntry {
     // bit-identical by construction (bloom prunes, the exact join
     // decides) — the SAME oracle checks the scale path
     "decontaminate_bloom" -> decontaminateOracle,
+    "corpus_stats" ->
+      """WITH s AS (
+        | SELECT doc_id, source,
+        |  CAST(length(text) AS BIGINT) AS n_chars_q,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) AS n_stopwords,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x IN ('der','die','das','und','zu','ein','eine','mit','von','nicht'))) AS BIGINT) AS hits_de,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) AS hits_en,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x IN ('el','la','de','y','que','un','una','por','con','los'))) AS BIGINT) AS hits_es,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x IN ('le','la','de','et','que','un','une','pour','dans','les'))) AS BIGINT) AS hits_fr
+        | FROM documents),
+        |q AS (SELECT source, n_chars_q, n_tokens,
+        |  least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |    + CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 AS quality_score,
+        |  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+        |       WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+        |       WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+        |       WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        | FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(SUM(n_chars_q) AS BIGINT) AS n_chars,
+        | CAST(SUM(CAST(CAST(quality_score AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE)
+        |   / COUNT(*) AS mean_quality,
+        | CAST(COUNT(DISTINCT pred_lang) AS BIGINT) AS n_langs
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "lm_score" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |bi AS (SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS bg
