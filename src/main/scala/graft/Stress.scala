@@ -190,6 +190,20 @@ object Stress {
     time("tfidf_top_terms") {
       TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()
     }
+    time("lm_score") {
+      forced(TextAnalysis.lmScore(docs, docs, "doc_id", "text"),
+        sum(col("nll") + col("n_bigrams")))
+    }
+    time("decontaminate_jaccard") {
+      Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").count()
+    }
+    time("decontaminate_minhash") {
+      Dedup.crossMinhashPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text").count()
+    }
     time("boilerplate_passages") {
       forced(TextAnalysis.dropBoilerplatePassages(docs, "doc_id", "text",
           windowTokens = 3, maxDf = 3L),

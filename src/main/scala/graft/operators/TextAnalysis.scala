@@ -292,31 +292,40 @@ object TextAnalysis {
     * Scale shape: the count tables are data-derived (too big to
     * broadcast at 100 TB), so scoring is two hash equi-joins keyed on
     * the bigram / unigram strings with map-side partial counts; the
-    * per-doc rollup is one keyed shuffle. V is ONE driver scalar (a
-    * count job). Engine parity: each bigram's -ln(p) rounds to 6 dp
-    * (the tfidf transcendental convention), and the per-doc sum
-    * accumulates in DECIMAL (order-independent — the CLAUDE.md addend
-    * rule) before the final double division. Docs with < 2 tokens have
-    * no bigrams and emit no row (mirrored by the oracle). */
+    * per-doc rollup is one keyed shuffle. V rides as a broadcast ONE-ROW
+    * aggregate inside the same plan (no separate driver job — exchange
+    * reuse shares the unigram aggregate between the count join and the
+    * V rollup), and the explodes repartition by id first so the
+    * interpreted shingle chain parallelizes even off a single-row-group
+    * file. Engine parity: each bigram's -ln(p) rounds to 6 dp (the
+    * tfidf transcendental convention), and the per-doc sum accumulates
+    * in DECIMAL (order-independent — the CLAUDE.md addend rule) before
+    * the final double division. Docs with < 2 tokens have no bigrams
+    * and emit no row (mirrored by the oracle). */
   def lmScore(train: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, k: Double = 0.5): DataFrame = {
     require(k > 0, s"need smoothing k > 0, got $k")
-    val biCounts = train
+    val tr = train.select(col(idCol).as("__tid"), col(textCol))
+      .repartition(col("__tid"))
+    val biCounts = tr
       .select(explode(wordShingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
-    val uniCounts = train
+    val uniCounts = tr
       .select(explode(wsTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val v = uniCounts.count() // vocabulary size: one driver scalar
+    val vocab = broadcast(uniCounts.agg(count(lit(1)).as("__v")))
     val docBi = docs
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
       .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
       .withColumn("w", split(col("bg"), " ").getItem(0))
     val p = docBi
       .join(biCounts, Seq("bg"), "left")
       .join(uniCounts, Seq("w"), "left")
+      .crossJoin(vocab)
       .withColumn("__p",
         (coalesce(col("c2"), lit(0L)) + lit(k)) /
-          (coalesce(col("c1"), lit(0L)) + lit(k) * lit(v.toDouble)))
+          (coalesce(col("c1"), lit(0L)) + lit(k) * col("__v")))
     p.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),

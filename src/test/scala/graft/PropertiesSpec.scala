@@ -123,6 +123,23 @@ class PropertiesSpec extends AnyFunSuite {
       s"kept sets diverge by $diff of ${exact.size}")
   }
 
+  test("boilerplate passage dedup covers every token: kept + dropped = total passages") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    for (w <- Seq(3, 32)) {
+      val out = graft.operators.TextAnalysis
+        .dropBoilerplatePassages(docs, "doc_id", "text", windowTokens = w, maxDf = 3L)
+      val bad = out
+        .join(docs.select(col("doc_id"),
+          size(graft.functions.wsTokens(col("text"))).as("__nt")), "doc_id")
+        .filter(col("n_kept") + col("n_dropped") =!=
+          greatest(ceil(col("__nt") / w.toDouble).cast("long"), lit(1L)))
+        .count()
+      assert(bad == 0L, s"window $w: coverage broken for $bad docs")
+      assert(out.count() == docs.count()) // one row per input doc, always
+    }
+  }
+
   test("fingerprint kernel is bit-identical to the interpreted expression chain") {
     import spark.implicits._
     val edge = Seq(
