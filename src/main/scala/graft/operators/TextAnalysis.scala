@@ -293,9 +293,11 @@ object TextAnalysis {
     * broadcast at 100 TB), so scoring is two hash equi-joins keyed on
     * the bigram / unigram strings with map-side partial counts; the
     * per-doc rollup is one keyed shuffle. V rides as a broadcast ONE-ROW
-    * aggregate inside the same plan (no separate driver job — exchange
-    * reuse shares the unigram aggregate between the count join and the
-    * V rollup), and the explodes repartition by id first so the
+    * aggregate inside the same plan (no separate driver job; the V
+    * branch re-runs the unigram aggregate — exchange reuse does NOT
+    * kick in for the differing parents, so the corpus is token-scanned
+    * once more; callers amortizing many scoring runs should persist the
+    * count tables). The explodes repartition by id first so the
     * interpreted shingle chain parallelizes even off a single-row-group
     * file. Engine parity: each bigram's -ln(p) rounds to 6 dp (the
     * tfidf transcendental convention), and the per-doc sum accumulates
