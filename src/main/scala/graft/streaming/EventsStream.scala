@@ -145,6 +145,24 @@ object EventsStream {
       .drop("__fp", "__bench")
   }
 
+  /** Ingest-time quality gate: each arriving document is scored with the
+    * same zero-shuffle quality projection the batch operators use and kept
+    * only at/above a threshold computed OFFLINE from a static reference
+    * corpus (the batch percentile job — thresholds move slowly, so
+    * pipelines pin one per run). The score is a pure per-row projection
+    * and the threshold ONE broadcast scalar: no stream-side aggregation,
+    * no state, append mode — micro-batch cost is a scan. Parity with the
+    * batch `quality_filter` gate is spec-pinned. */
+  def qualityGateStream(docs: DataFrame, reference: DataFrame,
+      textCol: String, pct: Double = 0.25): DataFrame = {
+    val thr = graft.operators.TextAnalysis.quality(reference, textCol)
+      .agg(expr(s"percentile(quality_score, $pct)").as("__thr"))
+    graft.operators.TextAnalysis.quality(docs, textCol)
+      .crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("__thr"))
+      .drop("__thr")
+  }
+
   // ---- stateful sessionization (#16) ----
 
   /** Minimal event for session tracking (event-time in epoch millis). */

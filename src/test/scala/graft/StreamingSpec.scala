@@ -275,6 +275,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static quality gate keeps exactly the batch filter's docs") {
+    implicit val sql = spark.sqlContext
+    val reference = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val rows = reference.orderBy("doc_id").limit(40)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventsStream.qualityGateStream(
+        input.toDF().toDF("doc_id", "text"), reference, "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      val kept = spark.table("qgate_out").as[Long].collect().sorted.toSeq
+      // parity: batch gate with the SAME reference threshold over the
+      // same docs keeps the identical set
+      val batch = EventsStream.qualityGateStream(
+          rows.toDF("doc_id", "text"), reference, "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == batch)
+      assert(kept.nonEmpty && kept.size < rows.size) // the gate actually gates
+    } finally q.stop()
+  }
+
   test("stream-stream attribution join matches purchases to in-window clicks") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
