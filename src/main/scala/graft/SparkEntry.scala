@@ -664,6 +664,13 @@ object SparkEntry {
       .toDF()
       .orderBy("doc_id")
 
+  /** Content-defined chunking (expected 16-token chunks): the
+    * shift-robust passage split — only chunks before the first boundary
+    * change when text is prepended (spec-pinned). */
+  private def docChunksCdc(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunkContentDefined(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id", "chunk_id")
+
   /** Per-source corpus report — the curation dashboard every pipeline
     * publishes before a training run: doc/token/char volumes, mean
     * quality, and the per-source language spread. One rollup over the
@@ -1055,6 +1062,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "lm_score" -> (lmScoreQ _),
     "corpus_stats" -> (corpusStats _),
+    "doc_chunks_cdc" -> (docChunksCdc _),
     "pii_scrub" -> (piiScrubQ _),
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
@@ -1628,6 +1636,22 @@ object SparkEntry {
     // bit-identical by construction (bloom prunes, the exact join
     // decides) — the SAME oracle checks the scale path
     "decontaminate_bloom" -> decontaminateOracle,
+    "doc_chunks_cdc" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |tok AS (SELECT doc_id, g.i - 1 AS pos, w[g.i] AS tok
+        |        FROM t, unnest(generate_series(1, len(w))) g(i)),
+        |b AS (SELECT doc_id, pos, tok,
+        |       CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 16 = 0
+        |            THEN 1 ELSE 0 END AS f
+        |      FROM tok),
+        |c AS (SELECT doc_id, pos, tok,
+        |       SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS UNBOUNDED PRECEDING) AS chunk_id
+        |      FROM b)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        | md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+        | COUNT(*) AS n_chunk_tokens
+        |FROM c GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
     "corpus_stats" ->
       """WITH s AS (
         | SELECT doc_id, source,

@@ -335,6 +335,38 @@ object TextAnalysis {
           .cast(DoubleType) / count(lit(1))).as("nll"))
   }
 
+  /** Content-defined chunking — the shift-robust alternative to
+    * fixed-stride [[chunkTokens]]: a chunk boundary opens at every token
+    * whose md5 draw hits `0 mod modulus` (expected chunk length =
+    * `modulus` tokens), so inserting or deleting text early in a document
+    * only perturbs chunks up to the next boundary — all later chunks
+    * keep their content byte-for-byte (spec-pinned), which is what makes
+    * passage-level dedup robust to boilerplate prepends. Boundaries
+    * derive from the md5 TOKEN draw (engine-portable, no rand()); the
+    * chunk assignment is one per-document running sum (windows partition
+    * by doc — parallel across documents, unlike a per-source window) and
+    * reassembly groups the same keyed shuffle. */
+  def chunkContentDefined(docs: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16): DataFrame = {
+    require(modulus >= 1, s"need modulus >= 1, got $modulus")
+    val toks = docs
+      .select(col(idCol), posexplode(wsTokens(col(textCol))))
+      .toDF(idCol, "pos", "tok")
+      .withColumn("__b",
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast(LongType)
+          % modulus === 0).cast("int"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("chunk_id", sum(col("__b")).over(w).cast(LongType))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("chunk_hash"),
+        count(lit(1)).cast(LongType).as("n_chunk_tokens"))
+  }
+
   /** Corpus-frequency passage dedup (RefinedWeb/FineWeb-style boilerplate
     * removal at passage granularity): split every document into
     * NON-OVERLAPPING `windowTokens`-token passages (full coverage — the

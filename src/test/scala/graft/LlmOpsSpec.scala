@@ -323,6 +323,34 @@ class LlmOpsSpec extends AnyFunSuite {
       }
   }
 
+  test("content-defined chunking is shift-robust past the first boundary") {
+    val base = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val shifted = base.withColumn("text",
+      concat(lit("inserted boilerplate prefix goes here "), col("text")))
+    def tailChunks(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkContentDefined(df, "doc_id", "text")
+        .filter(col("chunk_id") >= 2) // chunks strictly after the first boundary
+        .select("doc_id", "chunk_hash", "n_chunk_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the prefix perturbs only chunk 0 (and possibly chunk 1's id shift by
+    // boundaries inside the prefix) — compare CONTENT sets past chunk 1
+    val a = tailChunks(base)
+    val b = tailChunks(shifted)
+    assert(a.nonEmpty)
+    val aHashes = a.map(x => (x._1, x._2))
+    val bHashes = b.map(x => (x._1, x._2))
+    // every tail chunk of the original survives the prepend verbatim
+    assert(aHashes.subsetOf(bHashes), s"lost ${(aHashes diff bHashes).size} tail chunks")
+    // and the fixed-stride chunker does NOT have this property (the
+    // contrast that motivates CDC): shifted fixed chunks diverge
+    def fixedHashes(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkTokens(df, "doc_id", "text", 16, 16)
+        .filter(col("chunk_id") >= 2)
+        .select(md5(col("chunk_text"))).collect().map(_.getString(0)).toSet
+    val inter = fixedHashes(base) intersect fixedHashes(shifted)
+    assert(inter.size < aHashes.size)
+  }
+
   test("boilerplate passage dedup drops only corpus-hot passages, keeps order") {
     val docs = Seq(
       (1L, "copyright acme corp unique words here"),   // passages: [copyright acme corp][unique words here]
