@@ -179,6 +179,10 @@ object Stress {
       forced(TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24),
         sum(crc32(col("chunk_text")) + col("n_chunk_tokens")))
     }
+    time("doc_chunks_cdc") {
+      forced(TextAnalysis.chunkContentDefined(docs, "doc_id", "text"),
+        sum(crc32(col("chunk_hash")) + col("n_chunk_tokens")))
+    }
     time("pack_sequences") {
       forced(graft.operators.Curation.packSequences(
           TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24)
