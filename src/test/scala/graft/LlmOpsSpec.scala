@@ -257,6 +257,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(b2 == e2 && !e2.contains(7L) && e2.contains(8L))
   }
 
+  test("the bloom probe actually prunes the exact-join input") {
+    import org.apache.spark.sql.graft.Bridge
+    val docs = Tables.documents(spark, sf)
+    val fpTrain = TextAnalysis
+      .fingerprint(docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text")
+      .withColumn("__h", xxhash64(col("sh_hash")))
+    val fpBench = TextAnalysis
+      .fingerprint(docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+      .select(xxhash64(col("sh_hash")).as("__bench_h")).distinct()
+    val bloom = fpBench.stat.bloomFilter("__bench_h", math.max(fpBench.count(), 1L), 0.01)
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    val total = fpTrain.count()
+    val survivors = fpTrain.filter(Bridge.bloomMightContain(bytes, col("__h"))).count()
+    val trueHits = fpTrain.join(fpBench, col("__h") === col("__bench_h"), "left_semi").count()
+    // survivors = true hits + ~fpp of the rest: the probe must remove the
+    // bulk of the input before the exact join, not pass it through
+    assert(survivors >= trueHits)
+    assert(survivors < total / 2,
+      s"bloom passed $survivors of $total (true hits $trueHits) — not pruning")
+  }
+
   test("ngram contamination rates count the shared distinct n-grams") {
     val train = Seq(
       (1L, "a b c d e"),           // grams: "a b c","b c d","c d e"
