@@ -157,6 +157,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("doc_chunks_cdc shares ONE doc shuffle between the window and the rollup") {
+    val p = plan("doc_chunks_cdc")
+    // the window partitions by doc_id and the (doc_id, chunk_id) rollup is
+    // clustered by a subset of its keys — a second hash exchange means the
+    // reuse broke
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("boilerplate_passages broadcasts the hot set (HINTED), drop decision map-side") {
     val p = plan("boilerplate_passages")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(2000))
