@@ -17,6 +17,7 @@ object Bench {
       val w = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       w.agg(bit_xor(xxhash64(w.columns.map(col): _*)), count(lit(1))).head()
     } catch { case _: Throwable => () }
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Force EVERY output column with a row-hash aggregate: a bare
@@ -29,7 +30,13 @@ object Bench {
         val df = fn(spark, sfDir)
         df.agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
       } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // UNTIMED cleanup: the cluster-family queries each leave one live
+      // localCheckpoint (their result); letting those accumulate across
+      // the run recreates the round-3 storage-pressure variance class
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet -- baseline).foreach(id => rdds(id).unpersist(blocking = false))
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
