@@ -174,12 +174,36 @@ package object functions {
   def wsTokens(text: Column): Column = split(text, "\\s+")
 
   /** Word n-gram shingles as an array of strings (distinct not applied).
-    * Pure `transform`/`slice` — scales linearly, no UDF. */
+    * Pure `transform`/`slice` — no UDF, but HOFs run INTERPRETED: this is
+    * the property-test twin of the [[ShingleStrings]] kernel, which is
+    * what the operators actually call (see [[shingles]]). */
   def wordShingles(text: Column, n: Int): Column = {
     val words = wsTokens(text)
     val cnt = size(words) - (n - 1)
     // sequence(1, cnt) would count DOWN for cnt < 1 — guard with empty array
     when(cnt < 1, array().cast(ArrayType(StringType)))
       .otherwise(transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** Word n-gram shingles of a token array — the native one-pass
+    * [[ShingleStrings]] kernel (bit-identical to `wordShingles`). */
+  def shingles(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(ShingleStrings(expression(tokens), n, distinct = false))
+  }
+
+  /** DISTINCT word n-gram shingles (first-occurrence order) — bit-identical
+    * to `array_distinct(wordShingles(text, n))`, one codegen'd pass. */
+  def shinglesDistinct(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(ShingleStrings(expression(tokens), n, distinct = true))
+  }
+
+  /** Distinct xxhash64 shingle hashes — bit-identical to
+    * `array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))`,
+    * one codegen'd pass ([[ShingleHashes]]). */
+  def shingleHashes(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(ShingleHashes(expression(tokens), n))
   }
 }

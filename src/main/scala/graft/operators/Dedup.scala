@@ -38,7 +38,7 @@ object Dedup {
       n: Int): DataFrame =
     docs.select(
       col(idCol),
-      explode(array_distinct(wordShingles(col(textCol), n))).as("sh"))
+      explode(shinglesDistinct(wsTokens(col(textCol)), n)).as("sh"))
 
   /** Exact n-gram Jaccard near-dup pairs: shingle-explode, self-join on
     * shingle, |A∩B| / |A∪B| >= tau. `maxShingleFreq` (None = exact)
@@ -99,7 +99,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5): DataFrame = {
     val withSh = docs
-      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .select(col(idCol), shinglesDistinct(wsTokens(col(textCol)), n).as("shs"))
       .filter(size(col("shs")) > 0)
     val sh = withSh.select(col(idCol), explode(col("shs")).as("sh"))
       .withColumn("shh", xxhash64(col("sh")))
@@ -158,7 +158,7 @@ object Dedup {
     val banded = docs
       .select(col(idCol), col(textCol))
       .repartition(col(idCol))
-      .select(col(idCol), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .select(col(idCol), shinglesDistinct(wsTokens(col(textCol)), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col(idCol), posexplode(minhashBands(col("shs"), numPerm, bands)))
       .toDF(idCol, "band", "band_hash")
@@ -176,9 +176,7 @@ object Dedup {
     // Jaccard value are unchanged at 2^-64 collision odds) — arrays only
     // join against the candidate set; the LSH stage shuffles signatures
     val withSh = docs
-      .select(col(idCol),
-        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
-          .as("shs"))
+      .select(col(idCol), shingleHashes(wsTokens(col(textCol)), n).as("shs"))
       .filter(size(col("shs")) > 0)
     val withA = withSh.select(col(idCol).as("d1"), col("shs").as("shs1"))
     val withB = withSh.select(col(idCol).as("d2"), col("shs").as("shs2"))
@@ -374,9 +372,7 @@ object Dedup {
     def hashed(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), col(textCol))
       .repartition(col(as))
-      .select(col(as),
-        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
-          .as("shs"))
+      .select(col(as), shingleHashes(wsTokens(col(textCol)), n).as("shs"))
       .filter(size(col("shs")) > 0)
     val t = hashed(train, "t_id")
     val b = hashed(bench, "b_id")
@@ -405,7 +401,7 @@ object Dedup {
     def banded(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), col(textCol))
       .repartition(col(as))
-      .select(col(as), array_distinct(wordShingles(col(textCol), n)).as("shs"))
+      .select(col(as), shinglesDistinct(wsTokens(col(textCol)), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col(as), posexplode(minhashBands(col("shs"), numPerm, bands)))
       .toDF(as, "band", "band_hash")
@@ -415,9 +411,7 @@ object Dedup {
     def hashed(df: DataFrame, as: String, sz: String, shs: String) = df
       .select(col(idCol).as(as), col(textCol))
       .repartition(col(as)) // spread the interpreted shingle chain (see crossJaccardPairs)
-      .select(col(as),
-        array_distinct(transform(wordShingles(col(textCol), n), s => xxhash64(s)))
-          .as(shs))
+      .select(col(as), shingleHashes(wsTokens(col(textCol)), n).as(shs))
       .filter(size(col(shs)) > 0)
       .withColumn(sz, size(col(shs)))
     cand
@@ -506,10 +500,10 @@ object Dedup {
   def ngramContamination(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val benchG = benchmark.select(
-      col(idCol), explode(array_distinct(wordShingles(col(textCol), n))).as("g"))
+      col(idCol), explode(shinglesDistinct(wsTokens(col(textCol)), n)).as("g"))
     val benchSet = benchG.select("g").distinct()
     val present = train
-      .select(explode(array_distinct(wordShingles(col(textCol), n))).as("g"))
+      .select(explode(shinglesDistinct(wsTokens(col(textCol)), n)).as("g"))
       .join(broadcast(benchSet), Seq("g"), "left_semi")
       .distinct()
       .withColumn("__hit", lit(1L))

@@ -310,7 +310,7 @@ object TextAnalysis {
     val tr = train.select(col(idCol).as("__tid"), col(textCol))
       .repartition(col("__tid"))
     val biCounts = tr
-      .select(explode(wordShingles(col(textCol), 2)).as("bg"))
+      .select(explode(shingles(wsTokens(col(textCol)), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
     val uniCounts = tr
       .select(explode(wsTokens(col(textCol))).as("w"))
@@ -319,7 +319,7 @@ object TextAnalysis {
     val docBi = docs
       .select(col(idCol), col(textCol))
       .repartition(col(idCol))
-      .select(col(idCol), explode(wordShingles(col(textCol), 2)).as("bg"))
+      .select(col(idCol), explode(shingles(wsTokens(col(textCol)), 2)).as("bg"))
       .withColumn("w", split(col("bg"), " ").getItem(0))
     val p = docBi
       .join(biCounts, Seq("bg"), "left")

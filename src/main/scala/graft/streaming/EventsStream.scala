@@ -132,9 +132,8 @@ object EventsStream {
   def decontaminateStream(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8): DataFrame = {
-    import graft.functions.wordShingles
-    val fp = slice(sort_array(transform(
-      array_distinct(wordShingles(col(textCol), shingleN)), s => md5(s))), 1, k)
+    import graft.functions.{shingleBottomK, wsTokens}
+    val fp = shingleBottomK(wsTokens(col(textCol)), shingleN, k)
     val benchArr = graft.operators.TextAnalysis
       .fingerprint(benchmark, idCol, textCol, shingleN, k)
       .agg(collect_set(col("sh_hash")).as("__bench"))

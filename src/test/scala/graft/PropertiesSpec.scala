@@ -173,6 +173,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle kernels are bit-identical to the interpreted HOF chains") {
+    import spark.implicits._
+    import graft.functions._
+    val edge = Seq(
+      (1L, ""), (2L, "one two"), (3L, "exactly three tokens"),
+      (4L, "a b c d e f g h i j k l"),
+      (5L, "rep rep rep rep rep"), // duplicate shingles collapse
+      (6L, " leading  and trailing "), (7L, "solo")).toDF("doc_id", "text")
+    for (docs <- Seq(edge, graft.Tables.documents(spark, "/root/testdata/sf0.001"));
+         n <- Seq(2, 3)) {
+      val got = docs.select(
+        shingles(wsTokens(col("text")), n).as("plain"),
+        shinglesDistinct(wsTokens(col("text")), n).as("dist"),
+        shingleHashes(wsTokens(col("text")), n).as("hashed"))
+        .collect().map(_.toSeq).toSeq
+      val want = docs.select(
+        wordShingles(col("text"), n).as("plain"),
+        array_distinct(wordShingles(col("text"), n)).as("dist"),
+        array_distinct(transform(wordShingles(col("text"), n), s => xxhash64(s)))
+          .as("hashed"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
     // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
     val tokGen = Gen.listOfN(400, Gen.frequency(
