@@ -435,6 +435,28 @@ object SparkEntry {
         Dedup.minhashLshPairs(documents(s, d), "doc_id", "text"))
       .orderBy("doc_id")
 
+  /** Exact substring-level dedup (Lee et al. 2022): maximal spans of
+    * 6-token windows that repeat in >= 2 distinct documents, merged per
+    * document. Span positions are 1-based token indices, end exclusive. */
+  private def repeatedSpansQ(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(documents(s, d), "doc_id", "text", w = 6, minDf = 2)
+      .orderBy("doc_id", "span_start")
+
+  /** Per-document substring-dedup masking report over the same spans:
+    * the "drop or rewrite above a masked_frac budget" decision input. */
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    Dedup.maskRepeatedSpans(documents(s, d), "doc_id", "text", w = 6, minDf = 2)
+      .orderBy("doc_id")
+
+  /** DSIR importance weights: hashed unigram+bigram features, target =
+    * the src0-src3 slice of the pool (the "domain we want more of"),
+    * raw = the rest. Selection keeps the top-score documents. */
+  private def dsirWeightsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.dsirWeights(documents(s, d),
+        isTarget = col("source").isin("src0", "src1", "src2", "src3"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** SemDeDup end-to-end: k-means cells block the embedding space, exact
     * cosine verifies within cells, connected components canonicalize —
     * "keep one document per semantic-duplicate cluster" over embeddings
@@ -1083,6 +1105,9 @@ object SparkEntry {
     "decontaminate_bloom" -> (decontaminateBloomQ _),
     "ngram_contamination" -> (ngramContaminationQ _),
     "boilerplate_passages" -> (boilerplatePassages _),
+    "repeated_spans" -> (repeatedSpansQ _),
+    "dedup_substring" -> (dedupSubstring _),
+    "dsir_weights" -> (dsirWeightsQ _),
     "decontaminate_jaccard" -> (decontaminateJaccard _),
     "decontaminate_minhash" -> (decontaminateMinhash _),
     "embedding_centroids" -> (embeddingCentroids _),
@@ -1739,6 +1764,69 @@ object SparkEntry {
         |   / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS contamination
         |FROM bench b LEFT JOIN train t ON b.g = t.g
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |win AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |          array_to_string(w[i.i:i.i+5], ' ') AS g
+        |        FROM toks, unnest(generate_series(1, len(w)-5)) i(i) WHERE len(w) >= 6),
+        |hot AS (SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (SELECT win.doc_id, win.pos FROM win JOIN hot USING (g)),
+        |pe AS (SELECT doc_id, pos,
+        |         MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM f),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM pe)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 6 AS span_end,
+        | COUNT(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |win AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |          array_to_string(w[i.i:i.i+5], ' ') AS g
+        |        FROM toks, unnest(generate_series(1, len(w)-5)) i(i) WHERE len(w) >= 6),
+        |hot AS (SELECT g FROM win GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (SELECT win.doc_id, win.pos FROM win JOIN hot USING (g)),
+        |pe AS (SELECT doc_id, pos,
+        |         MAX(pos + 6) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM f),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |        FROM pe),
+        |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 6 AS e
+        |          FROM isl GROUP BY doc_id, island),
+        |agg AS (SELECT doc_id, COUNT(*) AS ns, SUM(e - s) AS nm
+        |        FROM spans GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(a.ns, 0) AS BIGINT) AS n_spans,
+        | CAST(COALESCE(a.nm, 0) AS BIGINT) AS n_masked,
+        | CAST(COALESCE(a.nm, 0) AS DOUBLE) / CAST(len(t.w) AS DOUBLE) AS masked_frac
+        |FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') w FROM documents),
+        |uni AS (SELECT doc_id, source, u.g AS g FROM toks, unnest(w) u(g)),
+        |bi AS (SELECT doc_id, source, array_to_string(w[i.i:i.i+1], ' ') AS g
+        |       FROM toks, unnest(generate_series(1, len(w)-1)) i(i) WHERE len(w) >= 2),
+        |g AS (SELECT doc_id, source, g FROM uni UNION ALL SELECT doc_id, source, g FROM bi),
+        |gb AS (SELECT doc_id,
+        |         source IN ('src0','src1','src2','src3') AS t,
+        |         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+        |       FROM g),
+        |cnt AS (SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |               SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+        |        FROM gb GROUP BY b),
+        |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt)
+        |SELECT gb.doc_id, COUNT(*) AS n_feats,
+        | CAST(SUM(CAST(round(ln(
+        |     (CAST(cnt.ct + 1 AS DOUBLE) / CAST(tot.nt + 4096 AS DOUBLE))
+        |   / (CAST(cnt.cr + 1 AS DOUBLE) / CAST(tot.nr + 4096 AS DOUBLE))), 6)
+        |   AS DECIMAL(28,12))) AS DOUBLE) AS dsir_score
+        |FROM gb JOIN cnt ON gb.b = cnt.b, tot
+        |GROUP BY gb.doc_id ORDER BY gb.doc_id""".stripMargin,
     "embedding_centroids" ->
       // the double -> VARCHAR -> DECIMAL route makes DuckDB round the
       // shortest-roundtrip decimal repr like Spark's Cast does; DuckDB's

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.{shingles, wsTokens}
+
 /** Corpus-composition operators — the last-mile steps that turn a curated
   * document pool into a training mix: per-source mixture sampling and
   * fixed-budget sequence packing.
@@ -75,5 +77,53 @@ object Curation {
       .withColumn("seq_id",
         floor((col("__cum") - col(tokenCol)) / budget).cast(LongType))
       .drop("__cum")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): every document is scored
+    * by how much more likely its hashed n-gram features are under a TARGET
+    * corpus (the domain you want more of) than under the RAW pool. Features
+    * are unigrams + bigrams hashed into `buckets` buckets; with add-1
+    * smoothing,
+    *   lam(b) = ln( (c_target(b)+1)/(N_target+B) / ((c_raw(b)+1)/(N_raw+B)) )
+    * and a document's score is the sum of lam over its feature stream
+    * (selection then keeps the top-weight documents, or samples by weight).
+    *
+    * Scale shape: the bucket count tables are FIXED-SIZE (B rows, built by
+    * one map-side-partial hash aggregate over the gram stream — target and
+    * raw counted in the same pass), so they BROADCAST to the scoring scan;
+    * the only data-sized shuffle is the per-document rollup. Engine
+    * parity: buckets come from an md5-prefix draw (the [[mixtureSample]]
+    * convention — no engine-private hash), each gram's lam is rounded to
+    * 6 dp (the transcendental convention) and the per-doc sum accumulates
+    * in DECIMAL, so scores are oracle-exact. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val toks = wsTokens(col(textCol))
+    val grams = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(concat(shingles(toks, 1), shingles(toks, 2))).as("__g"))
+      .withColumn("__b",
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast(LongType) % buckets)
+      .select(col(idCol), col("__t"), col("__b"))
+    val cnt = grams.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+    val tot = cnt.agg(
+      sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
+    grams
+      .join(broadcast(cnt), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__lam", round(log(
+        ((col("__ct") + 1).cast(DoubleType) /
+          (col("__nt") + buckets).cast(DoubleType)) /
+          ((col("__cr") + 1).cast(DoubleType) /
+            (col("__nr") + buckets).cast(DoubleType))), 6))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("__lam").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("dsir_score"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -515,6 +516,79 @@ object Dedup {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .withColumn("contamination",
         col("n_hit").cast(DoubleType) / col("n_ngrams").cast(DoubleType))
+  }
+
+  /** Repeated token-window spans — exact SUBSTRING-level dedup (the
+    * granularity below document near-dup: boilerplate sentences, license
+    * headers, templated passages that repeat across otherwise-distinct
+    * documents; Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" is the published recipe). Every `w`-token
+    * sliding window that occurs in >= `minDf` DISTINCT documents is
+    * flagged, and per document the flagged (overlapping or adjacent)
+    * windows merge into maximal spans `[span_start, span_end)` (1-based
+    * token positions, end exclusive).
+    *
+    * Scale shape: the window stream is corpus-token-sized but every
+    * shuffle is keyed — one hash aggregate finds hot windows (map-side
+    * partial distinct), one semi-join flags positions (8-byte window
+    * hashes, never window text — the [[ngramJaccardPairs]] convention),
+    * and the island merge is a per-document window function over FLAGGED
+    * positions only (documents bound the partition, no global sort). No
+    * self-join: cost is linear in corpus tokens + flagged positions. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 6, minDf: Long = 2): DataFrame = {
+    require(w >= 1, s"need w >= 1, got $w")
+    require(minDf >= 2, s"need minDf >= 2, got $minDf")
+    val win = docs
+      .select(col(idCol), posexplode(shingles(wsTokens(col(textCol)), w)))
+      .toDF(idCol, "__p0", "__g")
+      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("__pos"),
+        xxhash64(col("__g")).as("__gh"))
+    val hot = win.groupBy("__gh")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__gh")
+    val flagged = win.join(hot, Seq("__gh"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val prevEnd = max(col("__pos") + w)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__new",
+        when(prevEnd.isNull || col("__pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + w).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Per-document masking summary over [[repeatedSpans]]: how many tokens
+    * the substring-dedup pass would remove. One row per input document
+    * (docs with no repeated span report 0 / 0.0). The trainer-side
+    * contract is "drop or rewrite spans above a masked_frac budget" — this
+    * report is the decision input, joined back doc-keyed (no extra text
+    * movement). */
+  def maskRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 6, minDf: Long = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, w, minDf)
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("__ns"),
+        sum(col("span_end") - col("span_start")).as("__nm"))
+    docs
+      .select(col(idCol),
+        size(wsTokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"),
+        coalesce(col("__ns"), lit(0L)).as("n_spans"),
+        coalesce(col("__nm"), lit(0L)).as("n_masked"),
+        (coalesce(col("__nm"), lit(0L)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)).as("masked_frac"))
   }
 
   /** Embedding-cosine near-dup pairs within blocks. Norms are precomputed

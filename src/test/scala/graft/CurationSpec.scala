@@ -202,4 +202,39 @@ class CurationSpec extends AnyFunSuite {
     val big = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
     assert(big.select("cell").distinct().count() <= 8L)
   }
+
+  // ------------------------------------------------------------------
+  // dsirWeights
+  // ------------------------------------------------------------------
+
+  // disjoint vocabularies: target docs speak "alpha..", raw docs "zulu.."
+  def dsirPool: DataFrame = Seq(
+    (1L, "tgt", "alpha beta gamma delta alpha beta"),
+    (2L, "tgt", "beta gamma delta alpha gamma beta"),
+    (3L, "raw", "zulu yankee xray whiskey zulu yankee"),
+    (4L, "raw", "yankee xray whiskey zulu xray yankee")
+  ).toDF("doc_id", "source", "text")
+
+  test("dsir separates target-like from raw-like documents") {
+    val scored = Curation.dsirWeights(dsirPool, col("source") === "tgt",
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every target-vocab gram has c_t >= 1, c_r = 0 (and vice versa), so
+    // the scores separate with certainty barring a full md5 bucket
+    // collision between the two vocabularies
+    assert(scored(1L) > 0 && scored(2L) > 0, s"target docs: $scored")
+    assert(scored(3L) < 0 && scored(4L) < 0, s"raw docs: $scored")
+    assert(scored(1L) > scored(3L))
+  }
+
+  test("dsir feature stream is unigrams + bigrams and scores are deterministic") {
+    val out = Curation.dsirWeights(dsirPool, col("source") === "tgt",
+      "doc_id", "text")
+    // 6 tokens -> 6 unigrams + 5 bigrams
+    assert(out.select("n_feats").distinct().collect().map(_.getLong(0)).toSeq == Seq(11L))
+    val a = out.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Curation.dsirWeights(dsirPool, col("source") === "tgt",
+      "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

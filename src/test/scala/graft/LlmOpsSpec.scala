@@ -505,6 +505,58 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(year($"ts") === 2024 && month($"ts") === 1 && dayofmonth($"ts") === 1).count()
     assert(pruned.count() == direct)
   }
+
+  // ------------------------------------------------------------------
+  // repeatedSpans / maskRepeatedSpans (substring-level dedup)
+  // ------------------------------------------------------------------
+
+  // "c1 c2 c3 c4" repeats across docs 1 and 2 at different offsets;
+  // doc 3 repeats "z1 z2 z3 z4" only WITHIN itself (df = 1 doc);
+  // doc 4 shares nothing
+  def spanDocs = Seq(
+    (1L, "a1 a2 c1 c2 c3 c4 a3 a4 a5 a6"),
+    (2L, "c1 c2 c3 c4 b1 b2 b3 b4 b5 b6"),
+    (3L, "z1 z2 z3 z4 m1 z1 z2 z3 z4 m2"),
+    (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u0")
+  ).toDF("doc_id", "text")
+
+  test("repeated spans flag cross-doc windows and merge overlaps") {
+    val spans = Dedup.repeatedSpans(spanDocs, "doc_id", "text", w = 4, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // one maximal span per doc 1 and 2 covering exactly "c1 c2 c3 c4"
+    assert(spans.toSeq == Seq((1L, 3L, 7L, 1L), (2L, 1L, 5L, 1L)))
+  }
+
+  test("within-doc repeats don't count toward the document frequency") {
+    val spans = Dedup.repeatedSpans(spanDocs, "doc_id", "text", w = 4, minDf = 2)
+    assert(spans.filter($"doc_id" === 3L).count() == 0L)
+  }
+
+  test("adjacent and overlapping flagged windows merge into maximal spans") {
+    // docs share a 6-token run => three overlapping 4-windows merge to one
+    val docs = Seq(
+      (1L, "p q r s t u x1 x2"),
+      (2L, "y1 y2 p q r s t u")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", w = 4, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSeq == Seq((1L, 1L, 7L, 3L), (2L, 3L, 9L, 3L)))
+  }
+
+  test("mask report covers every doc with consistent token accounting") {
+    val rep = Dedup.maskRepeatedSpans(spanDocs, "doc_id", "text", w = 4, minDf = 2)
+    assert(rep.count() == 4L) // one row per input doc, spans or not
+    val bad = rep.filter($"n_masked" > $"n_tokens" ||
+      ($"n_spans" === 0 && $"n_masked" =!= 0) ||
+      $"masked_frac" < 0 || $"masked_frac" > 1).count()
+    assert(bad == 0L)
+    val d1 = rep.filter($"doc_id" === 1L).head()
+    assert(d1.getAs[Long]("n_masked") == 4L)
+    assert(d1.getAs[Double]("masked_frac") == 0.4)
+    assert(rep.filter($"doc_id" === 4L).head().getAs[Long]("n_spans") == 0L)
+  }
 }
 
 object LlmOpsSpec {
