@@ -199,6 +199,16 @@ package object functions {
     column(ShingleStrings(expression(tokens), n, distinct = true))
   }
 
+  /** Strided token windows — the native one-pass [[StridedWindows]]
+    * kernel. `cover = true` tiles the whole doc (passages, partial tails);
+    * `cover = false` is the sliding chunk window (last start at
+    * `len - w + 1`, floor 1). Bit-identical to the interpreted
+    * sequence/slice chains it replaced. */
+  def stridedWindows(tokens: Column, w: Int, stride: Int, cover: Boolean): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(StridedWindows(expression(tokens), w, stride, cover))
+  }
+
   /** Distinct xxhash64 shingle hashes — bit-identical to
     * `array_distinct(transform(wordShingles(text, n), s => xxhash64(s)))`,
     * one codegen'd pass ([[ShingleHashes]]). */

@@ -200,11 +200,8 @@ object TextAnalysis {
     require(chunkSize >= 1, s"need chunkSize >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride <= chunkSize, got $stride")
-    val words = wsTokens(col(textCol))
-    val lastStart = greatest(size(words) - chunkSize + 1, lit(1))
-    val chunks = transform(
-      sequence(lit(1), lastStart, lit(stride)),
-      s => concat_ws(" ", slice(words, s, lit(chunkSize))))
+    val chunks =
+      stridedWindows(wsTokens(col(textCol)), chunkSize, stride, cover = false)
     docs
       .select((col(idCol) +: carry.map(col)) :+ posexplode(chunks): _*)
       .toDF(((idCol +: carry) ++ Seq("chunk_id", "chunk_text")): _*)
@@ -387,10 +384,9 @@ object TextAnalysis {
       windowTokens: Int, maxDf: Long): DataFrame = {
     require(windowTokens >= 1, s"need windowTokens >= 1, got $windowTokens")
     require(maxDf >= 1, s"need maxDf >= 1, got $maxDf")
-    val words = wsTokens(col(textCol))
-    val passages = transform(
-      sequence(lit(1), greatest(size(words), lit(1)), lit(windowTokens)),
-      s => concat_ws(" ", slice(words, s, lit(windowTokens))))
+    val passages =
+      stridedWindows(wsTokens(col(textCol)), windowTokens, windowTokens,
+        cover = true)
     val p = docs
       .select(col(idCol), posexplode(passages))
       .toDF(idCol, "pid", "ptext")

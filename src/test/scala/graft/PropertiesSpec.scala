@@ -198,6 +198,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("strided-window kernel is bit-identical to the interpreted chains") {
+    import spark.implicits._
+    import graft.functions._
+    val edge = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two three"),
+      (4L, "a b c d e f g"), (5L, "a b c d e f g h"),
+      (6L, " leading  and trailing ")).toDF("doc_id", "text")
+    val words = wsTokens(col("text"))
+    for (docs <- Seq(edge, graft.Tables.documents(spark, "/root/testdata/sf0.001"));
+         (w, s) <- Seq((3, 3), (4, 2), (8, 8), (2, 1))) {
+      val got = docs.select(
+        stridedWindows(words, w, s, cover = true).as("pass"),
+        stridedWindows(words, w, s, cover = false).as("chunk"))
+        .collect().map(_.toSeq).toSeq
+      val want = docs.select(
+        transform(sequence(lit(1), greatest(size(words), lit(1)), lit(s)),
+          i => concat_ws(" ", slice(words, i, lit(w)))).as("pass"),
+        transform(sequence(lit(1), greatest(size(words) - w + 1, lit(1)), lit(s)),
+          i => concat_ws(" ", slice(words, i, lit(w)))).as("chunk"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"w=$w stride=$s")
+    }
+  }
+
   test("Misra-Gries heavy hitters equal the naive groupBy threshold exactly") {
     // zipfian-ish stream: small hot vocabulary + long tail of rare tokens
     val tokGen = Gen.listOfN(400, Gen.frequency(
