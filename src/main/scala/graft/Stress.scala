@@ -213,6 +213,20 @@ object Stress {
           windowTokens = 3, maxDf = 3L),
         sum(crc32(col("text_clean")) + col("n_dropped")))
     }
+    time("repeated_spans") {
+      Dedup.repeatedSpans(docs, "doc_id", "text", w = 6, minDf = 2).count()
+    }
+    time("dedup_substring") {
+      forced(Dedup.maskRepeatedSpans(docs, "doc_id", "text", w = 6, minDf = 2),
+        sum(col("n_masked") + col("n_spans")))
+    }
+    time("dsir_weights") {
+      // no source column on the stress corpus: target = a deterministic
+      // 1/5 hash slice of the doc ids
+      forced(graft.operators.Curation.dsirWeights(docs,
+          xxhash64(col("doc_id")) % 5 === 0, "doc_id", "text"),
+        sum(col("dsir_score") + col("n_feats")))
+    }
     // cluster the MINHASH pairs (the approximate scale path feeds the
     // canonicalizer at 100 TB, not the exact join): ~1M pair edges over
     // 100k nodes, replica cliques -> few pointer-jumping rounds
