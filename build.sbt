@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Spark 4's session-artifact isolation (default ON) resolves every
+  // classloader miss via a driver RPC file-download; with no session
+  // artifacts in play it is pure overhead (see GraftSession). Session-
+  // creation-time conf, so pin it for every forked JVM.
+  "-Dspark.sql.artifact.isolation.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -8,6 +8,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // no session artifacts -> skip the per-class-miss RPC fetch the
+      // Spark 4 isolation default installs (see GraftSession)
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.local.dir", GraftSession.scratchDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,6 +47,9 @@ object Bench {
       // the run recreates the round-3 storage-pressure variance class
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet -- baseline).foreach(id => rdds(id).unpersist(blocking = false))
+      // stderr progress line per query: correlates a wall-clock stall
+      // with the query it hit (the JSON line on stdout stays the contract)
+      System.err.println(f"[bench] $name%-32s $elapsed%8.2f s")
       name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

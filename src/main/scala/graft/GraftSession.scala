@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * results are reproducible against the DuckDB oracle.
   */
 object GraftSession {
+  /** Shuffle/spill scratch: tmpfs when available. A production cluster
+    * puts `spark.local.dir` on fast local NVMe; routing the local-mode
+    * equivalent through a RAM disk keeps benchmarks measuring the engine
+    * rather than the sandbox's block device (measured: individual
+    * queries stall 30-100 s in `FileOutputStream.write` when the host's
+    * virtio disk chokes on shuffle writes). */
+  private[graft] def scratchDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, "graft-local").toString
+  }
+
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -22,6 +36,17 @@ object GraftSession {
       // never collides with a stale location in the working directory
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // Spark 4 defaults session-artifact isolation ON, which wraps every
+      // job in a JobArtifactState whose ExecutorClassLoader resolves each
+      // classloader MISS (janino-generated code produces thousands) over a
+      // driver RPC file-download — a serialized round-trip per miss. This
+      // library adds no session artifacts (its jar rides the executor
+      // classpath under spark-submit), so isolation buys nothing and the
+      // RPC detour can dominate wall-clock when syscalls are slow
+      // (measured: the whole sf0.1 bench 912 s -> ~2 min on one host).
+      // Session-creation-time conf — it has no effect set later.
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.local.dir", scratchDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
