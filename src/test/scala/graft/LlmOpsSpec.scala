@@ -557,6 +557,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d1.getAs[Double]("masked_frac") == 0.4)
     assert(rep.filter($"doc_id" === 4L).head().getAs[Long]("n_spans") == 0L)
   }
+
+  test("span geometry invariants hold across window sizes (w in {2,3,6})") {
+    // round-7 verdict item 6: the island-merge edge cases (adjacent vs
+    // overlapping windows) must hold at more than one geometry
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    for (w <- Seq(2, 3, 6)) {
+      val spans = Dedup.repeatedSpans(docs, "doc_id", "text", w = w, minDf = 2)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(spans.nonEmpty, s"w=$w found no spans on the test corpus")
+      spans.foreach { case (id, s, e, n) =>
+        assert(e - s >= w, s"w=$w doc=$id span [$s,$e) shorter than a window")
+        assert(n >= 1 && n <= e - s - w + 1, s"w=$w doc=$id window count $n out of range")
+      }
+      // maximality: spans of one doc are disjoint AND non-mergeable
+      // (a following span starts strictly past the previous end)
+      spans.groupBy(_._1).values.foreach { ds =>
+        ds.sliding(2).foreach {
+          case Array((id, _, e1, _), (_, s2, _, _)) =>
+            assert(s2 > e1, s"w=$w doc=$id spans [..,$e1) and [$s2,..) should have merged")
+          case _ => ()
+        }
+      }
+    }
+    // refinement: a repeated 6-window implies its inner 3-windows repeat,
+    // so the w=3 span union must COVER every w=6 span
+    def covered(spans: Array[(Long, Long, Long)], id: Long, s: Long, e: Long): Boolean = {
+      // spans of one doc are sorted + disjoint: one sweep extends coverage
+      var p = s
+      spans.filter(_._1 == id).sortBy(_._2)
+        .foreach { x => if (x._2 <= p && x._3 > p) p = x._3 }
+      p >= e
+    }
+    val w3 = Dedup.repeatedSpans(docs, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w6 = Dedup.repeatedSpans(docs, "doc_id", "text", w = 6, minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    w6.foreach { case (id, s, e) =>
+      assert(covered(w3, id, s, e), s"w=6 span doc=$id [$s,$e) not covered by w=3 spans")
+    }
+  }
 }
 
 object LlmOpsSpec {

@@ -204,4 +204,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pf.contains("= 2024") && pf.contains(">= 10") && pf.contains("< 12"), pf)
     assert(scan.dataFilters.isEmpty, scan.dataFilters.map(_.sql).mkString(", "))
   }
+
+  test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
+    // stage the bucketed tables, then inspect the read/join/rollup plan
+    SparkEntry.queries("bucketed_join")(spark, sf).collect()
+    val df = SparkEntry.bucketedJoinRead(spark)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
 }
