@@ -456,6 +456,14 @@ object SparkEntry {
     Dedup.repeatedSpans(documents(s, d), "doc_id", "text", w = 3, minDf = 2)
       .orderBy("doc_id", "span_start")
 
+  /** BM25 retrieval: the first 8 documents act as the query set (the
+    * sim_topk convention) against the whole corpus, top-10 per query. */
+  private def bm25TopKQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10)
+      .orderBy(col("q_id"), col("score").desc, col("doc_id"))
+  }
+
   /** DSIR importance weights: hashed unigram+bigram features, target =
     * the src0-src3 slice of the pool (the "domain we want more of"),
     * raw = the rest. Selection keeps the top-score documents. */
@@ -1135,6 +1143,7 @@ object SparkEntry {
     "pack_sequences_sharded" -> (packSequencesShardedQ _),
     "kmeans_centroids" -> (kmeansCentroidsQ _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "bm25_topk" -> (bm25TopKQ _),
     "distinct_users" -> (distinctUsers _),
     "distinct_users_approx" -> (distinctUsersApprox _),
     "sample_stratified" -> (sampleStratified _),
@@ -1754,6 +1763,29 @@ object SparkEntry {
         |   / COUNT(*) AS mean_quality,
         | CAST(COUNT(DISTINCT pred_lang) AS BIGINT) AS n_langs
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') w FROM documents),
+        |tok AS (SELECT doc_id, u.g AS term FROM toks, unnest(w) u(g)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 8),
+        |sc AS (SELECT q.q_id, tf.doc_id,
+        |        ROUND((ln((CAST(s.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |              / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |           * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+        |          / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |             * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE)
+        |                * (CAST(dl.dl AS DOUBLE) / (CAST(s.toks AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6) AS sv
+        |       FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+        |        JOIN dfq ON tf.term = dfq.term, s),
+        |agg AS (SELECT q_id, doc_id, CAST(SUM(CAST(sv AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |        FROM sc GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn FROM agg)
+        |SELECT q_id, doc_id, score FROM r WHERE rn <= 10
+        |ORDER BY q_id, score DESC, doc_id""".stripMargin,
     "lm_score" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |bi AS (SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS bg

@@ -280,6 +280,64 @@ object TextAnalysis {
       order = Seq(("tfidf", true), ("term", false)), k = k)
   }
 
+  /** BM25 retrieval top-k — score every corpus document against a QUERY
+    * document set and keep the k best per query (Robertson/Sparck-Jones
+    * probabilistic ranking; the Lucene-style positive idf variant
+    * ln((N - df + 0.5)/(df + 0.5) + 1)). In a curation pipeline this is
+    * the retrieval face of decontamination: "which training documents
+    * does each benchmark item retrieve" catches paraphrase-level overlap
+    * that fingerprint joins miss, and doubles as the corpus-inspection
+    * search box.
+    *
+    * Scale shape: the query set is eval/bench-sized, so its term set
+    * BROADCASTS and the corpus tf stream is pruned to query terms
+    * MAP-SIDE before anything shuffles (the ngram_contamination
+    * convention); df joins only the pruned query-term rows (bench-sized,
+    * broadcast); per-(query, doc) scores shuffle once on the rollup key;
+    * ranking runs on the heap [[graft.plans.TopKPerGroup]] operator
+    * (O(n log k) partial/final, no per-query full sort). N and avgdl
+    * ride as one broadcast one-row aggregate.
+    *
+    * Engine parity: every literal is an exact-in-both-engines double
+    * (k1+1 folds to the literal 2.2 bit-exactly), every subexpression is
+    * parenthesized identically in the oracle SQL, each per-term score
+    * rounds to 6 dp (the tfidf transcendental convention) and the
+    * per-(query, doc) sum accumulates in DECIMAL — hash-exact. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(
+      col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val stats = broadcast(
+      dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__toks")))
+    val qterms = queries.select(
+      col(idCol).as("q_id"),
+      explode(array_distinct(wsTokens(lower(col(textCol))))).as("term"))
+    // document frequencies of QUERY terms only — query-set-sized
+    val qdf = qterms.select("term").distinct().join(dfreq, "term")
+    val avgdl = col("__toks").cast(DoubleType) / col("__n").cast(DoubleType)
+    val idf = log(
+      (col("__n").cast(DoubleType) - col("__df").cast(DoubleType) + lit(0.5)) /
+        (col("__df").cast(DoubleType) + lit(0.5)) + lit(1.0))
+    val denom = col("__tf").cast(DoubleType) +
+      lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * (col("__dl").cast(DoubleType) / avgdl))
+    val perDoc = tf
+      .join(broadcast(qterms), "term")
+      .join(dl, idCol)
+      .join(broadcast(qdf), "term")
+      .crossJoin(stats)
+      .withColumn("__s",
+        round((idf * (col("__tf").cast(DoubleType) * (lit(k1) + lit(1.0)))) / denom, 6))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("__s").cast(DecimalType(28, 12))).cast(DoubleType).as("score"))
+    graft.plans.TopKPerGroup(perDoc, Seq("q_id"),
+      order = Seq(("score", true), (idCol, false)), k = k)
+  }
+
   /** CCNet-style n-gram LM scoring — the perplexity-proxy quality signal
     * curation pipelines gate on (docs that score far from the corpus LM
     * are boilerplate, spam, or wrong-language): a bigram model with add-k

@@ -205,6 +205,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.dataFilters.isEmpty, scan.dataFilters.map(_.sql).mkString(", "))
   }
 
+  test("bm25_topk: broadcast query side, heap-ranked, no cartesian blowup") {
+    val p = plan("bm25_topk")
+    assert("TopKPerGroup 10".r.findAllIn(p).size == 2, p) // partial + final
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
     // stage the bucketed tables, then inspect the read/join/rollup plan
     SparkEntry.queries("bucketed_join")(spark, sf).collect()
