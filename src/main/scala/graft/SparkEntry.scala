@@ -456,6 +456,12 @@ object SparkEntry {
     Dedup.repeatedSpans(documents(s, d), "doc_id", "text", w = 3, minDf = 2)
       .orderBy("doc_id", "span_start")
 
+  /** Winnowing fingerprints (MOSS): k=4-gram hashes, window w=4 —
+    * guaranteed-coverage positional sketch per document. */
+  private def textWinnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnowFingerprints(documents(s, d), "doc_id", "text", k = 4, w = 4)
+      .orderBy("doc_id", "pos")
+
   /** BM25 retrieval: the first 8 documents act as the query set (the
     * sim_topk convention) against the whole corpus, top-10 per query. */
   private def bm25TopKQ(s: SparkSession, d: String): DataFrame = {
@@ -847,10 +853,22 @@ object SparkEntry {
   // Sources (SURVEY §2 #2, #4)
   // ------------------------------------------------------------------
 
+  /** Base dir for the staging round-trip fixtures: tmpfs when available
+    * (same rationale as GraftSession.scratchDir — these queries exercise
+    * partitioned-write SEMANTICS [layout, overwrite, pruning], which a
+    * production lake serves from object storage, not this sandbox's
+    * block device). PlanShapeSpec resolves the same path through this
+    * helper. */
+  private[graft] def stagingBase: String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm)) "/dev/shm"
+    else sys.props("java.io.tmpdir").stripSuffix("/")
+  }
+
   /** y/m/d partitioned staging round-trip: write events staged, read back,
     * per-partition counts prove layout + pruning columns. */
   private def stagedPartitionedWrite(s: SparkSession, d: String): DataFrame = {
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_staging_events"
+    val path = stagingBase + "/graft_staging_events"
     Staging.writeStaged(events(s, d).select("event_id", "ts", "value"), "ts", path)
     Staging.readStaged(s, path)
       .groupBy(
@@ -869,7 +887,7 @@ object SparkEntry {
     * partition columns so only the requested slice's directories are
     * scanned (PartitionFilters — pinned by PlanShapeSpec). */
   private def incrementalInterval(s: SparkSession, d: String): DataFrame = {
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_incremental_events"
+    val path = stagingBase + "/graft_incremental_events"
     // fixture reset: dynamic overwrite only replaces partitions present in
     // the incoming write, so stale partitions from an older run must go
     val fsPath = new org.apache.hadoop.fs.Path(path)
@@ -1144,6 +1162,7 @@ object SparkEntry {
     "kmeans_centroids" -> (kmeansCentroidsQ _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "bm25_topk" -> (bm25TopKQ _),
+    "text_winnow" -> (textWinnow _),
     "distinct_users" -> (distinctUsers _),
     "distinct_users_approx" -> (distinctUsersApprox _),
     "sample_stratified" -> (sampleStratified _),
@@ -1763,6 +1782,25 @@ object SparkEntry {
         |   / COUNT(*) AS mean_quality,
         | CAST(COUNT(DISTINCT pred_lang) AS BIGINT) AS n_langs
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "text_winnow" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |        CAST(concat('0x', substr(md5(array_to_string(w[i.i:i.i+3], ' ')), 1, 8)) AS BIGINT) AS h
+        |      FROM toks, unnest(generate_series(1, len(w)-3)) i(i) WHERE len(w) >= 4),
+        |x AS (SELECT doc_id, pos, h,
+        |  (CASE WHEN LAG(h,1) OVER dw >= h THEN 1 ELSE 0 END
+        |   + CASE WHEN LAG(h,1) OVER dw >= h AND LAG(h,2) OVER dw >= h THEN 1 ELSE 0 END
+        |   + CASE WHEN LAG(h,1) OVER dw >= h AND LAG(h,2) OVER dw >= h
+        |          AND LAG(h,3) OVER dw >= h THEN 1 ELSE 0 END) AS llen,
+        |  (CASE WHEN LEAD(h,1) OVER dw > h THEN 1 ELSE 0 END
+        |   + CASE WHEN LEAD(h,1) OVER dw > h AND LEAD(h,2) OVER dw > h THEN 1 ELSE 0 END
+        |   + CASE WHEN LEAD(h,1) OVER dw > h AND LEAD(h,2) OVER dw > h
+        |          AND LEAD(h,3) OVER dw > h THEN 1 ELSE 0 END) AS rlen,
+        |  MAX(pos) OVER (PARTITION BY doc_id) AS m
+        |  FROM g WINDOW dw AS (PARTITION BY doc_id ORDER BY pos))
+        |SELECT doc_id, pos, h AS gram_hash FROM x
+        |WHERE GREATEST(1, pos - 3, pos - llen) <= LEAST(pos + rlen, m) - 3
+        |ORDER BY doc_id, pos""".stripMargin,
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') w FROM documents),
         |tok AS (SELECT doc_id, u.g AS term FROM toks, unnest(w) u(g)),

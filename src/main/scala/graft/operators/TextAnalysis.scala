@@ -280,6 +280,56 @@ object TextAnalysis {
       order = Seq(("tfidf", true), ("term", false)), k = k)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    * algorithm): from every window of `w` consecutive k-gram hashes,
+    * record the minimum (rightmost on ties). Guarantees at least one
+    * fingerprint per w consecutive grams (max gap w) at expected density
+    * 2/(w+1) — the POSITION-ROBUST sketch that 0-mod-p sampling (the
+    * [[chunkContentDefined]] draw) cannot guarantee: mod-sampling can
+    * leave unboundedly long unfingerprinted runs, winnowing cannot.
+    *
+    * The sliding-window recurrence is re-expressed CLOSED-FORM so it runs
+    * as one per-document window pass instead of a stateful scan: position
+    * p (hash h) is some window's rightmost-min iff
+    * `max(1, p-w+1, p-llen) <= min(p+rlen, m) - w + 1`, where llen = run
+    * of consecutive PRECEDING hashes >= h, rlen = run of consecutive
+    * FOLLOWING hashes > h (both capped at w-1), m = grams in the doc.
+    * (Verified against the paper's worked example in the spec.) Runs are
+    * w-1 lag/lead conjunction chains -> one WindowExec over the doc
+    * shuffle, no self-join, no state. Documents with fewer than w grams
+    * emit nothing (no full window exists).
+    *
+    * The rank hash is the md5 32-bit-prefix of the gram string (the
+    * [[chunkContentDefined]] engine-portable convention), so the oracle
+    * selects bit-identical positions. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(w >= 2, s"need w >= 2, got $w")
+    val stream = docs
+      .select(col(idCol), posexplode(shingles(wsTokens(col(textCol)), k)))
+      .toDF(idCol, "__p0", "__g")
+      .select(col(idCol), (col("__p0") + 1).cast(LongType).as("pos"),
+        conv(substring(md5(col("__g")), 1, 8), 16, 10).cast(LongType).as("gram_hash"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val h = col("gram_hash")
+    val llen = (1 until w).map { i =>
+      when((1 to i).map(j => lag(h, j).over(byDoc) >= h).reduce(_ && _), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val rlen = (1 until w).map { i =>
+      when((1 to i).map(j => lead(h, j).over(byDoc) > h).reduce(_ && _), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val m = max(col("pos")).over(Window.partitionBy(col(idCol)))
+    stream
+      .withColumn("__sel",
+        greatest(lit(1L), col("pos") - lit(w - 1L), col("pos") - llen) <=
+          least(col("pos") + rlen, m) - lit(w - 1L))
+      .filter(col("__sel"))
+      .select(col(idCol), col("pos"), col("gram_hash"))
+  }
+
   /** BM25 retrieval top-k — score every corpus document against a QUERY
     * document set and keep the k best per query (Robertson/Sparck-Jones
     * probabilistic ranking; the Lucene-style positive idf variant

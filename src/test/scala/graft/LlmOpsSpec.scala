@@ -598,6 +598,65 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(covered(w3, id, s, e), s"w=6 span doc=$id [$s,$e) not covered by w=3 spans")
     }
   }
+
+  // ------------------------------------------------------------------
+  // winnowFingerprints (MOSS winnowing)
+  // ------------------------------------------------------------------
+
+  test("winnowing matches the brute-force sliding-window reference") {
+    // the closed-form llen/rlen selection must equal literal winnowing:
+    // every length-w window's rightmost minimum, union'd
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    for (w <- Seq(2, 4)) {
+      val got = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference: recompute the hash stream with the operator's own
+      // hash convention, then brute-force the window minima
+      val stream = docs
+        .select($"doc_id", posexplode(graft.functions.shingles(
+          graft.functions.wsTokens($"text"), 3)))
+        .toDF("doc_id", "p0", "g")
+        .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
+          conv(substring(md5($"g"), 1, 8), 16, 10).cast("long").as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // .toSeq before flatMap: Map.flatMap over pairs would collapse the
+      // per-doc selection sets back into a one-entry-per-doc Map
+      val expected = stream.groupBy(_._1).toSeq.flatMap { case (id, rows) =>
+        val hs = rows.sortBy(_._2).map(_._3)
+        (0 to hs.length - w).flatMap { i =>
+          val win = hs.slice(i, i + w)
+          val minV = win.min
+          val sel = i + win.lastIndexOf(minV) // rightmost tie
+          Some((id, sel + 1L))
+        }.toSet
+      }.toSet
+      assert(got == expected,
+        s"w=$w: ${(got -- expected).size} extra, ${(expected -- got).size} missing")
+      assert(got.nonEmpty, s"w=$w selected nothing")
+    }
+  }
+
+  test("winnowing guarantees a fingerprint in every w-gram window") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val w = 4
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 3, w = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).sorted }
+    val streamLen = docs
+      .select($"doc_id", size(graft.functions.wsTokens($"text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1) - 2L)).toMap // grams = tokens-(k-1)
+    byDoc.foreach { case (id, ps) =>
+      // max gap between consecutive fingerprints (and to the stream edges
+      // measured from the first/last possible window) is <= w
+      ps.sliding(2).foreach {
+        case Array(a, b) => assert(b - a <= w, s"doc=$id gap $a -> $b exceeds w=$w")
+        case _ => ()
+      }
+      assert(ps.head <= w, s"doc=$id first fingerprint ${ps.head} past first window")
+      assert(streamLen(id) - ps.last <= w - 1,
+        s"doc=$id last fingerprint ${ps.last} leaves tail uncovered")
+    }
+  }
 }
 
 object LlmOpsSpec {

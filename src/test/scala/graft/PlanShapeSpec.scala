@@ -192,7 +192,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("incremental read-back prunes to the interval's partitions") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_incremental_events"
+    val path = SparkEntry.stagingBase + "/graft_incremental_events"
     val scan = sources.Staging.readStaged(spark, path)
       .filter(col("y") === 2024 && col("m") === 1 && col("d") >= 10 && col("d") < 12)
       .queryExecution.executedPlan
