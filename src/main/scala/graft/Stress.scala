@@ -227,6 +227,17 @@ object Stress {
           xxhash64(col("doc_id")) % 5 === 0, "doc_id", "text"),
         sum(col("dsir_score") + col("n_feats")))
     }
+    time("text_winnow") {
+      forced(TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4),
+        sum(col("gram_hash") + col("pos")))
+    }
+    time("bm25_topk") {
+      // query set = 8 docs (the registry convention) against the full
+      // replicated corpus
+      forced(TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") < 8),
+          "doc_id", "text", k = 10),
+        sum(col("score") + col("doc_id")))
+    }
     // cluster the MINHASH pairs (the approximate scale path feeds the
     // canonicalizer at 100 TB, not the exact join): ~1M pair edges over
     // 100k nodes, replica cliques -> few pointer-jumping rounds

@@ -205,6 +205,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scan.dataFilters.isEmpty, scan.dataFilters.map(_.sql).mkString(", "))
   }
 
+  test("text_winnow: one doc-keyed shuffle feeds the window passes") {
+    val p = plan("text_winnow")
+    // two Window operators (the ordered lag/lead run chains + the
+    // unordered per-doc max) must SHARE one per-document shuffle — the
+    // doc-keyed Exchange is the only hash Exchange in the plan
+    assert("Window ".r.findAllIn(p).size == 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("bm25_topk: broadcast query side, heap-ranked, no cartesian blowup") {
     val p = plan("bm25_topk")
     assert("TopKPerGroup 10".r.findAllIn(p).size == 2, p) // partial + final
