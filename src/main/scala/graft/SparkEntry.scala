@@ -456,6 +456,15 @@ object SparkEntry {
     Dedup.repeatedSpans(documents(s, d), "doc_id", "text", w = 3, minDf = 2)
       .orderBy("doc_id", "span_start")
 
+  /** PQ asymmetric-distance ANN (rows-only): 8 subspaces x 16 codes over
+    * the 64-dim embeddings — the IVF-PQ compression path. */
+  private def pqAnnTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.pqAnnTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   /** Winnowing fingerprints (MOSS): k=4-gram hashes, window w=4 —
     * guaranteed-coverage positional sketch per document. */
   private def textWinnow(s: SparkSession, d: String): DataFrame =
@@ -1185,6 +1194,7 @@ object SparkEntry {
     "decontaminate_minhash" -> (decontaminateMinhash _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
+    "pq_ann_topk" -> (pqAnnTopK _),
     "asof_join" -> (asofJoinQ _),
     "range_join" -> (rangeJoinQ _)
   )

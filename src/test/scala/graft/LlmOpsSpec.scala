@@ -600,6 +600,36 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // pqAnnTopK (product quantization)
+  // ------------------------------------------------------------------
+
+  test("pq ann is deterministic and recalls the exact L2 neighbours") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 8)
+    def run() = Similarity.pqAnnTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "pq ann must be bit-reproducible run to run")
+    // exact asymmetric-L2 top-10 per query, computed directly
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val qs = vecs.filter(_._1 < 8)
+    def l2(x: Array[Double], y: Array[Double]): Double =
+      x.indices.map(i => (x(i) - y(i)) * (x(i) - y(i))).sum
+    val overlaps = qs.map { case (qid, qv) =>
+      val exact = vecs.filter(_._1 != qid).map { case (id, v) => (id, l2(qv, v)) }
+        .sortBy { case (id, dist) => (dist, id) }.take(10).map(_._1).toSet
+      val got = a.filter(_._1 == qid).map(_._2).toSet
+      exact.intersect(got).size
+    }
+    val mean = overlaps.sum.toDouble / overlaps.length
+    // 16-byte codes over 64 dims: coarse, but must beat noise by far
+    // (random 10-of-500 overlap ~ 0.2)
+    assert(mean >= 3.5, s"mean exact-L2 recall@10 too low: $mean (${overlaps.toSeq})")
+  }
+
+  // ------------------------------------------------------------------
   // winnowFingerprints (MOSS winnowing)
   // ------------------------------------------------------------------
 
