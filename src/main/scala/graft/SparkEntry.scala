@@ -465,6 +465,16 @@ object SparkEntry {
       .orderBy("q_id", "rk")
   }
 
+  /** Full IVF-PQ (rows-only): 16 coarse cells, 4 probed, PQ codes score
+    * the probed candidates by asymmetric distance. */
+  private def simIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, coarseCells = 16, nProbe = 4)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   /** Winnowing fingerprints (MOSS): k=4-gram hashes, window w=4 —
     * guaranteed-coverage positional sketch per document. */
   private def textWinnow(s: SparkSession, d: String): DataFrame =
@@ -1195,6 +1205,7 @@ object SparkEntry {
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "pq_ann_topk" -> (pqAnnTopK _),
+    "sim_ivfpq_topk" -> (simIvfPqTopK _),
     "asof_join" -> (asofJoinQ _),
     "range_join" -> (rangeJoinQ _)
   )

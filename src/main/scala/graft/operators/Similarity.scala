@@ -246,7 +246,48 @@ object Similarity {
   def pqAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, ksub: Int = 64,
       iters: Int = 4): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
+    val (codes, tables) = pqCodesAndTables(corpus, queries, idCol, vecCol, m, ksub, iters)
+    pqRank(codes.join(broadcast(tables), Seq("__j", "__code")), idCol, k)
+  }
+
+  /** Full IVF-PQ: the coarse inverted file restricts WHICH vectors each
+    * query scores (nProbe of coarseCells cells — the [[ivfTopK]] recall
+    * trade), product quantization decides HOW each candidate is scored
+    * (asymmetric distance over codes — the [[pqAnnTopK]] compression
+    * trade). The probes set (queries x nProbe rows) broadcasts and
+    * filters the code stream BEFORE the per-(query, vector) rollup, so
+    * ADC work per query drops by ~nProbe/coarseCells; in a full storage
+    * integration the code stream is additionally bucketed by coarse cell
+    * so non-probed cells are never scanned. With nProbe = coarseCells
+    * this is bit-identical to [[pqAnnTopK]] (spec-pinned). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, coarseCells: Int = 32, nProbe: Int = 4,
+      m: Int = 16, ksub: Int = 64, iters: Int = 4): DataFrame = {
+    require(coarseCells >= 1, s"need coarseCells >= 1, got $coarseCells")
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
+    val (codes, tables) = pqCodesAndTables(corpus, queries, idCol, vecCol, m, ksub, iters)
+    val coarse = kmeansCentroids(corpus, idCol, vecCol, coarseCells, iters)
+    val cells = assignCells(corpus.select(col(idCol), col(vecCol)),
+        vecCol, coarse, "__coarse")
+      .select(col(idCol), col("__coarse"))
+    val cm = centroidMatrix(coarse)
+    val probes = queries.select(
+      col(idCol).as("q_id"),
+      explode(graft.functions.nearestCells(col(vecCol), cm.map(_._2),
+        cm.map(_._1), math.min(nProbe, cm.length))).as("__coarse"))
+    pqRank(
+      codes
+        .join(cells, idCol)
+        .join(broadcast(tables), Seq("__j", "__code"))
+        .join(broadcast(probes), Seq("q_id", "__coarse")),
+      idCol, k)
+  }
+
+  /** Shared PQ build: joint codebooks + the code stream + the per-query
+    * ADC tables (see [[pqAnnTopK]] for the shapes). */
+  private def pqCodesAndTables(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     require(m >= 1, s"need m >= 1, got $m")
     require(ksub >= 2, s"need ksub >= 2, got $ksub")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
@@ -329,8 +370,13 @@ object Similarity {
       }
     }.toSeq.toDF("q_id", "__j", "__code", "__partial")
 
-    val scored = codes
-      .join(broadcast(tables), Seq("__j", "__code"))
+    (codes, tables)
+  }
+
+  /** ADC rollup + heap ranking over joined (q_id, id, __partial) rows. */
+  private def pqRank(scoredRows: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val scored = scoredRows
       .filter(col("q_id") =!= col(idCol))
       .groupBy(col("q_id"), col(idCol))
       // decimal addends: the m partials sum order-independently, so the

@@ -629,6 +629,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean >= 3.5, s"mean exact-L2 recall@10 too low: $mean (${overlaps.toSeq})")
   }
 
+  test("ivf-pq probing all cells is bit-identical to plain pq") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val pq = rows(Similarity.pqAnnTopK(emb, queries, "vec_id", "embedding", k = 10))
+    // nProbe = coarseCells => no candidate is ever filtered out
+    val all = rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, coarseCells = 8, nProbe = 8))
+    assert(all == pq, "probing every cell must reduce IVF-PQ to plain PQ")
+    // restricted probing returns <= k rows per query from probed cells
+    // and keeps a solid overlap with the unrestricted ranking
+    val probed = rows(Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 10, coarseCells = 8, nProbe = 3))
+    val overlap = probed.map(r => (r._1, r._2)).toSet
+      .intersect(pq.map(r => (r._1, r._2)).toSet).size
+    assert(overlap >= pq.size / 2, s"nProbe=3/8 overlap too low: $overlap of ${pq.size}")
+  }
+
   // ------------------------------------------------------------------
   // winnowFingerprints (MOSS winnowing)
   // ------------------------------------------------------------------
