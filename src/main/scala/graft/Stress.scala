@@ -227,6 +227,16 @@ object Stress {
           xxhash64(col("doc_id")) % 5 === 0, "doc_id", "text"),
         sum(col("dsir_score") + col("n_feats")))
     }
+    time("pq_ann_topk") {
+      forced(Similarity.pqAnnTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10),
+        sum(col("adc_dist") + col("rank")))
+    }
+    time("sim_ivfpq_topk") {
+      forced(Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 10, coarseCells = 32, nProbe = 4),
+        sum(col("adc_dist") + col("rank")))
+    }
     time("text_winnow") {
       forced(TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4),
         sum(col("gram_hash") + col("pos")))

@@ -154,6 +154,12 @@ package object functions {
     column(NearestCells(expression(vec), centroids, cells, n))
   }
 
+  /** All-subspace PQ code assignment in one pass ([[PqCodes]]). */
+  def pqCodes(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(PqCodes(expression(vec), books))
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector — the native
     * one-pass [[HyperplaneBucket]] kernel. */
   def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column = {

@@ -307,44 +307,42 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(seedVecs.length >= 2, s"need >= 2 vectors, got ${seedVecs.length}")
-    val cellNames = seedVecs.indices.map(i => f"c$i%03d").toArray
     var books: Array[Array[Array[Double]]] =
       (0 until m).toArray.map(j => seedVecs.map(_.slice(j * d, (j + 1) * d)))
 
-    def assignCols = (0 until m).map { j =>
-      graft.functions.nearestCells(
-        slice(col(vecCol), j * d + 1, d), books(j), cellNames, 1)
-        .getItem(0).as(s"__c$j")
-    }
+    // all m assignments in ONE PqCodes kernel call: m separate
+    // NearestCells expressions put ~m inlined kernel bodies into a single
+    // whole-stage-codegen method, blowing the JIT huge-method limit so
+    // the hot loop ran INTERPRETED (~425 us/row measured at m=16) — the
+    // MinHashBands lesson again
+    def codesCol = graft.functions.pqCodes(col(vecCol), books).as("__codes")
     for (_ <- 1 until iters) {
       val updated = corpus
-        .select(col(vecCol) +: assignCols: _*)
-        .select(posexplode(col(vecCol)).as(Seq("__i", "__x")),
-          array((0 until m).map(j => col(s"__c$j")): _*).as("__cells"))
+        .select(col(vecCol), codesCol)
+        .select(posexplode(col(vecCol)).as(Seq("__i", "__x")), col("__codes"))
         .withColumn("__j", floor(col("__i") / d).cast(IntegerType))
         .select(col("__j"),
-          element_at(col("__cells"), col("__j") + 1).as("__cell"),
+          element_at(col("__codes"), col("__j") + 1).as("__code"),
           (col("__i") % d).cast(LongType).as("__pos"), col("__x"))
-        .groupBy(col("__j"), col("__cell"), col("__pos"))
+        .groupBy(col("__j"), col("__code"), col("__pos"))
         .agg((sum(col("__x").cast(DoubleType).cast(DecimalType(28, 12)))
           .cast(DoubleType) / count(col("__x"))).as("__c"))
         .collect()
-        .groupBy(r => (r.getInt(0), r.getString(1)))
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
         .map { case (k2, rows) =>
           k2 -> rows.sortBy(_.getLong(2)).map(_.getDouble(3))
         }
       books = (0 until m).toArray.map { j =>
-        cellNames.zipWithIndex.map { case (n, ci) =>
-          updated.getOrElse((j, n), books(j)(ci)) // empty cell carries forward
+        books(j).indices.toArray.map { ci =>
+          updated.getOrElse((j, ci), books(j)(ci)) // empty cell carries forward
         }
       }
     }
 
-    // code assignment: the same m NearestCells exprs, one map-side pass
-    val codeCols = assignCols
+    // code assignment: the same single-kernel pass, map-side
     val codes = corpus
-      .select(col(idCol) +: codeCols: _*)
-      .select(col(idCol), posexplode(array((0 until m).map(j => col(s"__c$j")): _*)))
+      .select(col(idCol), codesCol)
+      .select(col(idCol), posexplode(col("__codes")))
       .toDF(idCol, "__j", "__code")
 
     // asymmetric distance tables: exact per-subspace L2^2 from each query
@@ -357,7 +355,7 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val tables = qvecs.flatMap { case (qid, qv) =>
       (0 until m).flatMap { j =>
-        cellNames.zip(books(j)).map { case (name, cent) =>
+        books(j).zipWithIndex.map { case (cent, ci) =>
           var s = 0.0
           var i = 0
           while (i < d) {
@@ -365,7 +363,7 @@ object Similarity {
             s += diff * diff
             i += 1
           }
-          (qid, j, name, s)
+          (qid, j, ci, s)
         }
       }
     }.toSeq.toDF("q_id", "__j", "__code", "__partial")

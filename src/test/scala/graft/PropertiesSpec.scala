@@ -198,6 +198,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("pq-codes kernel is bit-identical to per-subspace NearestCells") {
+    import graft.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // codebooks from real slices (first 8 vectors' subspaces), so near-tie
+    // geometry is realistic; m=4 subspaces of 16 dims, 8 cells each
+    val m = 4; val d = 16
+    val seed = emb.orderBy("vec_id").limit(8).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val books = (0 until m).toArray.map(j => seed.map(_.slice(j * d, (j + 1) * d)))
+    val names = seed.indices.map(i => f"c$i%03d").toArray
+    val got = emb.select(col("vec_id"), pqCodes(col("embedding"), books).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+    val wantCols = (0 until m).map { j =>
+      nearestCells(slice(col("embedding"), j * d + 1, d), books(j), names, 1)
+        .getItem(0).as(s"c$j")
+    }
+    val want = emb.select(col("vec_id") +: wantCols: _*)
+      .collect()
+      .map(r => (r.getLong(0),
+        (0 until m).map(j => r.getString(j + 1).drop(1).toInt).toSeq))
+      .toMap
+    assert(got == want)
+  }
+
   test("strided-window kernel is bit-identical to the interpreted chains") {
     import spark.implicits._
     import graft.functions._
