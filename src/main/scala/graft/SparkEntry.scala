@@ -586,6 +586,13 @@ object SparkEntry {
   private def textHeavyHitters(s: SparkSession, d: String): DataFrame =
     TextAnalysis.heavyHitters(documents(s, d), "text", k = 50)
 
+  /** The single-pass approximate twin: MG candidates + Count-Min counts
+    * built in one tokenization (rows-only; superset of the exact set,
+    * property-tested). */
+  private def textHeavyHittersApprox(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyHittersApprox(documents(s, d), "text", k = 50)
+      .orderBy(col("n_approx").desc, col("tok"))
+
   /** Gopher/C4-style repetition quality signals: duplicated-token and
     * duplicated-n-gram fractions per document (zero shuffle). */
   private def textRepetition(s: SparkSession, d: String): DataFrame =
@@ -1169,6 +1176,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_heavy_hitters_approx" -> (textHeavyHittersApprox _),
     "text_repetition" -> (textRepetition _),
     "lm_score" -> (lmScoreQ _),
     "corpus_stats" -> (corpusStats _),

@@ -155,6 +155,65 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** The 100 TB-cheap heavy-hitter twin: Misra-Gries candidates AND a
+    * Count-Min sketch built in the SAME partition traversal, so the
+    * corpus tokenizes exactly ONCE (the exact [[heavyHitters]] needs a
+    * second pass to re-count candidates). Counts come from probing the
+    * merged sketch: overestimates bounded by eps·N with prob
+    * `confidence`, so output ⊇ the exact top set (MG's averaging
+    * argument gives perfect recall; CMS never undercounts) with
+    * precision bounded by eps — the property tests pin both directions.
+    *
+    * Driver-side state is sketch-parameter-bounded: one depth×width
+    * counter array per partition merged on the driver (eps=1e-3 →
+    * ~80 KB each; at very high partition counts raise eps or tree-merge)
+    * plus the ≤ k·partitions candidate strings — the same index-size
+    * bound the exact path broadcasts. Deterministic for a fixed
+    * partitioning (fixed seed; counter merges commute). */
+  def heavyHittersApprox(docs: DataFrame, textCol: String, k: Int,
+      eps: Double = 1e-3, confidence: Double = 0.99): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    import docs.sparkSession.implicits._
+    val toks = docs.select(explode(wsTokens(col(textCol))).as("tok")).as[String]
+    val pass = toks.mapPartitions { it =>
+      var partTokens = 0L
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .create(eps, confidence, 42)
+      val summary = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        partTokens += 1
+        cms.addString(t)
+        summary.get(t) match {
+          case Some(c) => summary(t) = c + 1
+          case None if summary.size < k => summary(t) = 1L
+          case None =>
+            val dead = List.newBuilder[String]
+            summary.foreachEntry { (key, c) =>
+              if (c == 1L) dead += key else summary(key) = c - 1
+            }
+            dead.result().foreach(summary.remove)
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      cms.writeTo(bos)
+      Iterator.single((null: String, partTokens, bos.toByteArray)) ++
+        summary.keysIterator.map((_, 0L, null: Array[Byte]))
+    }.toDF("tok", "cnt", "sk")
+    val rows = pass.collect() // <= (k+1) rows per partition, sketch-bounded
+    val parts = rows.filter(_.isNullAt(0))
+    if (parts.isEmpty) return Seq.empty[(String, Long)].toDF("tok", "n_approx")
+    val total = parts.map(_.getLong(1)).sum
+    val merged = parts
+      .map(r => org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(r.getAs[Array[Byte]](2)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val out = rows.filter(!_.isNullAt(0)).map(_.getString(0)).distinct.toSeq
+      .map(t => (t, merged.estimateCount(t)))
+      .filter(_._2 > total.toDouble / k)
+      .sortBy { case (t, n) => (-n, t) }
+    out.toDF("tok", "n_approx")
+  }
+
   /** PII patterns scrubbed before training data leaves curation. Kept to
     * constructs with identical semantics in Java regex and RE2 (`\b`,
     * `\d`, bounded repetition) so the scrub is engine-reproducible. */

@@ -629,6 +629,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mean >= 3.5, s"mean exact-L2 recall@10 too low: $mean (${overlaps.toSeq})")
   }
 
+  test("approx heavy hitters contain the exact set with bounded counts") {
+    val docs = Tables.documents(spark, sf)
+    val exact = TextAnalysis.heavyHitters(docs, "text", k = 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = 1e-3
+    val approx = TextAnalysis.heavyHittersApprox(docs, "text", k = 50, eps = eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // perfect recall: MG keeps every true heavy hitter, CMS never
+    // undercounts, so the exact set must survive the approx threshold
+    assert(exact.keySet.subsetOf(approx.keySet),
+      s"missing: ${exact.keySet -- approx.keySet}")
+    // counts: overestimate only, by at most eps * total token mass
+    val total = docs.select(explode(graft.functions.wsTokens($"text"))).count()
+    exact.foreach { case (t, n) =>
+      assert(approx(t) >= n, s"$t undercounted: ${approx(t)} < $n")
+      assert(approx(t) <= n + (eps * total).toLong + 1,
+        s"$t overcounted past the eps bound: ${approx(t)} vs $n")
+    }
+  }
+
   test("ivf-pq probing all cells is bit-identical to plain pq") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 8)
