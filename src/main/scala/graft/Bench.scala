@@ -1,10 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
+
+/** Benchmark main. Prints ONE JSON line on stdout:
+  *   {"metric":"total","value":<sum of per-query minima>,"unit":"sec",
+  *    "queries":{<name>:<min sec across runs>,...},
+  *    "run":[{"i":N,"r":N,"q":name,"sec":S,"err":bool},...],"runs":N,"sf":dir}
+  *
+  * `queries` keeps the historical contract (name -> seconds, best run).
+  * `run` is the NEW self-diagnosing artifact: entries appear in EXACT
+  * execution order (i = global run index), so the §7.1 contention-window
+  * recognition rule — environment stalls inflate CONSECUTIVE queries in run
+  * order; code regressions never do — can be applied to the JSON alone,
+  * without needing the stderr [bench] lines the driver doesn't keep.
+  * Queries execute in sorted-name order within each run (deterministic and
+  * documented, unlike Map hash order).
+  *
+  * SPARK_GRAFT_RUNS (default 2): each query is timed that many times and
+  * `queries` reports the per-query MIN — the §7.1 noise rule ("judge bench
+  * numbers by the min of n>=2 runs") applied in-harness. SPARK_GRAFT_ONLY
+  * limits to a comma-separated subset for local iteration.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,38 +45,51 @@ object Bench {
       w.agg(bit_xor(xxhash64(w.columns.map(col): _*)), count(lit(1))).head()
     } catch { case _: Throwable => () }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
-    // local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 times just those
-    // queries; unset (the driver's mode) runs everything as before
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
+    // (runIndex, runNo, name, seconds, failed) in exact execution order
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, Double, Boolean)]
+    var i = 0
+    for (r <- 1 to nRuns; name <- names) {
       val t0 = System.nanoTime()
       // Force EVERY output column with a row-hash aggregate: a bare
       // count() lets column pruning delete computed projections, so a
       // projection-family query would time little more than the scan
-      // (round-6 fix — timings for those queries step up vs BENCH_r05
-      // by measurement definition, not regression; see SURVEY §7.1).
-      // bit_xor, not sum: summed row hashes overflow Long under ANSI.
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
-      } catch { case _: Throwable => -1L }
+      // (round-6 fix). bit_xor, not sum: summed hashes overflow under ANSI.
+      val failed =
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1))).head()
+          false
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+          true
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // UNTIMED cleanup: the cluster-family queries each leave one live
       // localCheckpoint (their result); letting those accumulate across
       // the run recreates the round-3 storage-pressure variance class
       val rdds = spark.sparkContext.getPersistentRDDs
       (rdds.keySet -- baseline).foreach(id => rdds(id).unpersist(blocking = false))
-      // stderr progress line per query: correlates a wall-clock stall
-      // with the query it hit (the JSON line on stdout stays the contract)
-      System.err.println(f"[bench] $name%-32s $elapsed%8.2f s")
-      name -> elapsed
+      System.err.println(f"[bench] run$r $name%-32s $elapsed%8.2f s")
+      trace += ((i, r, name, elapsed, failed))
+      i += 1
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query min across successful runs (all-failed -> -1 sentinel,
+    // never a plausible-looking elapsed time — round-6 lesson)
+    val best: Map[String, Double] = names.map { n =>
+      val ok = trace.filter(t => t._3 == n && !t._5).map(_._4)
+      n -> (if (ok.nonEmpty) ok.min else -1.0)
+    }.toMap
+    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    val runArr = trace.map { case (idx, r, n, s, f) =>
+      s"""{"i":$idx,"r":$r,"q":"$n","sec":$s,"err":$f}"""
+    }.mkString("[", ",", "]")
+    val total = best.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run":$runArr,"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
