@@ -768,6 +768,15 @@ object SparkEntry {
     TextAnalysis.lmScore(docs, docs, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** lm_score with the count tables persisted: V reads the cached unigram
+    * table instead of re-scanning the corpus tokens (closes the documented
+    * double scan; Bench's per-query unpersist sweep frees the cache). */
+  private def lmScoreCachedQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    TextAnalysis.lmScore(docs, docs, "doc_id", "text", cacheCounts = true)
+      .orderBy("doc_id")
+  }
+
   /** Resize geometry over the decoded dimensions: fit within a 256-box
     * preserving aspect ratio (integer floor arithmetic, oracle-exact). */
   private def multimodalResize(s: SparkSession, d: String): DataFrame =
@@ -1179,6 +1188,7 @@ object SparkEntry {
     "text_heavy_hitters_approx" -> (textHeavyHittersApprox _),
     "text_repetition" -> (textRepetition _),
     "lm_score" -> (lmScoreQ _),
+    "lm_score_cached" -> (lmScoreCachedQ _),
     "corpus_stats" -> (corpusStats _),
     "doc_chunks_cdc" -> (docChunksCdc _),
     "pii_scrub" -> (piiScrubQ _),
@@ -1233,7 +1243,12 @@ object SparkEntry {
       |WHERE t.doc_id % 50 != 0
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  // the cached lm_score variant changes only the physical plan (persisted
+  // count tables), never the result — same oracle by construction
+  def oracleSql: Map[String, String] =
+    oracleSqlLit + ("lm_score_cached" -> oracleSqlLit("lm_score"))
+
+  private lazy val oracleSqlLit: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -219,6 +219,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("TopKPerGroup 10".r.findAllIn(p).size == 2, p) // partial + final
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // doc length rides a per-id window over the id-partitioned tf — the
+    // round-8 verdict's doc-sized dl join must stay gone: every join in
+    // the plan is broadcast, and exactly one Window attaches __dl
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
