@@ -32,8 +32,7 @@ object Bench {
       // no session artifacts -> skip the per-class-miss RPC fetch the
       // Spark 4 isolation default installs (see GraftSession)
       .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", GraftSession.warehouseDir())
       .config("spark.local.dir", GraftSession.scratchDir())
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -15,14 +15,41 @@ object GraftSession {
     * equivalent through a RAM disk keeps benchmarks measuring the engine
     * rather than the sandbox's block device (measured: individual
     * queries stall 30-100 s in `FileOutputStream.write` when the host's
-    * virtio disk chokes on shuffle writes). */
+    * virtio disk chokes on shuffle writes).
+    *
+    * tmpfs is used only when it has real headroom (>= 8 GiB free):
+    * shuffle spill on a small /dev/shm would compete with the JVM heap
+    * for the same RAM, so low-memory hosts fall back to disk tmp. The
+    * created parent dir is removed on JVM exit (Spark deletes its own
+    * blockmgr/spark-* children but not the parent we made), so repeated
+    * runs don't accumulate empty dirs in /dev/shm. */
   private[graft] def scratchDir(): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
+    val minFree = 8L << 30
     val base =
-      if (java.nio.file.Files.isWritable(shm)) shm
+      if (java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace >= minFree) shm
       else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, "graft-local").toString
+    tempDir(base, "graft-local")
   }
+
+  /** Temp dir removed on JVM exit — Spark cleans its own children but
+    * never the parent, and the warehouse dir not at all. */
+  private[graft] def tempDir(base: java.nio.file.Path, prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(base, prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
+  private[graft] def warehouseDir(): String =
+    tempDir(java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-warehouse")
 
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
@@ -34,8 +61,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       // fresh throwaway warehouse per JVM so saveAsTable (bucketing demos)
       // never collides with a stale location in the working directory
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.sql.warehouse.dir", warehouseDir())
       // Spark 4 defaults session-artifact isolation ON, which wraps every
       // job in a JobArtifactState whose ExecutorClassLoader resolves each
       // classloader MISS (janino-generated code produces thousands) over a

@@ -73,6 +73,12 @@ case class PqCodes(
 
   override protected def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    // UnsafeArrayData.getFloat is not bounds-checked: a short/ragged
+    // vector would silently code garbage reads, so fail loudly instead
+    // (mirrors the first-row dim require in pqCodesAndTables)
+    if (vec.numElements() < m * d)
+      throw new IllegalArgumentException(
+        s"pq_codes: vector has ${vec.numElements()} elements, need ${m * d}")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -109,6 +115,11 @@ case class PqCodes(
       val bestScore = ctx.freshName("bestScore"); val score = ctx.freshName("score")
       val base = ctx.freshName("base"); val off = ctx.freshName("off")
       s"""
+         |if ($input.numElements() < ${m * d}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_codes: vector has " + $input.numElements() +
+         |    " elements, need ${m * d}");
+         |}
          |int[] $out = new int[$m];
          |for (int $j = 0; $j < $m; $j++) {
          |  int $best = -1;

@@ -168,8 +168,19 @@ object TextAnalysis {
     * counter array per partition merged on the driver (eps=1e-3 →
     * ~80 KB each; at very high partition counts raise eps or tree-merge)
     * plus the ≤ k·partitions candidate strings — the same index-size
-    * bound the exact path broadcasts. Deterministic for a fixed
-    * partitioning (fixed seed; counter merges commute). */
+    * bound the exact path broadcasts.
+    *
+    * Determinism is PARTITIONING-RELATIVE, and deliberately so: the
+    * CMS estimates and the threshold are data-only (fixed seed, counter
+    * merges commute), and every true heavy hitter (freq > N/k) survives
+    * MG in at least one partition under ANY partitioning — so recall of
+    * the exact top set is layout-independent. What can vary across
+    * partition layouts is which of the eps-bounded NEAR-threshold extras
+    * make the candidate cut (the per-partition MG summaries see
+    * different boundaries). Callers needing bit-stable output across
+    * layouts should use the exact [[heavyHitters]] twin; the property
+    * suite pins the layout-independent guarantees (superset recall,
+    * precision bound) rather than a byte-identical row set. */
   def heavyHittersApprox(docs: DataFrame, textCol: String, k: Int,
       eps: Double = 1e-3, confidence: Double = 0.99): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

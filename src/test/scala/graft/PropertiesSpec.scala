@@ -222,6 +222,21 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("pq-codes kernel rejects short vectors instead of coding garbage") {
+    import spark.implicits._
+    import graft.functions._
+    // m=2 subspaces x 2 dims = 4 floats required; feed 3
+    val books = Array.fill(2)(Array.fill(2)(Array(0.0, 0.0)))
+    val short = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("embedding")
+    val ex = intercept[Exception] {
+      short.select(pqCodes(col("embedding"), books)).collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("pq_codes") && messages.contains("need 4"), messages)
+  }
+
   test("strided-window kernel is bit-identical to the interpreted chains") {
     import spark.implicits._
     import graft.functions._
