@@ -246,7 +246,9 @@ object Dedup {
     * which at billions of nodes and ~30 pointer-jumping rounds floods
     * executor storage. Exactly ONE checkpoint (the final label set) backs
     * the returned DataFrame; call [[releaseClusters]] when done with it. */
-  def clusterPairs(pairs: DataFrame, d1: String = "d1", d2: String = "d2"): DataFrame = {
+  def clusterPairs(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+      onRound: (Int, Double) => Unit = (_, _) => (), jumps: Int = 1): DataFrame = {
+    require(jumps >= 0, s"need jumps >= 0, got $jumps")
     import org.apache.spark.sql.graft.Bridge
     // every checkpoint resets plan statistics: the size-only estimator
     // multiplies through each round's joins, and localCheckpoint would
@@ -254,34 +256,69 @@ object Dedup {
     // carried BigInt has millions of digits and the driver stalls inside
     // statistics arithmetic (Bridge.resetStats has the full story)
     def ckpt(df: DataFrame): DataFrame = Bridge.resetStats(df.localCheckpoint(true))
-    val edges = ckpt(pairs.select(col(d1).as("a"), col(d2).as("b"))
+    var edges = ckpt(pairs.select(col(d1).as("a"), col(d2).as("b"))
       .unionByName(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct())
     var labels = ckpt(edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")))
+    var backing = labels // the checkpoint whose blocks hold `labels`
     var converged = false
+    var round = 0
     while (!converged) {
+      val t0 = System.nanoTime()
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nlabel")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val parentMin = labels
-        .join(labels.select(col("id").as("label"), col("label").as("plabel")), Seq("label"))
-        .select(col("id"), col("plabel").as("pmin"))
-      val updated = ckpt(labels
+      // FastSV-shaped round: fold the neighbor min into the label FIRST,
+      // then shortcut the FRESH forest (l := l∘l) `jumps` times inside
+      // the same plan (shortcutting STALE parents was measured a no-op).
+      var folded = labels
         .join(neighborMin, Seq("id"), "left")
-        .join(parentMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"),
-            coalesce(col("nmin"), col("label")),
-            coalesce(col("pmin"), col("label"))).as("next")))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("l"))
+      for (_ <- 1 to jumps)
+        folded = folded
+          .join(folded.select(col("id").as("l"), col("l").as("__l2")), Seq("l"), "left")
+          .select(col("id"), col("label"),
+            coalesce(col("__l2"), col("l")).as("l"))
+      // ONE eager materialization per round: the convergence probe reads
+      // this checkpoint, and the next round's labels are a narrow
+      // PROJECTION over the same blocks (a second `next` checkpoint was
+      // measured pure overhead — it re-wrote the identical row set)
+      val updated = ckpt(folded.select(col("id"), col("label"), col("l").as("next")))
       converged = updated.filter(col("next") =!= col("label")).isEmpty
-      val next = ckpt(updated.select(col("id"), col("next").as("label")))
-      // `next` is eagerly materialized above, so this round's intermediate
-      // and the previous round's labels can be freed before the next round
-      Bridge.unpersistCheckpoints(updated)
-      Bridge.unpersistCheckpoints(labels)
-      labels = next
+      labels = updated.select(col("id"), col("next").as("label"))
+      // CONTRACT the graph: rewrite edges over current labels, dropping
+      // intra-cluster self-loops. Without this, a local-minimum plateau
+      // stalls the frontier to ONE edge-hop per round (measured: rounds
+      // == eccentricity ~14-19 on sf0.1's path-like components, however
+      // deep the forest shortcuts). Contraction merges each plateau into
+      // its rep, so the next neighbor hop crosses the whole merged
+      // region — rounds drop to ~log(diameter) — AND the edge set
+      // shrinks geometrically, so later rounds are cheaper, not just
+      // fewer. Both orientations survive contraction by symmetry.
+      // Deferred past round 1: dense clique-ish graphs (exact-dup
+      // clusters) converge in 2-3 rounds, and contracting the full edge
+      // set in round 1 — the most expensive distinct of the loop — buys
+      // them nothing (measured +0.5 s on dedup_clusters); path-like
+      // graphs still contract from round 2 and keep the ~log rounds.
+      if (!converged && round >= 1) {
+        val lmap = labels
+        val newEdges = ckpt(edges
+          .join(lmap.select(col("id").as("a"), col("label").as("__la")), Seq("a"))
+          .join(lmap.select(col("id").as("b"), col("label").as("__lb")), Seq("b"))
+          .select(col("__la").as("a"), col("__lb").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct())
+        Bridge.unpersistCheckpoints(edges)
+        edges = newEdges
+      }
+      // previous round's label blocks are superseded — free before looping
+      Bridge.unpersistCheckpoints(backing)
+      backing = updated
+      round += 1
+      onRound(round, (System.nanoTime() - t0) / 1e9)
     }
     // the result reads only the final label checkpoint — the edge blocks
     // are dead weight once the loop converges
