@@ -832,6 +832,19 @@ object SparkEntry {
       .orderBy("t_id", "b_id")
   }
 
+  /** Winnow-sketch decontamination: MOSS fingerprint overlap across the
+    * same 10% train/bench split — deterministic sketch, oracle-backed
+    * (unlike the probabilistic minhash twin), with the winnowing
+    * coverage guarantee on shared runs >= w+k-1 tokens. */
+  private def decontaminateWinnow(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.crossWinnowPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("t_id", "b_id")
+  }
+
   /** Corpus-frequency passage dedup: drop 3-token passages shared by > 3
     * documents, reassemble the survivors. (Real corpora use ~50-token
     * windows; this corpus's cross-document repetition lives at the
@@ -1219,6 +1232,7 @@ object SparkEntry {
     "bucketed_join" -> (bucketedJoin _),
     "dsir_weights" -> (dsirWeightsQ _),
     "decontaminate_jaccard" -> (decontaminateJaccard _),
+    "decontaminate_winnow" -> (decontaminateWinnow _),
     "decontaminate_minhash" -> (decontaminateMinhash _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
@@ -1845,6 +1859,33 @@ object SparkEntry {
         |SELECT doc_id, pos, h AS gram_hash FROM x
         |WHERE GREATEST(1, pos - 3, pos - llen) <= LEAST(pos + rlen, m) - 3
         |ORDER BY doc_id, pos""".stripMargin,
+    "decontaminate_winnow" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |        CAST(concat('0x', substr(md5(array_to_string(w[i.i:i.i+3], ' ')), 1, 8)) AS BIGINT) AS h
+        |      FROM toks, unnest(generate_series(1, len(w)-3)) i(i) WHERE len(w) >= 4),
+        |x AS (SELECT doc_id, pos, h,
+        |  (CASE WHEN LAG(h,1) OVER dw >= h THEN 1 ELSE 0 END
+        |   + CASE WHEN LAG(h,1) OVER dw >= h AND LAG(h,2) OVER dw >= h THEN 1 ELSE 0 END
+        |   + CASE WHEN LAG(h,1) OVER dw >= h AND LAG(h,2) OVER dw >= h
+        |          AND LAG(h,3) OVER dw >= h THEN 1 ELSE 0 END) AS llen,
+        |  (CASE WHEN LEAD(h,1) OVER dw > h THEN 1 ELSE 0 END
+        |   + CASE WHEN LEAD(h,1) OVER dw > h AND LEAD(h,2) OVER dw > h THEN 1 ELSE 0 END
+        |   + CASE WHEN LEAD(h,1) OVER dw > h AND LEAD(h,2) OVER dw > h
+        |          AND LEAD(h,3) OVER dw > h THEN 1 ELSE 0 END) AS rlen,
+        |  MAX(pos) OVER (PARTITION BY doc_id) AS m
+        |  FROM g WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        |wf AS (SELECT DISTINCT doc_id, h FROM x
+        |       WHERE GREATEST(1, pos - 3, pos - llen) <= LEAST(pos + rlen, m) - 3),
+        |t AS (SELECT doc_id AS t_id, h FROM wf WHERE doc_id % 10 != 0),
+        |b AS (SELECT doc_id AS b_id, h FROM wf WHERE doc_id % 10 = 0),
+        |bs AS (SELECT b_id, COUNT(*) AS nb FROM b GROUP BY b_id),
+        |p AS (SELECT t_id, b_id, COUNT(*) AS shared
+        |      FROM t JOIN b USING (h) GROUP BY t_id, b_id)
+        |SELECT p.t_id, p.b_id, p.shared,
+        | CAST(p.shared AS DOUBLE) / CAST(bs.nb AS DOUBLE) AS containment
+        |FROM p JOIN bs USING (b_id) WHERE p.shared >= 2
+        |ORDER BY p.t_id, p.b_id""".stripMargin,
     "bm25_topk" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') w FROM documents),
         |tok AS (SELECT doc_id, u.g AS term FROM toks, unnest(w) u(g)),

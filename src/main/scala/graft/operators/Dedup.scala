@@ -462,6 +462,44 @@ object Dedup {
       .select("t_id", "b_id", "jaccard")
   }
 
+  /** Winnow-sketch decontamination — MOSS fingerprint overlap across
+    * corpora: both sides reduce to their winnowing fingerprints
+    * ([[TextAnalysis.winnowFingerprints]], the per-window rightmost-min
+    * selection with the coverage guarantee), and a (train, bench) pair
+    * is emitted when they share >= `minShared` distinct selected hashes,
+    * with the containment fraction (shared / |bench fingerprints|) as
+    * the score. Catches long verbatim runs — the winnowing guarantee
+    * promises any shared run of >= w+k-1 tokens contributes a shared
+    * fingerprint — at sketch size instead of all-shingles size: the
+    * winnow keeps ~2/(w+1) of positions, so the joined volume is a
+    * fraction of [[crossJaccardPairs]]' at the same n.
+    *
+    * Scale shape: the bench side's DISTINCT fingerprint set broadcasts
+    * (bench-sized); the train fingerprint stream is pruned MAP-SIDE by
+    * that broadcast hash join before the one (t_id, b_id) rollup
+    * shuffle. Fully deterministic and SQL-expressible — oracle-backed,
+    * unlike the probabilistic minhash twin. */
+  def crossWinnowPairs(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 2L): DataFrame = {
+    def fp(df: DataFrame, as: String) = TextAnalysis
+      .winnowFingerprints(
+        df.select(col(idCol), col(textCol)).repartition(col(idCol)),
+        idCol, textCol, k, w)
+      .select(col(idCol).as(as), col("gram_hash")).distinct()
+    val fb = fp(bench, "b_id")
+    val bSize = fb.groupBy("b_id").agg(count(lit(1)).as("__nb"))
+    fp(train, "t_id")
+      .join(broadcast(fb), "gram_hash")
+      .groupBy(col("t_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(broadcast(bSize), "b_id")
+      .select(col("t_id"), col("b_id"), col("shared"),
+        (col("shared").cast(DoubleType) / col("__nb").cast(DoubleType))
+          .as("containment"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: learn a k-means quantizer
     * over the embedding space ([[Similarity.kmeansCentroids]]), assign
     * every vector its nearest cell (one codegen'd kernel pass), and

@@ -726,6 +726,27 @@ class LlmOpsSpec extends AnyFunSuite {
         s"doc=$id last fingerprint ${ps.last} leaves tail uncovered")
     }
   }
+
+  test("cross-winnow pairs: self-containment 1.0 and shared-run coverage") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // bench == train: every doc must pair with itself at containment 1.0
+    val self = Dedup.crossWinnowPairs(docs, docs, "doc_id", "text", minShared = 1L)
+      .filter($"t_id" === $"b_id")
+    val nDocs = TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text", 4, 4)
+      .select("doc_id").distinct().count()
+    assert(self.count() == nDocs)
+    assert(self.filter($"containment" =!= 1.0).isEmpty)
+    // coverage guarantee across corpora: a shared verbatim run of
+    // >= w + k - 1 tokens forces at least one shared fingerprint
+    val run = "alpha beta gamma delta epsilon zeta eta" // 7 tokens = w+k-1
+    val train = Seq((11L, s"unrelated prefix words here $run and other tail text"))
+      .toDF("doc_id", "text")
+    val bench = Seq((20L, s"$run entirely different suffix follows now"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.crossWinnowPairs(train, bench, "doc_id", "text", minShared = 1L)
+    assert(hit.filter($"t_id" === 11L && $"b_id" === 20L).count() == 1)
+  }
 }
 
 object LlmOpsSpec {
