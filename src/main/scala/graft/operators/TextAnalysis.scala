@@ -424,8 +424,8 @@ object TextAnalysis {
     * doc-length as a per-id window SUM over tf (no second corpus scan,
     * no doc-sized dl join — the round-8 verdict's one avoidable
     * data-sized shuffle), and the corpus N/avgdl one-row aggregate
-    * (re-aggregated from per-id lengths). The only other data-sized
-    * Exchange is the unavoidable term-keyed df aggregate.
+    * (re-aggregated from per-id lengths). The only other Exchange is the
+    * term-keyed df aggregate, and it is query-pruned before it shuffles.
     *
     * Engine parity: every literal is an exact-in-both-engines double
     * (k1+1 folds to the literal 2.2 bit-exactly), every subexpression is
@@ -445,15 +445,20 @@ object TextAnalysis {
     // aggregate and the per-id window)
     val tfdl = tf.withColumn("__dl",
       sum(col("__tf")).over(Window.partitionBy(col(idCol))))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val perId = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
     val stats = broadcast(
       perId.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__toks")))
     val qterms = queries.select(
       col(idCol).as("q_id"),
       explode(array_distinct(wsTokens(lower(col(textCol))))).as("term"))
-    // document frequencies of QUERY terms only — query-set-sized
-    val qdf = qterms.select("term").distinct().join(dfreq, "term")
+    // document frequencies of QUERY terms only: the broadcast query-term
+    // set prunes tf MAP-SIDE (over the existing id Exchange) before the
+    // term-keyed aggregate, so the df shuffle carries only query-matching
+    // rows — bench-sized, never corpus-vocabulary-sized. The hinted
+    // broadcast also keeps the plan shape independent of
+    // autoBroadcastJoinThreshold.
+    val qdf = tf.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("__df"))
     val avgdl = col("__toks").cast(DoubleType) / col("__n").cast(DoubleType)
     val idf = log(
       (col("__n").cast(DoubleType) - col("__df").cast(DoubleType) + lit(0.5)) /

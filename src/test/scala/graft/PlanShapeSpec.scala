@@ -215,7 +215,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("bm25_topk: broadcast query side, heap-ranked, no cartesian blowup") {
-    val p = plan("bm25_topk")
+    // every join must be HINTED broadcast: disabling the auto threshold
+    // (as BucketingSpec's leaked conf once did to this suite) must not
+    // change the plan shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("bm25_topk")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert("TopKPerGroup 10".r.findAllIn(p).size == 2, p) // partial + final
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
