@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 import graft.operators.Cleaning.CleaningOps
-import graft.operators.{Dedup, Multimodal, Quality, Similarity, Star, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Quality, Similarity, Star, Temporal, TextAnalysis}
 import graft.sources.{Bucketing, JsonNormalize, ScrapeSource, Staging}
 
 /** Driver contract: every capability from SURVEY.md §2 exposed as a named
@@ -480,6 +480,17 @@ object SparkEntry {
   private def textWinnow(s: SparkSession, d: String): DataFrame =
     TextAnalysis.winnowFingerprints(documents(s, d), "doc_id", "text", k = 4, w = 4)
       .orderBy("doc_id", "pos")
+
+  /** Z-order layout key: the Morton interleave of (l_partkey, l_suppkey)
+    * that [[graft.operators.Layout.zorderWrite]] clusters files on —
+    * registered as a query so the curve itself is oracle-checked
+    * bit-for-bit (the file-skipping consequence is spec-pinned in
+    * PlanShapeSpec). */
+  private def zorderLayoutQ(s: SparkSession, d: String): DataFrame =
+    Layout.zorderLayout(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Seq("l_partkey", "l_suppkey"), bits = 20)
+      .orderBy("zval", "l_orderkey", "l_linenumber")
 
   /** BM25 retrieval: the first 8 documents act as the query set (the
     * sim_topk convention) against the whole corpus, top-10 per query. */
@@ -1239,7 +1250,8 @@ object SparkEntry {
     "pq_ann_topk" -> (pqAnnTopK _),
     "sim_ivfpq_topk" -> (simIvfPqTopK _),
     "asof_join" -> (asofJoinQ _),
-    "range_join" -> (rangeJoinQ _)
+    "range_join" -> (rangeJoinQ _),
+    "zorder_layout" -> (zorderLayoutQ _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2078,6 +2090,15 @@ object SparkEntry {
         | c.click_id, strftime(c.start_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND p.ts >= c.start_ts AND p.ts < c.end_ts
-        |ORDER BY p.event_id, c.click_id""".stripMargin
+        |ORDER BY p.event_id, c.click_id""".stripMargin,
+
+    // the interleave expression is generated by the SAME code path the
+    // Spark side documents (Layout.zvalueSql) — dialect-common BIGINT
+    // bit ops only, so both engines evaluate the identical formula
+    "zorder_layout" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | ${Layout.zvalueSql(Seq("l_partkey", "l_suppkey"), 20)} AS zval
+         |FROM lineitem
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
   )
 }

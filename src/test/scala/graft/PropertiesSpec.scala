@@ -6,7 +6,7 @@ import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Cleaning.CleaningOps
-import graft.operators.{Dedup, Skew, Star}
+import graft.operators.{Dedup, Layout, Skew, Star}
 
 /** Property-based invariants over randomized inputs: the determinism and
   * algebraic guarantees the 100 TB design depends on (retried tasks and
@@ -497,6 +497,51 @@ class PropertiesSpec extends AnyFunSuite {
       val groups = Dedup.exact(df, "doc_id", "text")
       assert(groups.agg(sum("group_size")).head().getLong(0) == docs.size)
       assert(groups.select("canonical_id").distinct().count() == groups.count())
+    }
+  }
+
+  /** Driver-side reference interleave for the z-order expression. */
+  private def zref(xs: Seq[Long], bits: Int): Long = {
+    val k = xs.size
+    val mask = (1L << bits) - 1L
+    var z = 0L
+    for (i <- 0 until bits; j <- 0 until k)
+      z |= (((xs(j) & mask) >> i) & 1L) << (i * k + (k - 1 - j))
+    z
+  }
+
+  test("zvalue equals the reference interleave; arbitrary inputs wrap via the mask") {
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.choose(Long.MinValue, Long.MaxValue)))
+    forAll(gen, n = 3) { rows =>
+      val df = rows.toDF("a", "b")
+      df.select(col("a"), col("b"),
+          Layout.zvalue(Seq(col("a"), col("b")), bits = 20).as("z"))
+        .collect()
+        .foreach { r =>
+          assert(r.getLong(2) == zref(Seq(r.getLong(0), r.getLong(1)), 20),
+            s"(${r.getLong(0)}, ${r.getLong(1)})")
+        }
+    }
+  }
+
+  test("zvalue is monotone under coordinate dominance (the locality guarantee)") {
+    // if a1 <= a2 and b1 <= b2 (in-domain), then z(a1,b1) <= z(a2,b2):
+    // bit-interleaving never inverts the dominance order, which is what
+    // makes per-file z-ranges translate into per-file coordinate ranges
+    val gen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 1023L), Gen.choose(0L, 1023L),
+      Gen.choose(0L, 1023L), Gen.choose(0L, 1023L)))
+    forAll(gen, n = 3) { quads =>
+      val pairs = quads.map { case (x1, x2, y1, y2) =>
+        (math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2))
+      }
+      val df = pairs.toDF("alo", "blo", "ahi", "bhi")
+      val viol = df.filter(
+        Layout.zvalue(Seq(col("alo"), col("blo")), 10) >
+          Layout.zvalue(Seq(col("ahi"), col("bhi")), 10)).count()
+      assert(viol == 0L)
     }
   }
 }
