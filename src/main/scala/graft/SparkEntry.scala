@@ -481,6 +481,24 @@ object SparkEntry {
     TextAnalysis.winnowFingerprints(documents(s, d), "doc_id", "text", k = 4, w = 4)
       .orderBy("doc_id", "pos")
 
+  /** Incremental chunk-level exact dedup — the daily-ingest posture: the
+    * new batch (doc_id % 5 < 2) classified against the indexed corpus
+    * (the rest) at 16-token/stride-8 chunk granularity. Near-dup
+    * documents share exact chunks, so all three statuses (kept /
+    * dup_of_index / dup_in_batch) occur at both gate SFs. */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
+        chunkSize = 16, stride = 8)
+      .select(col("doc_id"), col("chunk_id"),
+        md5(col("chunk_text")).as("chunk_hash"))
+    Dedup.incrementalExact(
+        chunks.filter(col("doc_id") % 5 >= 2),
+        chunks.filter(col("doc_id") % 5 < 2),
+        "chunk_hash", orderCols = Seq("doc_id", "chunk_id"))
+      .select("doc_id", "chunk_id", "chunk_hash", "status")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Z-order layout key: the Morton interleave of (l_partkey, l_suppkey)
     * that [[graft.operators.Layout.zorderWrite]] clusters files on —
     * registered as a query so the curve itself is oracle-checked
@@ -1251,7 +1269,8 @@ object SparkEntry {
     "sim_ivfpq_topk" -> (simIvfPqTopK _),
     "asof_join" -> (asofJoinQ _),
     "range_join" -> (rangeJoinQ _),
-    "zorder_layout" -> (zorderLayoutQ _)
+    "zorder_layout" -> (zorderLayoutQ _),
+    "dedup_incremental" -> (dedupIncremental _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2099,6 +2118,20 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          | ${Layout.zvalueSql(Seq("l_partkey", "l_suppkey"), 20)} AS zval
          |FROM lineitem
-         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin
+         |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |c AS (SELECT doc_id, CAST((s - 1) // 8 AS BIGINT) AS chunk_id,
+        |       md5(array_to_string(w[s:s+15], ' ')) AS chunk_hash
+        |      FROM t, unnest(generate_series(1, greatest(len(w) - 16 + 1, 1), 8)) st(s)),
+        |new AS (SELECT * FROM c WHERE doc_id % 5 < 2),
+        |idx AS (SELECT DISTINCT chunk_hash FROM c WHERE doc_id % 5 >= 2)
+        |SELECT doc_id, chunk_id, chunk_hash,
+        | CASE WHEN chunk_hash IN (SELECT chunk_hash FROM idx) THEN 'dup_of_index'
+        |      WHEN row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) > 1
+        |        THEN 'dup_in_batch'
+        |      ELSE 'kept' END AS status
+        |FROM new ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

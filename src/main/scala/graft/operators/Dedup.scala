@@ -33,6 +33,47 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
 
+  /** Incremental exact dedup — the daily-ingest posture: classify every
+    * row of a NEW batch against an already-INDEXED corpus without ever
+    * shuffling the corpus. Statuses: `dup_of_index` (the content already
+    * exists in the index — every batch copy is a duplicate, the canonical
+    * lives in the index), `dup_in_batch` (first occurrence inside the
+    * batch keeps, later ones mark), `kept`.
+    *
+    * Scale shape (index = 100 TB, batch = one ingest window, bounded):
+    * the batch's distinct hash set BROADCASTS and leftsemi-prunes the
+    * index stream MAP-SIDE, so the only index-derived shuffle carries the
+    * surviving hits — batch-bounded by construction. The batch itself
+    * shuffles once for the keep-first window; the hit set joins back as a
+    * broadcast. Zero corpus-sized Exchange, which is what makes this
+    * runnable per ingest window rather than per full-corpus recompute
+    * (the full recompute is [[exact]]).
+    *
+    * `orderCols` break keep-first ties inside the batch (must be unique
+    * per row for deterministic output). Reference analog: the reference
+    * pipeline re-scrapes hourly and upserts ON CONFLICT DO NOTHING
+    * (RustCheatersDataPipeline dags/utils/sql_queries.py) — the same
+    * "new data vs existing corpus" classification, done there by the
+    * warehouse, done here before the data ever lands. */
+  def incrementalExact(indexed: DataFrame, batch: DataFrame,
+      hashCol: String, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one keep-first order column")
+    val bkeys = broadcast(batch.select(hashCol).distinct())
+    val hits = indexed.select(col(hashCol))
+      .join(bkeys, Seq(hashCol), "leftsemi")
+      .distinct()
+      .withColumn("__hit", lit(true))
+    val w = Window.partitionBy(col(hashCol)).orderBy(orderCols.map(col): _*)
+    batch
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(hits), Seq(hashCol), "left")
+      .withColumn("status",
+        when(col("__hit"), lit("dup_of_index"))
+          .when(col("__rk") > 1, lit("dup_in_batch"))
+          .otherwise(lit("kept")))
+      .drop("__rk", "__hit")
+  }
+
   /** Distinct word-shingle rows (doc_id, shingle), the shared substrate of
     * the n-gram family. */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,

@@ -232,6 +232,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("dedup_incremental: the index side never shuffles data-sized") {
+    // the batch hash set must reach the index stream as a broadcast
+    // leftsemi (map-side prune) regardless of the auto threshold; the
+    // only hash Exchanges are batch-bounded: the batch distinct hash set,
+    // the batch keep-first window, and the leftsemi-pruned hit-set
+    // distinct (partial-aggregated before it shuffles)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("dedup_incremental")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("LeftSemi, BuildRight"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+  }
+
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
     // stage the bucketed tables, then inspect the read/join/rollup plan
     SparkEntry.queries("bucketed_join")(spark, sf).collect()

@@ -500,6 +500,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental exact dedup classifies the batch like the set-based reference") {
+    val rowsG = Gen.listOfN(80, for {
+      id <- Gen.choose(0L, 999L)
+      t <- Gen.choose(0, 9).map(n => s"t$n") // small alphabet -> collisions
+    } yield (id, t))
+    forAll(Gen.zip(rowsG, rowsG), n = 3) { case (idxRows, batchRaw) =>
+      val batchRows = batchRaw.map { case (id, t) => (id + 10000L, t) } // unique ids
+        .distinctBy(_._1)
+      val idx = idxRows.toDF("id", "h")
+      val batch = batchRows.toDF("id", "h")
+      val got = Dedup.incrementalExact(idx, batch, "h", Seq("id"))
+        .select("id", "status").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val idxSet = idxRows.map(_._2).toSet
+      val firstOf = batchRows.groupBy(_._2).map { case (h, rs) => h -> rs.map(_._1).min }
+      val expected = batchRows.map { case (id, h) =>
+        id -> (if (idxSet(h)) "dup_of_index"
+               else if (firstOf(h) != id) "dup_in_batch"
+               else "kept")
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
   /** Driver-side reference interleave for the z-order expression. */
   private def zref(xs: Seq[Long], bits: Int): Long = {
     val k = xs.size
