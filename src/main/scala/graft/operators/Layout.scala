@@ -69,6 +69,45 @@ object Layout {
       as: String = "zval"): DataFrame =
     df.withColumn(as, zvalue(cols.map(col), bits))
 
+  /** Small-file compaction — the steady-state maintenance op every
+    * ingest-heavy table needs: streaming staged writes and hourly
+    * upserts leave KB-scale files, and past a few thousand of them scan
+    * cost is task scheduling and footer reads, not IO. Rewrites the
+    * directory into ceil(actualBytes / targetBytes) files, sized from
+    * the REAL on-disk byte count (never row-count guesses, which
+    * misjudge compression 10x either way).
+    *
+    * With `sortCols` the rewrite range-partitions and sorts (restoring
+    * min/max file-skipping stats as it compacts — pair with [[zvalue]]
+    * for multi-dimensional keys); without, it round-robins via
+    * `coalesce` when shrinking (no shuffle at all) and `repartition`
+    * only when it must grow the file count. Returns
+    * (filesBefore, filesAfter, bytes). */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long,
+      sortCols: Seq[String] = Nil): (Int, Int, Long) = {
+    require(targetBytes >= 1L, s"need targetBytes >= 1, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(conf)
+    val parts = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val bytes = parts.map(_.getLen).sum
+    val filesBefore = parts.length
+    val filesAfter = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+    val in = spark.read.parquet(inPath)
+    val out =
+      if (sortCols.nonEmpty)
+        in.repartitionByRange(filesAfter, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else if (filesAfter < filesBefore) in.coalesce(filesAfter)
+      else in.repartition(filesAfter)
+    out.write.mode("overwrite").parquet(outPath)
+    (filesBefore, filesAfter, bytes)
+  }
+
   /** Write `df` re-clustered on the Z-curve: range-partitioned into
     * `files` output files by z-value, rows z-sorted within each file so
     * parquet row-group stats stay tight too. The z column itself is

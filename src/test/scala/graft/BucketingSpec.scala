@@ -39,6 +39,46 @@ class BucketingSpec extends AnyFunSuite {
     assert(joined.count() > 0 && joinOnly.count() == expected)
   }
 
+  test("compaction rewrites a shattered directory into size-targeted files") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      docs.repartition(64).write.mode("overwrite").parquet(s"$dir/shattered")
+
+      // target ~1/4 of the total bytes per file -> expect ~4 output files
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/shattered")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val total = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/shattered"))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+
+      val (before, after, bytes) = Layout.compactFiles(
+        spark, s"$dir/shattered", s"$dir/compact", targetBytes = total / 4 + 1)
+      assert(before == 64 && bytes == total)
+      assert(after >= 3 && after <= 5, s"after=$after")
+      // nothing lost, file count actually shrank on disk
+      val out = spark.read.parquet(s"$dir/compact")
+      assert(out.count() == docs.count())
+      val outFiles = out.select(input_file_name()).distinct().count()
+      assert(outFiles == after, s"outFiles=$outFiles after=$after")
+
+      // sorted compaction restores per-file min/max locality
+      Layout.compactFiles(spark, s"$dir/shattered", s"$dir/sorted",
+        targetBytes = total / 4 + 1, sortCols = Seq("doc_id"))
+      val rects = spark.read.parquet(s"$dir/sorted")
+        .groupBy(input_file_name())
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      rects.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, rects.mkString(", "))
+        case _ => ()
+      }
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("z-order write: a selective filter prunes files on EITHER dimension") {
     // deterministic 2-d uniform data (hash-derived, no rand()): both
     // dimensions span [0, 1024)
