@@ -254,6 +254,34 @@ object Stress {
     time("dedup_clusters") {
       Dedup.clusterPairs(Dedup.minhashLshPairs(docs, "doc_id", "text")).count()
     }
+    // incremental exact dedup at chunk granularity — the registered-query
+    // shape: batch ~40% of chunks classified against the indexed rest;
+    // forced with a checksum (count() could eliminate the outer join)
+    time("dedup_incremental") {
+      val chunks = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+          chunkSize = 16, stride = 8)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_hash"))
+      val out = Dedup.incrementalExact(
+        chunks.filter(col("doc_id") % 5 >= 2),
+        chunks.filter(col("doc_id") % 5 < 2),
+        "chunk_hash", orderCols = Seq("doc_id", "chunk_id"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // z-order rewrite: interleave projection + sampled range shuffle +
+    // parquet write, the full OPTIMIZE ZORDER BY path at docs x factor
+    // rows (write lands on the tmpfs scratch dir, the NVMe analog)
+    time("zorder_write") {
+      val rows = docs.select(
+        col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(1L << 20)).as("a"),
+        pmod(xxhash64(col("doc_id"), lit(1L)), lit(1L << 20)).as("b"))
+      val dir = GraftSession.scratchDir() + "/stress-zorder"
+      graft.operators.Layout.zorderWrite(rows, Seq("a", "b"), bits = 20,
+        path = dir, files = 64)
+      spark.read.parquet(dir).count()
+    }
     spark.stop()
   }
 }

@@ -96,7 +96,16 @@ object Curation {
     * parity: buckets come from an md5-prefix draw (the [[mixtureSample]]
     * convention — no engine-private hash), each gram's lam is rounded to
     * 6 dp (the transcendental convention) and the per-doc sum accumulates
-    * in DECIMAL, so scores are oracle-exact. */
+    * in DECIMAL, so scores are oracle-exact.
+    *
+    * Rejected alternative, measured: a single-scan variant (per-(doc,
+    * bucket) counts shuffled once, both aggregates re-derived from that
+    * table over a reused Exchange) was a WASH at sf0.1 (2.63 vs 2.53 s
+    * min-of-3) — with buckets >> grams-per-doc the (doc, bucket) table
+    * compresses almost nothing map-side, so it trades the cheap
+    * recomputed tokenize/md5 map work for an equal-sized extra shuffle.
+    * The two-pass shape stands: recompute beats shuffle here, at any
+    * scale where shuffle IO is the scarce resource. */
   def dsirWeights(docs: DataFrame, isTarget: Column, idCol: String,
       textCol: String, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")

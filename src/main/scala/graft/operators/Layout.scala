@@ -96,6 +96,7 @@ object Layout {
     }
     val bytes = parts.map(_.getLen).sum
     val filesBefore = parts.length
+    require(filesBefore > 0, s"no data files to compact under $inPath")
     val filesAfter = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
     val in = spark.read.parquet(inPath)
     val out =

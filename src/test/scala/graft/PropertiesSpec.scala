@@ -547,6 +547,15 @@ class PropertiesSpec extends AnyFunSuite {
           assert(r.getLong(2) == zref(Seq(r.getLong(0), r.getLong(1)), 20),
             s"(${r.getLong(0)}, ${r.getLong(1)})")
         }
+      // k=3 at the 63-bit budget boundary (21 bits x 3 columns)
+      val df3 = rows.map { case (a, b) => (a, b, a ^ b) }.toDF("a", "b", "c")
+      df3.select(col("a"), col("b"), col("c"),
+          Layout.zvalue(Seq(col("a"), col("b"), col("c")), bits = 21).as("z"))
+        .collect()
+        .foreach { r =>
+          assert(r.getLong(3) ==
+            zref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 21))
+        }
     }
   }
 
