@@ -481,6 +481,32 @@ object SparkEntry {
     TextAnalysis.winnowFingerprints(documents(s, d), "doc_id", "text", k = 4, w = 4)
       .orderBy("doc_id", "pos")
 
+  /** Quality-aware canonical selection — keep the BEST copy, not the
+    * first: within each near-dup cluster (the dedup_clusters components)
+    * the winner is the member with the highest quality_score (ties:
+    * lowest doc_id). This is what a curation pipeline actually wants
+    * from dedup — near-dup groups hold truncated/boilerplated variants
+    * of one document, and min-id keeps an arbitrary one. The cluster
+    * assignment is near-dup-members-only (corpus-fraction-sized, so it
+    * BROADCASTS onto the quality scan), and the per-cluster argmax is a
+    * map-side-partial max_by aggregate — never a window sort over the
+    * corpus. */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val clusters = Dedup.clusterPairs(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5))
+    val q = TextAnalysis.quality(docs, "text")
+      .select(col("doc_id"), col("quality_score"))
+    q.join(broadcast(clusters), Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality_score"), negate(col("doc_id")))).as("best_id"),
+        max(col("quality_score")).as("best_score"),
+        count(lit(1)).as("cluster_size"))
+      .orderBy("canonical_id")
+  }
+
   /** Incremental chunk-level exact dedup — the daily-ingest posture: the
     * new batch (doc_id % 5 < 2) classified against the indexed corpus
     * (the rest) at 16-token/stride-8 chunk granularity. Near-dup
@@ -1270,7 +1296,8 @@ object SparkEntry {
     "asof_join" -> (asofJoinQ _),
     "range_join" -> (rangeJoinQ _),
     "zorder_layout" -> (zorderLayoutQ _),
-    "dedup_incremental" -> (dedupIncremental _)
+    "dedup_incremental" -> (dedupIncremental _),
+    "dedup_keep_best" -> (dedupKeepBest _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2119,6 +2146,40 @@ object SparkEntry {
          | ${Layout.zvalueSql(Seq("l_partkey", "l_suppkey"), 20)} AS zval
          |FROM lineitem
          |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cnt JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |          WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS DOUBLE)
+        |     / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 0.5 AS quality_score
+        | FROM documents),
+        |j AS (SELECT comp.canonical_id, comp.doc_id, q.quality_score
+        |      FROM comp JOIN q USING (doc_id)),
+        |w AS (SELECT canonical_id, doc_id, quality_score,
+        |       row_number() OVER (PARTITION BY canonical_id
+        |         ORDER BY quality_score DESC, doc_id) AS rn,
+        |       max(quality_score) OVER (PARTITION BY canonical_id) AS best_score,
+        |       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        |      FROM j)
+        |SELECT canonical_id, doc_id AS best_id, best_score,
+        | CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM w WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
