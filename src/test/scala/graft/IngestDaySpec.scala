@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, Layout, TextAnalysis}
+
+/** End-to-end "ingest day" integration — the composed daily pipeline:
+  * bootstrap index → shattered write → compaction → day-2 incremental
+  * dedup → quality mix → sequence packing. Every stage is unit-covered
+  * in its own spec; what this suite pins is the COMPOSITION contract:
+  *
+  *  1. the incremental path must reproduce the single global batch run
+  *     row-for-row (not just count-for-count),
+  *  2. on-disk maintenance (compaction) must be invisible to dedup
+  *     semantics,
+  *  3. re-ingesting an already-ingested batch must be a complete no-op,
+  *  4. the curation tail (mixture sample + packing) must commute with
+  *     incremental arrival — day-wise curation equals whole-corpus
+  *     curation — which is what makes the daily pipeline restartable
+  *     without reprocessing history at 100 TB.
+  */
+class IngestDaySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-ingest-test")
+  val sf = "/root/testdata/sf0.001"
+
+  /** Chunk docs at the dedup_incremental registration's granularity. */
+  private def chunked(docs: DataFrame): DataFrame =
+    TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 16,
+        stride = 8, carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("chunk_id"),
+        col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+
+  /** Keep-first exact dedup by chunk hash, (doc_id, chunk_id) order. */
+  private def keepFirst(chunks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    chunks.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.select("doc_id", "source", "chunk_id", "n_chunk_tokens", "chunk_hash")
+      .collect().map(_.mkString("|")).toSeq.sorted
+
+  test("incremental day-2 ingest over a compacted day-1 index reproduces " +
+      "the global batch dedup; re-ingest is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      val day1 = docs.filter(col("doc_id") % 5 >= 2) // bootstrap corpus
+      val day2 = docs.filter(col("doc_id") % 5 < 2)  // the new batch
+
+      // day 1: dedup within the bootstrap, index it on disk the way a
+      // many-task write leaves it (shattered small files)
+      val c1 = chunked(day1)
+      val kept1 = keepFirst(c1)
+      kept1.repartition(16).write.mode("overwrite").parquet(s"$dir/index_raw")
+
+      // maintenance: compact the shattered index — must be a pure layout
+      // change (same rows, fewer files)
+      val (before, after, _) = Layout.compactFiles(spark, s"$dir/index_raw",
+        s"$dir/index", targetBytes = Long.MaxValue, sortCols = Seq("chunk_hash"))
+      assert(before == 16 && after == 1, s"before=$before after=$after")
+      val index = spark.read.parquet(s"$dir/index")
+      assert(sortedRows(index) == sortedRows(kept1),
+        "compaction changed the index contents")
+
+      // day 2: classify the batch against the on-disk index
+      val c2 = chunked(day2)
+      val classified = Dedup.incrementalExact(index, c2, "chunk_hash",
+        orderCols = Seq("doc_id", "chunk_id"))
+
+      // conservation: every batch chunk classified, exactly once
+      assert(classified.count() == c2.count())
+      val statuses = classified.groupBy("status").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(statuses.keySet.subsetOf(Set("kept", "dup_of_index", "dup_in_batch")))
+      assert(statuses.getOrElse("kept", 0L) > 0 &&
+        statuses.getOrElse("dup_of_index", 0L) > 0 &&
+        statuses.getOrElse("dup_in_batch", 0L) > 0,
+        s"expected all three statuses at this SF, got $statuses")
+
+      val kept2 = classified.filter(col("status") === "kept").drop("status")
+
+      // THE composition contract: day1-kept ++ day2-kept must equal one
+      // global keep-first over the union with day-1 rows ordered first —
+      // row-for-row, not merely count-for-count
+      val globalKept = keepFirst(
+        c1.withColumn("__day", lit(1)).unionByName(c2.withColumn("__day", lit(2)))
+          .withColumn("__rk0", row_number().over(
+            Window.partitionBy("chunk_hash").orderBy("__day", "doc_id", "chunk_id")))
+          .filter(col("__rk0") === 1).drop("__rk0", "__day"))
+      assert(sortedRows(kept1.unionByName(kept2)) == sortedRows(globalKept),
+        "incremental path diverged from the global batch run")
+
+      // append day-2 keepers; re-ingesting the same batch is a no-op:
+      // every chunk is now a duplicate of the index
+      val index2 = index.unionByName(kept2)
+      val reingest = Dedup.incrementalExact(index2, c2, "chunk_hash",
+        orderCols = Seq("doc_id", "chunk_id"))
+      assert(reingest.filter(col("status") =!= "dup_of_index").count() == 0,
+        "re-ingest of an already-ingested batch was not a no-op")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("the curation tail commutes with incremental arrival: day-wise " +
+      "mixture + packing equals whole-corpus mixture + packing") {
+    val docs = Tables.documents(spark, sf)
+    val day1 = docs.filter(col("doc_id") % 5 >= 2)
+    val day2 = docs.filter(col("doc_id") % 5 < 2)
+    val weights = Map("src0" -> 1.0, "src1" -> 0.6, "src2" -> 0.25)
+
+    // mixture sampling is keyed on the doc id, so sampling each day's
+    // arrivals independently must select exactly the whole-corpus sample
+    val mixAll = Curation.mixtureSample(docs, "source", "doc_id", weights,
+      defaultWeight = 0.1)
+    val mixDays = Curation.mixtureSample(day1, "source", "doc_id", weights,
+        defaultWeight = 0.1)
+      .unionByName(Curation.mixtureSample(day2, "source", "doc_id", weights,
+        defaultWeight = 0.1))
+    assert(mixAll.select("doc_id").except(mixDays.select("doc_id")).count() == 0 &&
+      mixDays.select("doc_id").except(mixAll.select("doc_id")).count() == 0,
+      "mixture sample is not incremental-arrival invariant")
+    assert(mixAll.count() > 0 && mixAll.count() < docs.count())
+
+    // packing over the sampled chunks: deterministic (two runs identical)
+    // and budget-respecting (a sequence exceeds the budget only by the
+    // straddling chunk's tail — strictly less than one max chunk)
+    val chunks = chunked(mixAll)
+    def pack(): DataFrame = Curation.packSequences(chunks, "source",
+      orderCols = Seq("doc_id", "chunk_id"), tokenCol = "n_chunk_tokens",
+      budget = 256L, shards = 2)
+    val p1 = pack().collect().map(_.mkString("|")).sorted.toSeq
+    val p2 = pack().collect().map(_.mkString("|")).sorted.toSeq
+    assert(p1 == p2, "packing is not deterministic across runs")
+
+    val maxChunk = chunks.agg(max("n_chunk_tokens")).head().getLong(0)
+    val seqTotals = pack()
+      .groupBy("source", "shard", "seq_id")
+      .agg(sum("n_chunk_tokens").as("tok"), count(lit(1)).as("n"))
+    assert(seqTotals.filter(col("tok") >= lit(256L) + lit(maxChunk)).count() == 0,
+      "a packed sequence exceeded budget by a full chunk or more")
+    // density: every non-final sequence in a (source, shard) reaches the
+    // budget once its straddling chunk is counted — no premature breaks
+    val lastSeq = seqTotals.withColumn("__last",
+      col("seq_id") === max("seq_id").over(
+        Window.partitionBy("source", "shard")))
+    assert(lastSeq.filter(!col("__last") && col("tok") < 256L).count() == 0,
+      "a non-final sequence was packed under budget")
+  }
+}
