@@ -525,6 +525,24 @@ object SparkEntry {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Per-user trailing-24h rolling activity as of every event — the
+    * feature-store point-in-time feature ([[Temporal.rollingCounts]]):
+    * one RANGE-frame window pass, no self-join. */
+  private def eventsRolling(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingCounts(events(s, d), "user_id", "ts", "value",
+        horizonSec = 86400L)
+      .select("event_id", "user_id", "unix_sec", "n_trailing", "total_trailing")
+      .orderBy("event_id")
+
+  /** Hourly volume-spike flags per event type ([[Quality.spikes]]):
+    * trailing z-test in exact integer arithmetic, so the boolean is
+    * engine-portable and oracle-checkable (emitted as 0/1 BIGINT). */
+  private def eventsSpike(s: SparkSession, d: String): DataFrame =
+    Quality.spikes(events(s, d), "event_type", "ts",
+        trailing = 24, z = 3, minN = 8)
+      .withColumn("is_spike", col("is_spike").cast(LongType))
+      .orderBy("hour_start", "event_type")
+
   /** Z-order layout key: the Morton interleave of (l_partkey, l_suppkey)
     * that [[graft.operators.Layout.zorderWrite]] clusters files on —
     * registered as a query so the curve itself is oracle-checked
@@ -1297,7 +1315,9 @@ object SparkEntry {
     "range_join" -> (rangeJoinQ _),
     "zorder_layout" -> (zorderLayoutQ _),
     "dedup_incremental" -> (dedupIncremental _),
-    "dedup_keep_best" -> (dedupKeepBest _)
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "events_rolling" -> (eventsRolling _),
+    "events_spike" -> (eventsSpike _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2193,6 +2213,40 @@ object SparkEntry {
         |      WHEN row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) > 1
         |        THEN 'dup_in_batch'
         |      ELSE 'kept' END AS status
-        |FROM new ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM new ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the RANGE frame is anchored on integer epoch seconds in both
+    // engines, so peer groups match exactly; the windowed sum uses the
+    // hourly_rollup DECIMAL(18,2) parity convention
+    "events_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS unix_sec,
+        | COUNT(*) OVER w AS n_trailing,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        | RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    // the z-test evaluated in exact BIGINT arithmetic (see
+    // Quality.spikes) — no float mean/stddev to diverge between engines
+    "events_spike" ->
+      """WITH h AS (
+        | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |x AS (
+        | SELECT hour_ts, event_type, cnt,
+        |  COUNT(*) OVER w AS n_prior,
+        |  SUM(cnt) OVER w AS s_prior,
+        |  SUM(cnt * cnt) OVER w AS q_prior
+        | FROM h
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, cnt, n_prior, s_prior, q_prior,
+        | CAST(n_prior >= 8 AND n_prior * cnt > s_prior
+        |  AND (n_prior - 1) * (n_prior * cnt - s_prior) * (n_prior * cnt - s_prior)
+        |      > 9 * n_prior * (n_prior * q_prior - s_prior * s_prior)
+        |  AS BIGINT) AS is_spike
+        |FROM x ORDER BY hour_start, event_type""".stripMargin
   )
 }

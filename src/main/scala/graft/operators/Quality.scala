@@ -52,6 +52,61 @@ object Quality {
     }.reduce(_ unionByName _).orderBy("check_name")
   }
 
+  /** Trailing-window volume-spike detector — the ingest-monitoring gate
+    * that flags an hour whose event count jumps more than `z` sample
+    * standard deviations above its own type's trailing mean (bot storms,
+    * replayed batches, scraper loops — the anomalies a 100 TB ingest
+    * wants surfaced before they poison training mixes).
+    *
+    * The z-test is evaluated in EXACT integer arithmetic so the flag is
+    * engine-portable (no float mean/stddev whose rounding could flip a
+    * boundary row between engines): with n = trailing hours present,
+    * s = Σcnt, q = Σcnt², the predicate `cnt > mean + z·stddev_samp`
+    * squares to
+    *
+    *   n·cnt > s  AND  (n-1)·(n·cnt - s)² > z²·n·(n·q - s²)
+    *
+    * which is all BIGINT (safe while hourly counts stay below ~2.7e8 at
+    * the defaults; widen to DECIMAL beyond that). Hours with fewer than
+    * `minN` trailing observations never flag (cold start). Shape: the
+    * hourly rollup partial-aggregates MAP-SIDE, so its Exchange carries
+    * hourly rows, not events; the type-keyed window then re-shuffles
+    * those same hourly rows (hours × types — trivial at any corpus
+    * size). Two Exchanges, both hourly-row-sized: strictly cheaper than
+    * the one-Exchange alternative of repartitioning raw events by type. */
+  def spikes(events: DataFrame, typeCol: String, tsCol: String,
+      trailing: Int = 24, z: Int = 3, minN: Int = 8): DataFrame = {
+    require(trailing >= 2 && minN >= 2 && minN <= trailing && z >= 1,
+      s"bad spike params: trailing=$trailing minN=$minN z=$z")
+    // cnt² is projected BEFORE the window so all three frame sums share
+    // one Window node (one pass per sorted partition, not three)
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__cnt_sq", col("cnt") * col("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("hour_ts"))
+      .rowsBetween(-trailing, -1)
+    hourly
+      .select(col("hour_ts"), col(typeCol), col("cnt"),
+        count(lit(1)).over(w).as("n_prior"),
+        sum(col("cnt")).over(w).as("s_prior"),
+        sum(col("__cnt_sq")).over(w).as("q_prior"))
+      .withColumn("is_spike",
+        col("n_prior") >= minN &&
+        col("n_prior") * col("cnt") > col("s_prior") &&
+        (col("n_prior") - 1) *
+          pow2(col("n_prior") * col("cnt") - col("s_prior")) >
+          lit(z.toLong * z) * col("n_prior") *
+            (col("n_prior") * col("q_prior") - pow2(col("s_prior"))))
+      .select(
+        graft.functions.tsString(col("hour_ts")).as("hour_start"),
+        col(typeCol), col("cnt"),
+        col("n_prior"), col("s_prior"), col("q_prior"), col("is_spike"))
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c * c
+
   /** Throws if any check reports violations (the reference's hard gate). */
   def assertClean(df: DataFrame, naturalKey: Seq[String], notNull: Seq[String]): Unit = {
     val bad = report(df, naturalKey, notNull)

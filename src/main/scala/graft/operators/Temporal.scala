@@ -78,4 +78,40 @@ object Temporal {
       .filter(col(ptTs) >= col(startTs) && col(ptTs) < col(endTs))
       .drop("__bin")
   }
+
+  /** Trailing time-range rolling aggregate — "this key's activity over the
+    * last `horizonSec` seconds as of each event", the point-in-time
+    * feature behind rate limits, engagement scores, and feature-store
+    * backfills. Adds `unix_sec` (epoch seconds), `n_trailing` (event
+    * count in `[ts - horizonSec + 1, ts]`, inclusive of the row itself)
+    * and `total_trailing` (exact-decimal sum of `valueCol` over the same
+    * frame, emitted as DOUBLE).
+    *
+    * ONE keyed shuffle + sort: Spark evaluates the RANGE frame with two
+    * moving pointers over each sorted partition, so cost is O(rows), not
+    * O(rows × events-in-horizon) — the naive self-join on
+    * `ts BETWEEN other.ts - horizon AND other.ts` is quadratic per key
+    * and is what this operator exists to avoid. The frame is anchored on
+    * integer epoch SECONDS, so peer groups (equal-second ties) — and
+    * therefore results — are engine-portable; the decimal accumulator
+    * makes the windowed sum order-independent exact (CLAUDE.md numeric
+    * parity rules). Scale: partitions by key (users), state per task is
+    * one frame — no driver state, skew bounded by the hottest key's rows. */
+  def rollingCounts(df: DataFrame, key: String, tsCol: String,
+      valueCol: String, horizonSec: Long,
+      precision: Int = 18, scale: Int = 2): DataFrame = {
+    require(horizonSec >= 1, s"need horizonSec >= 1, got $horizonSec")
+    // pre-project the decimal cast so both frame functions land in ONE
+    // Window node (a projection between .over calls splits the pass in two)
+    val withSec = df
+      .withColumn("unix_sec", col(tsCol).cast("long"))
+      .withColumn("__v",
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(precision, scale)))
+    val w = Window.partitionBy(col(key)).orderBy(col("unix_sec"))
+      .rangeBetween(-(horizonSec - 1), Window.currentRow)
+    withSec
+      .select(withSec.columns.filterNot(_ == "__v").map(col) :+
+        count(lit(1)).over(w).as("n_trailing") :+
+        sum(col("__v")).over(w).cast("double").as("total_trailing"): _*)
+  }
 }

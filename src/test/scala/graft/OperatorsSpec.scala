@@ -163,6 +163,46 @@ class OperatorsSpec extends AnyFunSuite {
       ("t4", None)))         // key with no quotes at all
   }
 
+  test("rollingCounts equals the naive windowed self-join, row for row") {
+    import graft.operators.Temporal
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    val got = Temporal.rollingCounts(ev, "user_id", "ts", "value", horizonSec = 3600L)
+      .select("event_id", "n_trailing", "total_trailing")
+    val e = ev.withColumn("sec", col("ts").cast("long"))
+    val naive = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("b.sec") >= col("a.sec") - 3599L && col("b.sec") <= col("a.sec"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_trailing"),
+        sum(col("b.value").cast(DecimalType(18, 2))).cast("double").as("total_trailing"))
+    assert(got.count() == ev.count())
+    assert(got.except(naive).count() == 0 && naive.except(got).count() == 0)
+  }
+
+  test("spike detector flags strictly above mean + 3 sigma, exact arithmetic") {
+    import graft.operators.Quality
+    // 9 trailing hours [10 x8, 19]: mean 11, SAMPLE sigma exactly 3, so the
+    // 3-sigma boundary sits exactly at 20 — an integer the exact predicate
+    // must NOT flag (strict >) while 21 must flag
+    val hist = Seq.fill(8)(10) :+ 19
+    def hours(tpe: String, counts: Seq[Int]): Seq[(String, String)] =
+      counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => (f"2024-01-01 $h%02d:${i / 60}%02d:${i % 60}%02d", tpe))
+      }
+    val rows = hours("eq", hist :+ 20) ++ hours("gt", hist :+ 21) ++
+      hours("flat", Seq.fill(9)(10) :+ 11) ++ // zero variance: any excess flags
+      hours("cold", Seq.fill(7)(1) :+ 100)    // under minN prior hours: never
+    val df = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val flagged = Quality.spikes(df, "event_type", "ts",
+        trailing = 24, z = 3, minN = 9)
+      .filter(col("is_spike"))
+      .select("event_type", "hour_start")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(flagged.toSeq == Seq(
+      ("flat", "2024-01-01 09:00:00"), ("gt", "2024-01-01 09:00:00")))
+  }
+
   test("salted join equals the plain join, spread over salt buckets") {
     import graft.operators.Skew
     val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")

@@ -247,6 +247,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
   }
 
+  test("events_rolling: one keyed shuffle, one Window pass, no self-join") {
+    // the RANGE-frame rolling aggregate must stay a single user-keyed
+    // Exchange feeding ONE Window node (count + decimal sum fused) — the
+    // quadratic ts-BETWEEN self-join this operator replaces plans as a
+    // join, which must never appear
+    val p = plan("events_rolling")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_spike: hourly rollup combines map-side before any shuffle") {
+    // both Exchanges must carry hourly rows, never raw events: the
+    // partial_count sits below the first Exchange, and the three trailing
+    // frame sums fuse into ONE type-keyed Window node
+    val p = plan("events_spike")
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
     // stage the bucketed tables, then inspect the read/join/rollup plan
     SparkEntry.queries("bucketed_join")(spark, sf).collect()
