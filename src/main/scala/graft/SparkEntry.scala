@@ -392,6 +392,23 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
       .orderBy("d1", "d2")
 
+  /** Asymmetric n-gram containment pairs (tau=0.8): the
+    * small-doc-quoted-inside-big-doc duplicates Jaccard can't see
+    * ([[graft.operators.Dedup.ngramContainmentPairs]]). */
+  private def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text",
+        n = 3, tau = 0.8)
+      .orderBy("d1", "d2")
+
+  /** Seeded deterministic global shuffle into 8 training shards
+    * ([[graft.operators.Curation.shuffleShards]]) — (shard, pos) is a
+    * permutation of the corpus, reproducible across runs and engines. */
+  private def shuffleShardsQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.shuffleShards(
+        documents(s, d).select("doc_id", "source"), "doc_id",
+        nShards = 8, seed = 42L)
+      .orderBy("shard", "pos")
+
   /** Exact dedup over NORMALIZED text (lowercase, punctuation stripped,
     * whitespace collapsed): catches the trivial variants plain
     * content-hash dedup misses; normalization is a codegen'd projection,
@@ -1317,7 +1334,9 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "events_rolling" -> (eventsRolling _),
-    "events_spike" -> (eventsSpike _)
+    "events_spike" -> (eventsSpike _),
+    "dedup_containment" -> (dedupContainment _),
+    "shuffle_shards" -> (shuffleShardsQ _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2247,6 +2266,32 @@ object SparkEntry {
         |  AND (n_prior - 1) * (n_prior * cnt - s_prior) * (n_prior * cnt - s_prior)
         |      > 9 * n_prior * (n_prior * q_prior - s_prior * s_prior)
         |  AS BIGINT) AS is_spike
-        |FROM x ORDER BY hour_start, event_type""".stripMargin
+        |FROM x ORDER BY hour_start, event_type""".stripMargin,
+
+    // containment shares the jaccard CTE skeleton; only the denominator
+    // (LEAST of the two distinct-shingle counts) and threshold change
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, common,
+        | CAST(common AS DOUBLE) / LEAST(x.n_sh, y.n_sh) AS containment
+        |FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE CAST(common AS DOUBLE) / LEAST(x.n_sh, y.n_sh) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+
+    // the same md5 hex-prefix uniform draw as split_assign, keyed on
+    // (doc_id ':' seed) so a different seed is an independent permutation
+    "shuffle_shards" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':42')), 1, 8)) AS BIGINT) AS k
+        | FROM documents)
+        |SELECT doc_id, source, k % 8 AS shard,
+        | CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin
   )
 }

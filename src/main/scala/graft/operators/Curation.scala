@@ -135,4 +135,36 @@ object Curation {
         sum(col("__lam").cast(DecimalType(28, 12)))
           .cast(DoubleType).as("dsir_score"))
   }
+
+  /** Deterministic global shuffle into training shards — the step between
+    * a curated corpus and a training run: SGD wants documents in random
+    * order, and at 100 TB "random order" must mean a seeded permutation
+    * computed where the data lives, not a driver-side shuffle or a
+    * `rand()` that retried tasks re-roll differently.
+    *
+    * Each row draws a uniform 32-bit key from md5(id ':' seed) (the
+    * repo's engine-portable hash idiom — no rand(), idempotent across
+    * retries and re-runs, different seed → independent permutation),
+    * takes `key % nShards` as its shard, and its position within the
+    * shard from ordering by (key, id) — the (shard, pos) pairs are a
+    * permutation of the corpus, so a reader consuming shards
+    * sequentially sees the seeded global order. Shape: ONE hash
+    * Exchange on the shard key + an in-partition sort — exactly the
+    * physical plan of the shard writer it models (repartition +
+    * sortWithinPartitions + per-file position); no global sort, no
+    * driver state, shard skew bounded by the md5 uniformity. */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      seed: Long): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    val key = conv(substring(
+        md5(concat(col(idCol).cast(StringType), lit(":" + seed))), 1, 8),
+      16, 10).cast(LongType)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    docs
+      .withColumn("__key", key)
+      .withColumn("shard", col("__key") % nShards)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .drop("__key")
+  }
 }

@@ -89,7 +89,36 @@ object Dedup {
     * the reducer skew on hot shingles at scale. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, tau: Double = 0.5,
-      maxShingleFreq: Option[Long] = None): DataFrame = {
+      maxShingleFreq: Option[Long] = None): DataFrame =
+    commonShinglePairs(docs, idCol, textCol, n, maxShingleFreq)
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("n1") + col("n2") - col("common")))
+      .filter(col("jaccard") >= tau)
+      .select("d1", "d2", "common", "jaccard")
+
+  /** Exact n-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) >= tau.
+    * Containment is the asymmetric twin of Jaccard — a 200-shingle doc
+    * quoted whole inside a 10,000-shingle page has Jaccard ~0.02 (invisible
+    * at any sane tau) but containment 1.0. That embedding pattern (quoted
+    * articles, scraped mirrors with boilerplate, concatenated dumps) is
+    * exactly what corpus dedup must catch and symmetric measures miss, so
+    * this runs at a HIGH tau (default 0.9) beside, not instead of, the
+    * Jaccard pass. Same join shape and stop-shingle cap as
+    * [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, tau: Double = 0.9,
+      maxShingleFreq: Option[Long] = None): DataFrame =
+    commonShinglePairs(docs, idCol, textCol, n, maxShingleFreq)
+      .withColumn("containment",
+        col("common").cast(DoubleType) / least(col("n1"), col("n2")))
+      .filter(col("containment") >= tau)
+      .select("d1", "d2", "common", "containment")
+
+  /** Shared exact-pair core: shingle-explode, optional stop-shingle cap,
+    * hash self-join, per-pair overlap count joined with both documents'
+    * distinct-shingle counts → (d1, d2, common, n1, n2). */
+  private def commonShinglePairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, maxShingleFreq: Option[Long]): DataFrame = {
     val sh0 = shingleRows(docs, idCol, textCol, n)
     val sh = maxShingleFreq match {
       case Some(cap) =>
@@ -119,10 +148,6 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed(idCol, "d1").withColumnRenamed("n_sh", "n1"), "d1")
       .join(sizes.withColumnRenamed(idCol, "d2").withColumnRenamed("n_sh", "n2"), "d2")
-      .withColumn("jaccard",
-        col("common").cast(DoubleType) / (col("n1") + col("n2") - col("common")))
-      .filter(col("jaccard") >= tau)
-      .select("d1", "d2", "common", "jaccard")
   }
 
   /** Exact Jaccard pairs via PPJoin-style PREFIX FILTERING: for

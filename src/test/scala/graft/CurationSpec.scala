@@ -215,6 +215,30 @@ class CurationSpec extends AnyFunSuite {
     (4L, "raw", "yankee xray whiskey zulu xray yankee")
   ).toDF("doc_id", "source", "text")
 
+  test("shuffle shards is a balanced deterministic permutation of the corpus") {
+    val pool = spark.range(0, 10000).select(col("id").as("doc_id"))
+    val a = Curation.shuffleShards(pool, "doc_id", nShards = 8, seed = 7L)
+    // permutation: every row present exactly once, (shard, pos) unique,
+    // positions within each shard are a contiguous 1..size prefix
+    assert(a.count() == 10000)
+    assert(a.select("shard", "pos").distinct().count() == 10000)
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("maxp"), min(col("pos")).as("minp"))
+      .collect()
+    assert(perShard.length == 8)
+    perShard.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 1L)
+    }
+    // md5 uniformity keeps shards balanced (1250 expected per shard)
+    val sizes = perShard.map(_.getLong(1))
+    assert(sizes.max <= 1400 && sizes.min >= 1100, sizes.mkString(","))
+    // deterministic across runs; a different seed is a different order
+    val b = Curation.shuffleShards(pool, "doc_id", nShards = 8, seed = 7L)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    val c = Curation.shuffleShards(pool, "doc_id", nShards = 8, seed = 8L)
+    assert(c.except(a).count() > 0)
+  }
+
   test("dsir separates target-like from raw-like documents") {
     val scored = Curation.dsirWeights(dsirPool, col("source") === "tgt",
         "doc_id", "text")

@@ -36,6 +36,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment catches a small doc embedded in a big one that jaccard misses") {
+    // doc 2 = doc 1 quoted whole inside ~6x unrelated filler: every
+    // 1-shingle appears in 2 (containment 1.0) but the union is filler-
+    // dominated (jaccard ~0.15)
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 48).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, s"$filler $small $filler")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+    assert(jac.count() == 0)
+    val con = Dedup.ngramContainmentPairs(docs, "doc_id", "text", n = 3, tau = 0.9)
+      .collect()
+    assert(con.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(con.head.getDouble(3) == 1.0)
+  }
+
+  test("containment dominates jaccard: same-tau jaccard pairs are a subset") {
+    // containment = common/min >= common/union = jaccard on every pair,
+    // so at equal tau the jaccard pair set can never exceed containment's
+    val docs = Tables.documents(spark, sf)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select("d1", "d2")
+    val con = Dedup.ngramContainmentPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .select("d1", "d2")
+    assert(jac.except(con).count() == 0)
+    assert(con.count() >= jac.count())
+  }
+
   test("ngram jaccard stop-shingle cap drops hot shingles before the join") {
     // every doc shares "the quick brown" unless capped away
     val capped = Dedup.ngramJaccardPairs(docs3, "doc_id", "text", n = 3, tau = 0.01,

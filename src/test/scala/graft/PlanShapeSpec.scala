@@ -269,6 +269,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("shuffle_shards: one shard-keyed shuffle, one Window, no global sort") {
+    // the seeded permutation must plan exactly like the shard writer it
+    // models: hash Exchange on the shard key + in-partition sort +
+    // row_number — never a global (range) sort of the corpus for the
+    // permutation itself (the single rangepartitioning Exchange below
+    // the output ORDER BY is the registered query's determinism sort)
+    val p = plan("shuffle_shards")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
     // stage the bucketed tables, then inspect the read/join/rollup plan
     SparkEntry.queries("bucketed_join")(spark, sf).collect()
