@@ -269,6 +269,31 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    // rolling point-in-time features and spike flags over the replicated
+    // stream; forced with a checksum — count() would prune the Window /
+    // trailing-frame columns out of the plan
+    time("events_rolling") {
+      val out = graft.operators.Temporal.rollingCounts(
+        ev.withColumn("value", (col("event_id") % 97).cast("double")),
+        "user_id", "ts", "value", horizonSec = 86400L)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("events_spike") {
+      val out = graft.operators.Quality.spikes(ev, "event_type", "ts")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("shuffle_shards") {
+      val out = graft.operators.Curation.shuffleShards(
+        docs.select("doc_id"), "doc_id", nShards = 64, seed = 42L)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("dedup_containment") {
+      Dedup.ngramContainmentPairs(docs, "doc_id", "text", tau = 0.9,
+        maxShingleFreq = Some(1000L)).count()
+    }
     // z-order rewrite: interleave projection + sampled range shuffle +
     // parquet write, the full OPTIMIZE ZORDER BY path at docs x factor
     // rows (write lands on the tmpfs scratch dir, the NVMe analog)
