@@ -400,6 +400,13 @@ object SparkEntry {
         n = 3, tau = 0.8)
       .orderBy("d1", "d2")
 
+  /** Per-source token-distribution drift vs the corpus
+    * ([[graft.operators.Quality.drift]]): TV distance with a pure-BIGINT
+    * numerator, so the double is engine-portable. */
+  private def corpusDrift(s: SparkSession, d: String): DataFrame =
+    Quality.drift(documents(s, d), "source", "text", buckets = 4096)
+      .orderBy("source")
+
   /** Seeded deterministic global shuffle into 8 training shards
     * ([[graft.operators.Curation.shuffleShards]]) — (shard, pos) is a
     * permutation of the corpus, reproducible across runs and engines. */
@@ -1336,7 +1343,8 @@ object SparkEntry {
     "events_rolling" -> (eventsRolling _),
     "events_spike" -> (eventsSpike _),
     "dedup_containment" -> (dedupContainment _),
-    "shuffle_shards" -> (shuffleShardsQ _)
+    "shuffle_shards" -> (shuffleShardsQ _),
+    "corpus_drift" -> (corpusDrift _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2292,6 +2300,30 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, source, k % 8 AS shard,
         | CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos
-        |FROM h ORDER BY shard, pos""".stripMargin
+        |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // TV distance with the divisions cleared: the numerator
+    // Σ|o·N − c·ng| + ng·(N − Σc_present) is pure BIGINT on both
+    // engines; only the final ratio is a double (identical operands →
+    // identical IEEE result). Token stream and md5 bucketing mirror the
+    // dsir oracle idiom.
+    "corpus_drift" ->
+      """WITH tok AS (
+        | SELECT source, unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents),
+        |bk AS (
+        | SELECT source,
+        |  CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 4096 AS b
+        | FROM tok),
+        |cnt AS (SELECT source, b, COUNT(*) AS o FROM bk GROUP BY 1, 2),
+        |x AS (
+        | SELECT source, b, o,
+        |  SUM(o) OVER (PARTITION BY b) AS c,
+        |  SUM(o) OVER (PARTITION BY source) AS ng,
+        |  SUM(o) OVER () AS N
+        | FROM cnt)
+        |SELECT source, CAST(MAX(ng) AS BIGINT) AS n_tokens,
+        | CAST(SUM(ABS(o*N - c*ng)) + MAX(ng) * (MAX(N) - SUM(c)) AS DOUBLE)
+        |   / (2.0 * MAX(ng) * MAX(N)) AS tv_distance
+        |FROM x GROUP BY source ORDER BY source""".stripMargin
   )
 }

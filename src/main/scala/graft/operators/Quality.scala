@@ -107,6 +107,67 @@ object Quality {
 
   private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c * c
 
+  /** Per-source distribution-drift monitor — the corpus-composition twin
+    * of [[spikes]]: for each source, the total-variation distance between
+    * its hashed-token-bucket distribution and the corpus-wide one. A
+    * scraper that starts returning error pages, a source that flips
+    * language, or a replayed dump all move a source's token distribution
+    * long before eyeballing documents would catch it; TV distance
+    * (½·Σ|p_i − q_i| ∈ [0,1]) is the standard, threshold-friendly gauge.
+    *
+    * Engine-portable exactness (the [[spikes]] playbook): the summed term
+    * |o_i/n_g − c_i/N| is cleared of divisions —
+    *
+    *   tv_g = Σ_i |o_i·N − c_i·n_g|  /  (2·n_g·N)
+    *
+    * — so the accumulation is pure BIGINT (order-independent, no float
+    * rounding; safe while o_i·N stays under 2^63 — widen to DECIMAL past
+    * ~10^9 tokens/bucket·source); only the final ratio is one double
+    * division both engines evaluate identically on identical operands.
+    * Tokens hash into `buckets` md5 buckets (the dsir idiom), so state is
+    * buckets×sources regardless of vocabulary.
+    *
+    * Shape: one explode + map-side-combined groupBy — the only
+    * data-sized pass; its Exchange carries ≤ buckets×sources rows. The
+    * bucket totals then ride a bucket-keyed window and the per-source
+    * rollup re-aggregates the same tiny frame. No joins, no driver state. */
+  def drift(docs: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val cnt = docs
+      .select(col(sourceCol),
+        explode(graft.functions.wsTokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % buckets)
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("o"))
+    // all three totals ride windows over the same buckets×sources frame
+    // (trivial row count), so no joins and no second data-sized pass
+    import org.apache.spark.sql.expressions.Window
+    val scored = cnt
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("__b"))))
+      .withColumn("ng", sum(col("o")).over(Window.partitionBy(col(sourceCol))))
+      .withColumn("N", sum(col("o")).over(Window.partitionBy()))
+    // a bucket the source never hits still contributes |0 − c_i·n_g|:
+    // add the missing mass n_g·(N − Σ_present c_i) after the rollup
+    scored
+      .groupBy(col(sourceCol))
+      .agg(
+        max(col("ng")).as("n_tokens"),
+        sum(abs(col("o") * col("N") - col("c") * col("ng"))).as("__present"),
+        sum(col("c")).as("__c_present"),
+        max(col("N")).as("__N"))
+      .select(
+        col(sourceCol),
+        col("n_tokens"),
+        ((col("__present") + col("n_tokens") * (col("__N") - col("__c_present")))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          (lit(2.0) * col("n_tokens").cast(org.apache.spark.sql.types.DoubleType) *
+            col("__N").cast(org.apache.spark.sql.types.DoubleType)))
+          .as("tv_distance"))
+  }
+
   /** Throws if any check reports violations (the reference's hard gate). */
   def assertClean(df: DataFrame, naturalKey: Seq[String], notNull: Seq[String]): Unit = {
     val bad = report(df, naturalKey, notNull)

@@ -203,6 +203,30 @@ class OperatorsSpec extends AnyFunSuite {
       ("flat", "2024-01-01 09:00:00"), ("gt", "2024-01-01 09:00:00")))
   }
 
+  test("drift is exactly 0 for distribution-identical sources, 0.5 for disjoint halves") {
+    import graft.operators.Quality
+    // a and b share one token multiset -> each equals the overall
+    // distribution exactly (tv 0.0, exact double); c and d are disjoint
+    // equal-mass vocabularies -> tv(p, (p+q)/2) = ¼Σ|p−q| = 0.5 exactly
+    val same = Seq("a", "b").flatMap(s =>
+      Seq.fill(3)((s, "tok1 tok2")) :+ ((s, "tok3")))
+    val outSame = Quality.drift(same.toDF("source", "text"), "source", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(outSame("a") == 0.0 && outSame("b") == 0.0)
+    val disj = Seq(("c", "left1 left2 left3 left4"), ("d", "right1 right2 right3 right4"))
+    val outDisj = Quality.drift(disj.toDF("source", "text"), "source", "text")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(outDisj("c") == 0.5 && outDisj("d") == 0.5)
+    // real corpus: every tv in [0, 1], token totals conserved
+    val real = Quality.drift(Tables.documents(spark, sf), "source", "text")
+    val rows = real.collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    val total = rows.map(_.getLong(1)).sum
+    val expect = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+"))).count()
+    assert(total == expect)
+  }
+
   test("salted join equals the plain join, spread over salt buckets") {
     import graft.operators.Skew
     val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")

@@ -281,6 +281,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("corpus_drift: one data-sized shuffle, windows ride the tiny frame") {
+    // the token explode must partial-aggregate MAP-SIDE into the single
+    // (source, bucket)-keyed Exchange; the three totals windows and the
+    // final rollup then live on the buckets×sources frame behind ONE
+    // SinglePartition Exchange (≤ 4096×|sources| rows) — no joins
+    val p = plan("corpus_drift")
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
     // stage the bucketed tables, then inspect the read/join/rollup plan
     SparkEntry.queries("bucketed_join")(spark, sf).collect()
