@@ -290,6 +290,12 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    time("corpus_drift") {
+      // replica-tagged sources so the per-source frame scales with factor
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+      graft.operators.Quality.drift(src, "source", "text").count()
+    }
     time("dedup_containment") {
       Dedup.ngramContainmentPairs(docs, "doc_id", "text", tau = 0.9,
         maxShingleFreq = Some(1000L)).count()
