@@ -75,14 +75,26 @@ object Quality {
     * size). Two Exchanges, both hourly-row-sized: strictly cheaper than
     * the one-Exchange alternative of repartitioning raw events by type. */
   def spikes(events: DataFrame, typeCol: String, tsCol: String,
+      trailing: Int = 24, z: Int = 3, minN: Int = 8): DataFrame =
+    spikesFromHourly(
+      events.groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
+        .agg(count(lit(1)).as("cnt")),
+      typeCol, "hour_ts", "cnt", trailing, z, minN)
+
+  /** [[spikes]] over an ALREADY-AGGREGATED hourly count table — the entry
+    * point the streaming deployment uses: the watermarked hourly rollup
+    * streams into a sink, and this runs over the accumulating sink table
+    * (hours × types rows) without re-touching raw events. Composition
+    * spec-pinned in StreamingSpec. */
+  def spikesFromHourly(hourlyCounts: DataFrame, typeCol: String,
+      hourCol: String, cntCol: String,
       trailing: Int = 24, z: Int = 3, minN: Int = 8): DataFrame = {
     require(trailing >= 2 && minN >= 2 && minN <= trailing && z >= 1,
       s"bad spike params: trailing=$trailing minN=$minN z=$z")
     // cnt² is projected BEFORE the window so all three frame sums share
     // one Window node (one pass per sorted partition, not three)
-    val hourly = events
-      .groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
-      .agg(count(lit(1)).as("cnt"))
+    val hourly = hourlyCounts
+      .select(col(hourCol).as("hour_ts"), col(typeCol), col(cntCol).as("cnt"))
       .withColumn("__cnt_sq", col("cnt") * col("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(typeCol)).orderBy(col("hour_ts"))

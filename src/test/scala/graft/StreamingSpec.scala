@@ -43,6 +43,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spike detector over the streamed hourly rollup flags the storm hour") {
+    // the deployment loop end-to-end: watermarked hourly rollup streams
+    // into a sink; Quality.spikesFromHourly runs over the ACCUMULATED
+    // sink table (hours x types) without re-touching raw events
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyRollup(events)
+      .writeStream.format("memory").queryName("spike_hourly")
+      .outputMode("append").start()
+    try {
+      // 9 quiet hours of exactly 10 clicks, then a 100-click storm hour
+      val quiet = for (h <- 0 until 9; i <- 0 until 10)
+        yield (ts(f"2024-01-01 $h%02d:00:${i}%02d"), "click", 1.0)
+      val storm = (0 until 100).map(i =>
+        (ts(f"2024-01-01 09:${i / 60}%02d:${i % 60}%02d"), "click", 1.0))
+      input.addData(quiet ++ storm)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), "late", 0.0)) // close windows
+      q.processAllAvailable()
+
+      val flagged = graft.operators.Quality.spikesFromHourly(
+          spark.table("spike_hourly")
+            .withColumn("hour_ts", to_timestamp(col("hour_start"))),
+          "event_type", "hour_ts", "n", trailing = 24, z = 3, minN = 8)
+        .filter(col("is_spike"))
+        .select("event_type", "hour_start").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(flagged.toSeq == Seq(("click", "2024-01-01 09:00:00")))
+    } finally q.stop()
+  }
+
   test("stateful session tracker closes sessions across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[SessionEvent]
