@@ -407,6 +407,17 @@ object SparkEntry {
     Quality.drift(documents(s, d), "source", "text", buckets = 4096)
       .orderBy("source")
 
+  /** Numeric twin of [[corpusDrift]] over the generic bucket seam
+    * ([[graft.operators.Quality.driftFromBuckets]]): per-event-type TV
+    * distance of the `value` distribution (fixed 1/16-width bins) vs all
+    * events — catches a type whose payload shifts even at stable volume. */
+  private def valueDrift(s: SparkSession, d: String): DataFrame =
+    Quality.driftFromBuckets(
+        events(s, d).select(col("event_type"),
+          floor(col("value") * 16).as("bin")),
+        "event_type", "bin")
+      .orderBy("event_type")
+
   /** Seeded deterministic global shuffle into 8 training shards
     * ([[graft.operators.Curation.shuffleShards]]) — (shard, pos) is a
     * permutation of the corpus, reproducible across runs and engines. */
@@ -1344,7 +1355,8 @@ object SparkEntry {
     "events_spike" -> (eventsSpike _),
     "dedup_containment" -> (dedupContainment _),
     "shuffle_shards" -> (shuffleShardsQ _),
-    "corpus_drift" -> (corpusDrift _)
+    "corpus_drift" -> (corpusDrift _),
+    "value_drift" -> (valueDrift _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2324,6 +2336,23 @@ object SparkEntry {
         |SELECT source, CAST(MAX(ng) AS BIGINT) AS n_tokens,
         | CAST(SUM(ABS(o*N - c*ng)) + MAX(ng) * (MAX(N) - SUM(c)) AS DOUBLE)
         |   / (2.0 * MAX(ng) * MAX(N)) AS tv_distance
-        |FROM x GROUP BY source ORDER BY source""".stripMargin
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    // same TV skeleton as corpus_drift over fixed-width numeric bins:
+    // floor(value·16) on identical doubles is identical in both engines
+    "value_drift" ->
+      """WITH bk AS (
+        | SELECT event_type, CAST(FLOOR(value * 16) AS BIGINT) AS b FROM events),
+        |cnt AS (SELECT event_type, b, COUNT(*) AS o FROM bk GROUP BY 1, 2),
+        |x AS (
+        | SELECT event_type, b, o,
+        |  SUM(o) OVER (PARTITION BY b) AS c,
+        |  SUM(o) OVER (PARTITION BY event_type) AS ng,
+        |  SUM(o) OVER () AS N
+        | FROM cnt)
+        |SELECT event_type, CAST(MAX(ng) AS BIGINT) AS n_obs,
+        | CAST(SUM(ABS(o*N - c*ng)) + MAX(ng) * (MAX(N) - SUM(c)) AS DOUBLE)
+        |   / (2.0 * MAX(ng) * MAX(N)) AS tv_distance
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

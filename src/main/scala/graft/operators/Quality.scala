@@ -146,13 +146,25 @@ object Quality {
   def drift(docs: DataFrame, sourceCol: String, textCol: String,
       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    val cnt = docs
-      .select(col(sourceCol),
-        explode(graft.functions.wsTokens(col(textCol))).as("__tok"))
-      .withColumn("__b",
-        conv(substring(md5(col("__tok")), 1, 8), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType) % buckets)
-      .groupBy(col(sourceCol), col("__b"))
+    driftFromBuckets(
+      docs.select(col(sourceCol),
+          explode(graft.functions.wsTokens(col(textCol))).as("__tok"))
+        .withColumn("__b",
+          conv(substring(md5(col("__tok")), 1, 8), 16, 10)
+            .cast(org.apache.spark.sql.types.LongType) % buckets),
+      sourceCol, "__b")
+      .withColumnRenamed("n_obs", "n_tokens")
+  }
+
+  /** [[drift]] over an ARBITRARY per-row bucket assignment — the reuse
+    * seam for non-text distributions: numeric columns bin with
+    * `floor(value·k)`, categorical ones are their own buckets, joint
+    * distributions concatenate-and-hash. One row in, one observation in;
+    * same BIGINT-exact TV arithmetic and tiny-frame plan. */
+  def driftFromBuckets(rows: DataFrame, sourceCol: String,
+      bucketCol: String): DataFrame = {
+    val cnt = rows
+      .groupBy(col(sourceCol), col(bucketCol).as("__b"))
       .agg(count(lit(1)).as("o"))
     // all three totals ride windows over the same buckets×sources frame
     // (trivial row count), so no joins and no second data-sized pass
@@ -166,16 +178,16 @@ object Quality {
     scored
       .groupBy(col(sourceCol))
       .agg(
-        max(col("ng")).as("n_tokens"),
+        max(col("ng")).as("n_obs"),
         sum(abs(col("o") * col("N") - col("c") * col("ng"))).as("__present"),
         sum(col("c")).as("__c_present"),
         max(col("N")).as("__N"))
       .select(
         col(sourceCol),
-        col("n_tokens"),
-        ((col("__present") + col("n_tokens") * (col("__N") - col("__c_present")))
+        col("n_obs"),
+        ((col("__present") + col("n_obs") * (col("__N") - col("__c_present")))
           .cast(org.apache.spark.sql.types.DoubleType) /
-          (lit(2.0) * col("n_tokens").cast(org.apache.spark.sql.types.DoubleType) *
+          (lit(2.0) * col("n_obs").cast(org.apache.spark.sql.types.DoubleType) *
             col("__N").cast(org.apache.spark.sql.types.DoubleType)))
           .as("tv_distance"))
   }

@@ -227,6 +227,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total == expect)
   }
 
+  test("bucket-seam drift: identical numeric distributions 0, shifted ones positive") {
+    import graft.operators.Quality
+    // e and f draw the same values -> tv 0.0 exactly; g sits in disjoint
+    // bins -> tv 0.5 against the pooled distribution (equal masses)
+    def rows(s: String, vs: Seq[Double]) = vs.map(v => (s, v))
+    val df = (rows("e", Seq(0.1, 0.2, 0.9, 1.4)) ++
+      rows("f", Seq(0.1, 0.2, 0.9, 1.4)) ++
+      rows("g", Seq(5.0, 5.1, 6.2, 7.3))).toDF("event_type", "value")
+    val out = Quality.driftFromBuckets(
+        df.select(col("event_type"), floor(col("value") * 16).as("bin")),
+        "event_type", "bin")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(out("e") == out("f"))
+    assert(out("g") > out("e"))
+    // e vs pooled: e==f so pooled = 2/3·e + 1/3·g; tv(e, pooled) = 1/3·tv(e,g) = 1/3
+    assert(math.abs(out("e") - 1.0 / 3.0) < 1e-15)
+  }
+
   test("salted join equals the plain join, spread over salt buckets") {
     import graft.operators.Skew
     val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")

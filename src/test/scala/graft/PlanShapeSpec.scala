@@ -291,6 +291,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p)
+    // the numeric twin rides the same bucket seam and must keep the shape
+    val v = plan("value_drift")
+    assert(v.contains("partial_count"), v)
+    assert("Exchange hashpartitioning".r.findAllIn(v).size == 1, v)
+    assert(!v.contains("Join"), v)
   }
 
   test("bucketed_join: join AND per-key rollup run with zero hash Exchange") {
