@@ -34,17 +34,13 @@ object GraftSession {
   }
 
   /** Temp dir removed on JVM exit — Spark cleans its own children but
-    * never the parent, and the warehouse dir not at all. */
+    * never the parent, and the warehouse dir not at all. Registered via
+    * Spark's ShutdownHookManager at a post-Spark priority so the delete
+    * never races Spark's own cleanup of the same tree (a raw JVM hook
+    * runs concurrently with Spark's and the two deleters can collide). */
   private[graft] def tempDir(base: java.nio.file.Path, prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(base, prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(dir.toFile)
-    }))
+    org.apache.spark.sql.graft.Bridge.removeDirOnShutdown(dir.toFile)
     dir.toString
   }
 

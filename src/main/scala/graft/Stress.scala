@@ -291,10 +291,15 @@ object Stress {
         .head().getLong(1)
     }
     time("corpus_drift") {
-      // replica-tagged sources so the per-source frame scales with factor
+      // replica-tagged sources so the per-source frame scales with factor;
+      // forced with the checksum aggregate — count() would let the
+      // optimizer prune the TV-distance aggregates (and the window stage
+      // feeding them) out of the groupBy
       val src = docs.withColumn("source",
         concat(lit("s"), pmod(col("doc_id"), lit(20L))))
-      graft.operators.Quality.drift(src, "source", "text").count()
+      val out = graft.operators.Quality.drift(src, "source", "text")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
     }
     time("dedup_containment") {
       Dedup.ngramContainmentPairs(docs, "doc_id", "text", tau = 0.9,

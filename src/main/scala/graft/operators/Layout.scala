@@ -75,7 +75,10 @@ object Layout {
     * cost is task scheduling and footer reads, not IO. Rewrites the
     * directory into ceil(actualBytes / targetBytes) files, sized from
     * the REAL on-disk byte count (never row-count guesses, which
-    * misjudge compression 10x either way).
+    * misjudge compression 10x either way). The listing is RECURSIVE so
+    * hive-partitioned (k=v subdir) inputs size correctly too; note the
+    * rewrite itself is flat — partition columns become data columns in
+    * the output (compact per-partition to keep a partitioned layout).
     *
     * With `sortCols` the rewrite range-partitions and sorts (restoring
     * min/max file-skipping stats as it compacts — pair with [[zvalue]]
@@ -90,10 +93,19 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(conf)
-    val parts = fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    // recursive: partitioned layouts (k=v subdirs) keep their data files
+    // below the root, so a top-level listing would size the rewrite from
+    // zero bytes. Hidden components (_SUCCESS, _temporary/, .crc) are
+    // excluded wherever they appear in the path.
+    val root = p.toUri.getPath
+    def hidden(path: org.apache.hadoop.fs.Path): Boolean =
+      path.toUri.getPath.stripPrefix(root).split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    val it = fs.listFiles(p, true)
+    val parts = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filterNot(st => hidden(st.getPath))
+      .toArray
     val bytes = parts.map(_.getLen).sum
     val filesBefore = parts.length
     require(filesBefore > 0, s"no data files to compact under $inPath")

@@ -66,8 +66,12 @@ object Quality {
     *
     *   n·cnt > s  AND  (n-1)·(n·cnt - s)² > z²·n·(n·q - s²)
     *
-    * which is all BIGINT (safe while hourly counts stay below ~2.7e8 at
-    * the defaults; widen to DECIMAL beyond that). Hours with fewer than
+    * which is all BIGINT. Headroom: the binding term is (n−1)·(n·cnt−s)²
+    * ≤ (trailing−1)·(trailing·cnt)², so at the default trailing=24 the
+    * exact path is safe while hourly counts stay below ~2.6e7 (under ANSI
+    * mode an overflow THROWS rather than corrupts); pass `wide = true` to
+    * run the same test in DECIMAL(38,0) — identical flags, headroom to
+    * ~1e17 events/hour/type. Hours with fewer than
     * `minN` trailing observations never flag (cold start). Shape: the
     * hourly rollup partial-aggregates MAP-SIDE, so its Exchange carries
     * hourly rows, not events; the type-keyed window then re-shuffles
@@ -75,11 +79,12 @@ object Quality {
     * size). Two Exchanges, both hourly-row-sized: strictly cheaper than
     * the one-Exchange alternative of repartitioning raw events by type. */
   def spikes(events: DataFrame, typeCol: String, tsCol: String,
-      trailing: Int = 24, z: Int = 3, minN: Int = 8): DataFrame =
+      trailing: Int = 24, z: Int = 3, minN: Int = 8,
+      wide: Boolean = false): DataFrame =
     spikesFromHourly(
       events.groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
         .agg(count(lit(1)).as("cnt")),
-      typeCol, "hour_ts", "cnt", trailing, z, minN)
+      typeCol, "hour_ts", "cnt", trailing, z, minN, wide)
 
   /** [[spikes]] over an ALREADY-AGGREGATED hourly count table — the entry
     * point the streaming deployment uses: the watermarked hourly rollup
@@ -88,14 +93,19 @@ object Quality {
     * spec-pinned in StreamingSpec. */
   def spikesFromHourly(hourlyCounts: DataFrame, typeCol: String,
       hourCol: String, cntCol: String,
-      trailing: Int = 24, z: Int = 3, minN: Int = 8): DataFrame = {
+      trailing: Int = 24, z: Int = 3, minN: Int = 8,
+      wide: Boolean = false): DataFrame = {
     require(trailing >= 2 && minN >= 2 && minN <= trailing && z >= 1,
       s"bad spike params: trailing=$trailing minN=$minN z=$z")
+    // `wide` runs the identical z-test in DECIMAL(38,0) — same integer
+    // semantics (scale 0, exact), ~1e17 headroom instead of ~2.6e7
+    def n(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (wide) c.cast(org.apache.spark.sql.types.DecimalType(38, 0)) else c
     // cnt² is projected BEFORE the window so all three frame sums share
     // one Window node (one pass per sorted partition, not three)
     val hourly = hourlyCounts
       .select(col(hourCol).as("hour_ts"), col(typeCol), col(cntCol).as("cnt"))
-      .withColumn("__cnt_sq", col("cnt") * col("cnt"))
+      .withColumn("__cnt_sq", n(col("cnt")) * n(col("cnt")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(typeCol)).orderBy(col("hour_ts"))
       .rowsBetween(-trailing, -1)
@@ -106,11 +116,11 @@ object Quality {
         sum(col("__cnt_sq")).over(w).as("q_prior"))
       .withColumn("is_spike",
         col("n_prior") >= minN &&
-        col("n_prior") * col("cnt") > col("s_prior") &&
-        (col("n_prior") - 1) *
-          pow2(col("n_prior") * col("cnt") - col("s_prior")) >
-          lit(z.toLong * z) * col("n_prior") *
-            (col("n_prior") * col("q_prior") - pow2(col("s_prior"))))
+        n(col("n_prior")) * n(col("cnt")) > n(col("s_prior")) &&
+        n(col("n_prior") - 1) *
+          pow2(n(col("n_prior")) * n(col("cnt")) - n(col("s_prior"))) >
+          n(lit(z.toLong * z)) * n(col("n_prior")) *
+            (n(col("n_prior")) * n(col("q_prior")) - pow2(n(col("s_prior")))))
       .select(
         graft.functions.tsString(col("hour_ts")).as("hour_start"),
         col(typeCol), col("cnt"),

@@ -52,6 +52,27 @@ object Bridge {
         .create(bloomBytes, org.apache.spark.sql.types.BinaryType),
       expression(value)))
 
+  /** Recursively delete `dir` at JVM shutdown, AFTER Spark's own cleanup.
+    *
+    * A raw `Runtime.addShutdownHook` deleter races Spark's
+    * ShutdownHookManager (both walk the same scratch tree concurrently —
+    * benign only because failures are swallowed). Registering through
+    * Spark's manager at a priority below `TEMP_DIR_SHUTDOWN_PRIORITY`
+    * (25) sequences the hooks: Spark removes its blockmgr/spark-*
+    * children first, then this removes the parent. `private[spark]` API,
+    * hence routed through this bridge. */
+  def removeDirOnShutdown(dir: java.io.File): Unit = {
+    org.apache.spark.util.ShutdownHookManager.addShutdownHook(10) { () =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+    ()
+  }
+
   /** Unpersist every `localCheckpoint` block set a DataFrame's plan reads
     * from. `Dataset.unpersist` cannot do this — checkpoints persist their
     * RDD directly, outside the CacheManager — so iterative operators that

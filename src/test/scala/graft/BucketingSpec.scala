@@ -74,6 +74,19 @@ class BucketingSpec extends AnyFunSuite {
         case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, rects.mkString(", "))
         case _ => ()
       }
+
+      // hive-partitioned input: the data files live in p=K subdirs, so
+      // only a RECURSIVE listing sizes the rewrite from real bytes (a
+      // top-level listing sees zero data files and refuses)
+      docs.withColumn("p", pmod(col("doc_id"), lit(4L)))
+        .write.partitionBy("p").mode("overwrite").parquet(s"$dir/parts")
+      val (pb, pa, pbytes) = Layout.compactFiles(
+        spark, s"$dir/parts", s"$dir/parts_compact", targetBytes = Long.MaxValue)
+      assert(pb >= 4 && pbytes > 0L && pa == 1, s"pb=$pb pa=$pa bytes=$pbytes")
+      val pc = spark.read.parquet(s"$dir/parts_compact")
+      assert(pc.count() == docs.count())
+      // the flattened rewrite keeps the partition column as a data column
+      assert(pc.groupBy("p").count().count() == 4L)
     } finally {
       new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
     }

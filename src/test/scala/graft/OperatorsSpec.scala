@@ -203,6 +203,36 @@ class OperatorsSpec extends AnyFunSuite {
       ("flat", "2024-01-01 09:00:00"), ("gt", "2024-01-01 09:00:00")))
   }
 
+  test("spike detector: wide decimal path matches exact flags and survives counts past the BIGINT bound") {
+    // same boundary fixture as above (sample sigma exactly 3, boundary at
+    // 20); scaling every count by f scales mean and sigma by f, so the
+    // flag set is scale-invariant — which lets one fixture check both
+    // widths at small counts AND the wide path alone past the ~2.6e7
+    // exact-arithmetic bound, where the BIGINT Σcnt² overflows and ANSI
+    // throws on the narrow path
+    val hist = Seq.fill(8)(10L) :+ 19L
+    def hourly(scale: Long) =
+      Seq("eq" -> (hist :+ 20L), "gt" -> (hist :+ 21L),
+          "flat" -> (Seq.fill(9)(10L) :+ 11L))
+        .flatMap { case (tpe, cs) => cs.zipWithIndex.map { case (c, h) =>
+          (f"2024-01-01 $h%02d:00:00", tpe, c * scale) } }
+        .toDF("h", "event_type", "cnt")
+        .withColumn("hour_ts", to_timestamp(col("h")))
+    def flags(df: org.apache.spark.sql.DataFrame, wide: Boolean) =
+      Quality.spikesFromHourly(df, "event_type", "hour_ts", "cnt",
+          trailing = 24, z = 3, minN = 9, wide = wide)
+        .filter(col("is_spike")).select("event_type", "hour_start")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(flags(hourly(1L), wide = false) == flags(hourly(1L), wide = true))
+    assert(flags(hourly(100000000L), wide = true) == Seq(
+      ("flat", "2024-01-01 09:00:00"), ("gt", "2024-01-01 09:00:00")))
+    val ex = intercept[Exception] { flags(hourly(100000000L), wide = false) }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).take(10).toSeq
+    assert(chain.exists(t => t.isInstanceOf[ArithmeticException] ||
+      String.valueOf(t.getMessage).toLowerCase.contains("overflow")))
+  }
+
   test("drift is exactly 0 for distribution-identical sources, 0.5 for disjoint halves") {
     import graft.operators.Quality
     // a and b share one token multiset -> each equals the overall
