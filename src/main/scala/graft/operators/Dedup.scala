@@ -50,23 +50,41 @@ object Dedup {
     * (the full recompute is [[exact]]).
     *
     * `orderCols` break keep-first ties inside the batch (must be unique
-    * per row for deterministic output). Reference analog: the reference
+    * per row for deterministic output).
+    *
+    * Guardrail: the broadcast contract holds only while the batch's
+    * distinct hash set is executor-memory-sized. A cheap bounded probe
+    * (`limit(max+1).count()` — never materializes more than the
+    * threshold) checks that before hinting; an oversized batch falls
+    * back to UNHINTED joins, where the index leftsemi becomes a shuffled
+    * hash join (a corpus-sized Exchange — the honest cost of a batch too
+    * large to broadcast; identical classifications either way,
+    * property-pinned). Default threshold 1M keys ≈ ~100 MB broadcast.
+    *
+    * Reference analog: the reference
     * pipeline re-scrapes hourly and upserts ON CONFLICT DO NOTHING
     * (RustCheatersDataPipeline dags/utils/sql_queries.py) — the same
     * "new data vs existing corpus" classification, done there by the
     * warehouse, done here before the data ever lands. */
   def incrementalExact(indexed: DataFrame, batch: DataFrame,
-      hashCol: String, orderCols: Seq[String]): DataFrame = {
+      hashCol: String, orderCols: Seq[String],
+      maxBroadcastKeys: Int = 1 << 20): DataFrame = {
     require(orderCols.nonEmpty, "need at least one keep-first order column")
-    val bkeys = broadcast(batch.select(hashCol).distinct())
+    require(maxBroadcastKeys >= 1 && maxBroadcastKeys < Int.MaxValue,
+      s"bad maxBroadcastKeys: $maxBroadcastKeys")
+    val keys = batch.select(hashCol).distinct()
+    val broadcastable =
+      keys.limit(maxBroadcastKeys + 1).count() <= maxBroadcastKeys
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
     val hits = indexed.select(col(hashCol))
-      .join(bkeys, Seq(hashCol), "leftsemi")
+      .join(hint(keys), Seq(hashCol), "leftsemi")
       .distinct()
       .withColumn("__hit", lit(true))
     val w = Window.partitionBy(col(hashCol)).orderBy(orderCols.map(col): _*)
     batch
       .withColumn("__rk", row_number().over(w))
-      .join(broadcast(hits), Seq(hashCol), "left")
+      .join(hint(hits), Seq(hashCol), "left")
       .withColumn("status",
         when(col("__hit"), lit("dup_of_index"))
           .when(col("__rk") > 1, lit("dup_in_batch"))

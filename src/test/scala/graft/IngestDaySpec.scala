@@ -102,6 +102,18 @@ class IngestDaySpec extends AnyFunSuite {
         orderCols = Seq("doc_id", "chunk_id"))
       assert(reingest.filter(col("status") =!= "dup_of_index").count() == 0,
         "re-ingest of an already-ingested batch was not a no-op")
+
+      // oversized-batch guardrail: forcing the shuffled fallback
+      // (threshold below the batch's distinct-hash count) must classify
+      // every row identically to the broadcast path
+      val viaShuffle = Dedup.incrementalExact(index, c2, "chunk_hash",
+        orderCols = Seq("doc_id", "chunk_id"), maxBroadcastKeys = 1)
+      val keyed = Seq("doc_id", "chunk_id", "status")
+      assert(classified.select(keyed.map(col): _*)
+          .except(viaShuffle.select(keyed.map(col): _*)).count() == 0 &&
+        viaShuffle.select(keyed.map(col): _*)
+          .except(classified.select(keyed.map(col): _*)).count() == 0,
+        "shuffled fallback diverged from the broadcast path")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

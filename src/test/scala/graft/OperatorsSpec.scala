@@ -299,6 +299,21 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("oracle keys are a subset of query keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.prepares.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("dedup_keep_best_cached equals dedup_keep_best with AND without the prepared cluster view") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.mkString("|")).toSeq
+    val full = rows("dedup_keep_best")
+    // standalone (Verify posture): no view — self-builds, identical
+    spark.catalog.dropTempView("graft_keep_best_clusters"): Unit
+    assert(rows("dedup_keep_best_cached") == full)
+    // prepared (Bench posture): argmax over the materialized view — identical
+    SparkEntry.prepares("dedup_keep_best_cached")(spark, sf)
+    assert(spark.catalog.tableExists("graft_keep_best_clusters"))
+    assert(rows("dedup_keep_best_cached") == full)
+    spark.catalog.dropTempView("graft_keep_best_clusters"): Unit
   }
 
   test("entry returns rows") {
