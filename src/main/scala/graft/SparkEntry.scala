@@ -614,6 +614,49 @@ object SparkEntry {
       Seq("l_partkey", "l_suppkey"), bits = 20)
       .orderBy("zval", "l_orderkey", "l_linenumber")
 
+  /** The two layout dimensions `zorder_scan` clusters and filters on:
+    * md5-bucket hashes of the lineitem primary key with a fixed
+    * [0, 1024) domain at EVERY scale factor, so the registered box
+    * predicate keeps the same selectivity from sf0.001 to sf0.1 (raw
+    * l_partkey/l_suppkey domains grow with SF and would starve the box).
+    * Same hex-prefix md5 idiom the shuffle_shards oracle established —
+    * DuckDB reproduces it bit-for-bit. */
+  private def zorderScanDim(tag: String): Column =
+    conv(substring(
+        md5(concat(col("l_orderkey").cast(StringType), lit(":"),
+          col("l_linenumber").cast(StringType), lit(":" + tag))), 1, 8),
+      16, 10).cast(LongType) % 1024
+
+  /** The z-order READ path, pre-ordering — shared with the PlanShapeSpec
+    * guard, which asserts on this DataFrame's scan node directly: writes
+    * the keyed lineitem z-clustered into 16 files, reads it back through
+    * the selective box. */
+  private[graft] def zorderScanRead(s: SparkSession, d: String): DataFrame = {
+    val path = stagingBase + "/graft_zorder_scan"
+    Layout.zorderWrite(
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        zorderScanDim("a").as("a"), zorderScanDim("b").as("b")),
+      Seq("a", "b"), bits = 10, path, files = 16)
+    s.read.parquet(path)
+      .filter(col("a").between(384, 639) && col("b").between(256, 511))
+  }
+
+  /** Z-order read path end-to-end ([[Layout.zorderWrite]] consumer): the
+    * table is rewritten z-clustered on two uniform dims, then scanned
+    * through a box predicate selecting ~1/16 of the key space. The
+    * layout must be semantically INVISIBLE — the oracle runs the same
+    * box over the raw table — while the scan touches only the minority
+    * of files whose min/max rectangle intersects the box (at 100 TB
+    * that rectangle check IS the scan cost: parquet row-group stats /
+    * table-format manifests skip the rest). PlanShapeSpec pins both
+    * halves: the range predicates reach the scan as dataFilters, and
+    * the per-file rectangles overlap the box on a strict minority of
+    * the 16 files. */
+  private def zorderScan(s: SparkSession, d: String): DataFrame =
+    zorderScanRead(s, d)
+      .select("l_orderkey", "l_linenumber", "a", "b")
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** BM25 retrieval: the first 8 documents act as the query set (the
     * sim_topk convention) against the whole corpus, top-10 per query. */
   private def bm25TopKQ(s: SparkSession, d: String): DataFrame = {
@@ -1382,7 +1425,8 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "shuffle_shards" -> (shuffleShardsQ _),
     "corpus_drift" -> (corpusDrift _),
-    "value_drift" -> (valueDrift _)
+    "value_drift" -> (valueDrift _),
+    "zorder_scan" -> (zorderScan _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2247,6 +2291,18 @@ object SparkEntry {
          | ${Layout.zvalueSql(Seq("l_partkey", "l_suppkey"), 20)} AS zval
          |FROM lineitem
          |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
+    // the z-order READ path is layout-invisible: the same box over the
+    // RAW table (the Spark side read it back from the z-clustered files)
+    "zorder_scan" ->
+      """WITH dims AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR), ':a')), 1, 8)) AS BIGINT) % 1024 AS a,
+        |  CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR), ':b')), 1, 8)) AS BIGINT) % 1024 AS b
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, a, b FROM dims
+        |WHERE a BETWEEN 384 AND 639 AND b BETWEEN 256 AND 511
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "dedup_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),

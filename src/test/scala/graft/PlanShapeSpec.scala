@@ -307,4 +307,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
     assert(p.contains("Bucketed: true"), p)
   }
+
+  test("zorder_scan: box reaches the scan as dataFilters; z-layout prunes a strict minority of files") {
+    import org.apache.spark.sql.functions._
+    // the registered read path: zorderWrite into 16 files, box filter
+    val df = SparkEntry.zorderScanRead(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    // both range endpoints of both dims must reach the scan's dataFilters
+    // (assert on the expressions directly — rendered plans truncate)
+    val filters = scans.head.dataFilters.map(_.sql)
+    for (want <- Seq("(a >= 384L)", "(a <= 639L)", "(b >= 256L)", "(b <= 511L)"))
+      assert(filters.exists(_.contains(want)), filters.mkString("; "))
+
+    // per-file min/max rectangles — what parquet row-group stats expose
+    // to the skipping reader. The box must overlap a strict minority of
+    // the 16 files on EACH dim alone and fewer still jointly (a 1-d sort
+    // would read 16/16 on its unsorted dim; exact counts jitter with the
+    // range partitioner's boundary sampling)
+    val rects = spark.read.parquet(SparkEntry.stagingBase + "/graft_zorder_scan")
+      .groupBy(input_file_name())
+      .agg(min("a").as("alo"), max("a").as("ahi"),
+        min("b").as("blo"), max("b").as("bhi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rects.length == 16, rects.mkString(", "))
+    val aHit = rects.count { case (alo, ahi, _, _) => alo <= 639L && ahi >= 384L }
+    val bHit = rects.count { case (_, _, blo, bhi) => blo <= 511L && bhi >= 256L }
+    val boxHit = rects.count { case (alo, ahi, blo, bhi) =>
+      alo <= 639L && ahi >= 384L && blo <= 511L && bhi >= 256L }
+    assert(aHit <= 12, s"aHit=$aHit: ${rects.mkString(", ")}")
+    assert(bHit <= 12, s"bHit=$bHit: ${rects.mkString(", ")}")
+    assert(boxHit <= 8, s"boxHit=$boxHit: ${rects.mkString(", ")}")
+  }
 }
