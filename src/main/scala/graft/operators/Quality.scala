@@ -154,16 +154,24 @@ object Quality {
     * bucket totals then ride a bucket-keyed window and the per-source
     * rollup re-aggregates the same tiny frame. No joins, no driver state. */
   def drift(docs: DataFrame, sourceCol: String, textCol: String,
-      buckets: Int = 4096): DataFrame = {
-    require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    driftFromBuckets(
-      docs.select(col(sourceCol),
-          explode(graft.functions.wsTokens(col(textCol))).as("__tok"))
-        .withColumn("__b",
-          conv(substring(md5(col("__tok")), 1, 8), 16, 10)
-            .cast(org.apache.spark.sql.types.LongType) % buckets),
+      buckets: Int = 4096): DataFrame =
+    driftFromBuckets(tokenBuckets(docs, sourceCol, textCol, buckets),
       sourceCol, "__b")
       .withColumnRenamed("n_obs", "n_tokens")
+
+  /** One row per token with its hashed bucket (`__b`) — the observation
+    * stream [[drift]] scores. Exposed so the STREAMING face aggregates
+    * the identical stream ([[graft.streaming.EventsStream.driftCounts]]
+    * rolls these up incrementally; [[driftFromCounts]] then scores the
+    * accumulated sink) — one formula, both deployment modes. */
+  def tokenBuckets(docs: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    docs.select(col(sourceCol),
+        explode(graft.functions.wsTokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType) % buckets)
   }
 
   /** [[drift]] over an ARBITRARY per-row bucket assignment — the reuse
@@ -172,10 +180,26 @@ object Quality {
     * distributions concatenate-and-hash. One row in, one observation in;
     * same BIGINT-exact TV arithmetic and tiny-frame plan. */
   def driftFromBuckets(rows: DataFrame, sourceCol: String,
-      bucketCol: String): DataFrame = {
-    val cnt = rows
+      bucketCol: String): DataFrame =
+    driftFromCounts(
+      rows.groupBy(col(sourceCol), col(bucketCol).as("__b"))
+        .agg(count(lit(1)).as("o")),
+      sourceCol, "__b", "o")
+
+  /** [[drift]] over ALREADY-AGGREGATED per-(source, bucket) counts — the
+    * streaming entry point (the [[spikesFromHourly]] playbook): the
+    * bucket-count rollup accumulates in a sink table and this scores the
+    * accumulated frame without re-touching raw documents. Counts are
+    * re-summed per (source, bucket) first, so a sink holding several
+    * partial rows per pair (micro-batch appends) scores identically to
+    * one holding finals; the re-sum keys match the upstream aggregate's,
+    * so the batch path plans NO extra Exchange (corpus_drift's
+    * one-data-sized-shuffle guard still holds). */
+  def driftFromCounts(counts: DataFrame, sourceCol: String,
+      bucketCol: String, cntCol: String): DataFrame = {
+    val cnt = counts
       .groupBy(col(sourceCol), col(bucketCol).as("__b"))
-      .agg(count(lit(1)).as("o"))
+      .agg(sum(col(cntCol)).cast(org.apache.spark.sql.types.LongType).as("o"))
     // all three totals ride windows over the same buckets×sources frame
     // (trivial row count), so no joins and no second data-sized pass
     import org.apache.spark.sql.expressions.Window

@@ -54,6 +54,20 @@ object EventsStream {
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     graft.SparkEntry.hourlyRollupTransform(events.withWatermark("ts", watermark))
 
+  /** Streaming face of the corpus-drift monitor — the spikesFromHourly
+    * playbook applied to [[graft.operators.Quality.drift]]: the hashed
+    * token-bucket counts (identical stream to the batch operator's, via
+    * `Quality.tokenBuckets`) roll up as a streaming aggregation whose
+    * state is buckets×sources-sized regardless of feed volume; the sink
+    * table accumulates them, and `Quality.driftFromCounts` scores the
+    * accumulated frame without re-touching raw documents. Streaming ==
+    * batch TV distance is spec-pinned in StreamingSpec. */
+  def driftCounts(docs: DataFrame, sourceCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame =
+    graft.operators.Quality.tokenBuckets(docs, sourceCol, textCol, buckets)
+      .groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("n_tok"))
+
   /** Streaming exact dedup: drop re-delivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of `dedup_exact`, with state BOUNDED by the watermark instead of

@@ -75,6 +75,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("drift over the streamed bucket counts matches the batch TV distance") {
+    // the deployment loop: token-bucket counts accumulate as a streaming
+    // aggregation (complete mode — buckets x sources state), and
+    // driftFromCounts scores the ACCUMULATED sink table; identical
+    // arithmetic path to the batch operator, so the doubles match bitwise
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("source", "text")
+    val q = EventsStream.driftCounts(docs, "source", "text", buckets = 64)
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode("complete").start()
+    try {
+      val feed = Seq(
+        ("s0", "alpha beta gamma delta"), ("s0", "alpha beta epsilon"),
+        ("s1", "zeta zeta eta theta"), ("s1", "iota kappa"),
+        ("s2", "alpha beta gamma delta epsilon"))
+      // two micro-batches: the score must reflect the ACCUMULATED counts
+      input.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(2): _*)
+      q.processAllAvailable()
+
+      val streamed = graft.operators.Quality.driftFromCounts(
+          spark.table("drift_counts"), "source", "__b", "n_tok")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val batch = graft.operators.Quality.drift(
+          feed.toDF("source", "text"), "source", "text", buckets = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(streamed.toSet == batch.toSet, s"streamed=${streamed.toSeq} batch=${batch.toSeq}")
+      assert(streamed.length == 3)
+    } finally q.stop()
+  }
+
   test("stateful session tracker closes sessions across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[SessionEvent]
