@@ -81,7 +81,9 @@ object Stress {
       // the realistic SemDeDup regime here is the near-identical band
       Dedup.clusterPairs(
         Dedup.semanticPairs(emb, "vec_id", "embedding", tau = 0.9,
-          k = 64, iters = 2), d1 = "v1", d2 = "v2").count()
+          k = 64, iters = 2), d1 = "v1", d2 = "v2",
+        onRound = (r, secs) =>
+          println(f"[stress]   dedup_semantic round $r%2d: $secs%6.2f s")).count()
     }
     time("sim_topk") {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
@@ -248,11 +250,27 @@ object Stress {
           "doc_id", "text", k = 10),
         sum(col("score") + col("doc_id")))
     }
+    // the contraction-based cluster family, with per-round telemetry: the
+    // central claim (FastSV fold+shortcut+contraction => ~log(diameter)
+    // rounds AND geometrically shrinking per-round data) must hold as the
+    // pair graph densifies with the factor, not just at sf0.1
+    def logRounds(name: String): (Int, Double) => Unit = (r, secs) =>
+      println(f"[stress]   $name round $r%2d: $secs%6.2f s")
+    // exact-Jaccard pair graph (the registered dedup_clusters shape; the
+    // stop-shingle cap keeps hot shingles from blowing up the self-join
+    // on this dense synthetic vocabulary)
+    time("dedup_clusters") {
+      Dedup.clusterPairs(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.5,
+          maxShingleFreq = Some(1000L)),
+        onRound = logRounds("dedup_clusters")).count()
+    }
     // cluster the MINHASH pairs (the approximate scale path feeds the
     // canonicalizer at 100 TB, not the exact join): ~1M pair edges over
     // 100k nodes, replica cliques -> few pointer-jumping rounds
-    time("dedup_clusters") {
-      Dedup.clusterPairs(Dedup.minhashLshPairs(docs, "doc_id", "text")).count()
+    time("dedup_clusters_lsh") {
+      Dedup.clusterPairs(Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        onRound = logRounds("dedup_clusters_lsh")).count()
     }
     // incremental exact dedup at chunk granularity — the registered-query
     // shape: batch ~40% of chunks classified against the indexed rest;
@@ -283,6 +301,31 @@ object Stress {
       val out = graft.operators.Quality.spikes(ev, "event_type", "ts")
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
+    }
+    // viral-profile skew: HALF the replicated events collapse onto ONE
+    // user, joined against the per-user dim. Auto-broadcast is OFF for
+    // both (a broadcastable dim makes skew moot — the scenario is the
+    // dim that outgrew the broadcast threshold), so the comparison is
+    // shuffle-join-with-hot-key vs salted shuffle join, with AQE's
+    // skew-split active in both (the production posture). Forced with
+    // the checksum so the join output is fully materialized.
+    val hotEv = ev.withColumn("user_id",
+      when(col("event_id") % 2 === 0, lit(7L)).otherwise(col("user_id")))
+    val userDim = ev.select("user_id").distinct()
+      .withColumn("segment", pmod(xxhash64(col("user_id")), lit(100L)))
+      .localCheckpoint(true)
+    def timedHotJoin(name: String)(join: => DataFrame): Unit =
+      time(name) {
+        val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          forced(join, bit_xor(xxhash64(col("user_id"), col("segment"), col("event_id"))))
+        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      }
+    timedHotJoin("join_hot_plain") { hotEv.join(userDim, Seq("user_id")) }
+    timedHotJoin("join_hot_salted") {
+      graft.operators.Skew.saltedJoin(hotEv, userDim, Seq("user_id"),
+        saltBy = Seq(col("event_id")), salts = 32)
     }
     time("shuffle_shards") {
       val out = graft.operators.Curation.shuffleShards(
