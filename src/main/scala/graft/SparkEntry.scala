@@ -757,6 +757,15 @@ object SparkEntry {
       .select("doc_id", "ws_tokens", "distinct_tokens", "bpe_tokens")
       .orderBy("doc_id")
 
+  /** Greedy longest-match subword tokenization against the demo vocab —
+    * full segmentation string plus subword/distinct/unk counts per doc. */
+  private def textSubwords(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.subwords(documents(s, d), "doc_id", "text",
+      TextAnalysis.demoSubwordVocab)
+      // token-less docs produce no row (the oracle's GROUP BY drops them)
+      .where(col("n_subwords") > 0)
+      .orderBy("doc_id")
+
   /** Exact heavy-hitter tokens (> 1/50 of token mass) via the
     * Misra-Gries candidate prune. */
   private def textHeavyHitters(s: SparkSession, d: String): DataFrame =
@@ -1372,6 +1381,7 @@ object SparkEntry {
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
+    "text_subwords" -> (textSubwords _),
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_heavy_hitters_approx" -> (textHeavyHittersApprox _),
@@ -1796,6 +1806,8 @@ object SparkEntry {
         | CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS distinct_tokens,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_subwords" ->
+      TextAnalysis.subwordsOracleSql(TextAnalysis.demoSubwordVocab),
     "text_fingerprint" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS sh_hash

@@ -146,6 +146,14 @@ package object functions {
     column(RepetitionStats(expression(tokens)))
   }
 
+  /** Greedy longest-match subword segmentation of a word array against a
+    * fixed vocabulary — the native [[SubwordTokens]] kernel. Returns a
+    * struct {pieces: array<string>, n_unk: long}. */
+  def subwordTokens(words: Column, vocab: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(SubwordTokens(expression(words), vocab))
+  }
+
   /** `n` nearest IVF cell names for a float vector against a driver-built
     * centroid matrix — the native one-pass [[NearestCells]] kernel. */
   def nearestCells(vec: Column, centroids: Array[Array[Double]],

@@ -93,6 +93,76 @@ object TextAnalysis {
           .cast(LongType))
   }
 
+  /** Greedy longest-match subword tokenization (WordPiece-style MaxMatch)
+    * against a fixed vocabulary — token ACCOUNTING once "tokens" means
+    * model subwords, not whitespace words (the number that prices a
+    * training run). One [[graft.functions.SubwordTokens]] kernel pass per
+    * row (trie walk, vocab plan-embedded like the PQ codebooks); the
+    * struct-field reads share the kernel subtree via codegen
+    * subexpression elimination. Pure projection: zero shuffle, scan
+    * speed at 100 TB. Unknown characters fall back to single-char pieces
+    * and are counted in `n_unk` — the vocabulary-coverage signal. */
+  def subwords(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    val st = subwordTokens(wsTokens(lower(col(textCol))), vocab)
+    val pieces = st.getField("pieces")
+    docs.select(
+      col(idCol),
+      concat_ws(" ", pieces).as("subwords"),
+      size(pieces).cast(LongType).as("n_subwords"),
+      size(array_distinct(pieces)).cast(LongType).as("n_distinct_subwords"),
+      st.getField("n_unk").as("n_unk"))
+  }
+
+  /** Demo vocabulary for the registered subword query: mixed-length
+    * pieces over the corpus alphabet so greedy longest-match is
+    * genuinely exercised (whole words beat their prefixes, e.g. "the"
+    * over "t"; multi-piece splits like "tab|le", "win|dow"; "dup" is
+    * deliberately uncovered so the unk fallback path appears in the
+    * gated result). */
+  val demoSubwordVocab: Seq[String] = Seq(
+    "the", "a", "big", "data", "key", "row", "fast",
+    "tab", "le", "win", "dow", "str", "eam", "col", "umn", "va", "lue",
+    "qu", "ery", "gr", "oup", "jo", "in", "sc", "an", "ha", "sh",
+    "fil", "ter", "cus", "tom", "er", "mer", "ge", "ba", "tch",
+    "sl", "ow", "so", "rt", "or", "der", "sp", "ark", "ve", "ctor",
+    "li", "ne", "sm", "all", "pa", "agg")
+
+  /** DuckDB oracle for [[subwords]]: the greedy longest-match recursion
+    * expressed as a recursive CTE — per (word, position) the longest
+    * matching vocab piece is the `ORDER BY len DESC LIMIT 1` correlated
+    * subquery, the fallback is `substr(word, pos, 1)`; positions advance
+    * by the chosen piece's length, exactly the kernel's loop. Generated
+    * from the SAME vocab the Spark expression embeds (the
+    * Layout.zvalueSql pattern: one source of truth, two engines). */
+  def subwordsOracleSql(vocab: Seq[String]): String = {
+    val vals = vocab.map(p => s"('$p', ${p.length})").mkString(", ")
+    s"""WITH RECURSIVE vocab(p, l) AS (VALUES $vals),
+       |words AS (
+       | SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word,
+       |  generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS widx
+       | FROM documents),
+       |st(doc_id, word, widx, pos, piece, piece_start, matched) AS (
+       | SELECT doc_id, word, widx, 1, CAST(NULL AS VARCHAR), 0, FALSE
+       | FROM words WHERE len(word) > 0
+       | UNION ALL
+       | SELECT doc_id, word, widx, pos + len(piece), piece, pos, matched FROM (
+       |  SELECT doc_id, word, widx, pos,
+       |   coalesce((SELECT v.p FROM vocab v WHERE v.p = substr(st.word, st.pos, v.l)
+       |             ORDER BY v.l DESC LIMIT 1),
+       |            substr(word, pos, 1)) AS piece,
+       |   EXISTS(SELECT 1 FROM vocab v WHERE v.p = substr(st.word, st.pos, v.l)) AS matched
+       |  FROM st WHERE pos <= len(word)) s),
+       |pieces AS (SELECT doc_id, widx, piece_start, piece, matched
+       |           FROM st WHERE piece IS NOT NULL)
+       |SELECT doc_id,
+       | string_agg(piece, ' ' ORDER BY widx, piece_start) AS subwords,
+       | CAST(COUNT(*) AS BIGINT) AS n_subwords,
+       | CAST(COUNT(DISTINCT piece) AS BIGINT) AS n_distinct_subwords,
+       | CAST(sum(CASE WHEN matched THEN 0 ELSE 1 END) AS BIGINT) AS n_unk
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** EXACT distributed heavy hitters (tokens with > total/k of the token
     * mass) via a two-pass Misra-Gries candidate prune — the frequency
     * sketch every corpus-statistics pipeline needs at web scale.

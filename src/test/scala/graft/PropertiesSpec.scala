@@ -559,6 +559,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("subword kernel matches the straight-line reference on random vocab/words") {
+    import graft.functions.{subwordTokens, SubwordTokens}
+    // small alphabet so vocab pieces actually hit; single chars sometimes
+    // missing from the vocab so the unk fallback is exercised
+    val piece = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val word = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val gen = Gen.zip(Gen.listOfN(12, piece), Gen.listOfN(25, word))
+    forAll(gen, n = 6) { case (vocab, words) =>
+      val df = Seq(Tuple1(words)).toDF("words")
+        .select(subwordTokens(col("words"), vocab).as("st"))
+        .select(col("st.pieces"), col("st.n_unk"))
+      val row = df.collect().head
+      val got = (row.getSeq[String](0), row.getLong(1))
+      assert(got == SubwordTokens.reference(words, vocab))
+    }
+  }
+
+  test("subword greedy longest-match semantics (hand-verified cases)") {
+    import graft.functions.{subwordTokens}
+    val vocab = Seq("the", "t", "he", "ab", "abc", "c")
+    val cases = Seq(
+      (Seq("the"), Seq("the"), 0L),            // whole word beats prefix "t"
+      (Seq("theab"), Seq("the", "ab"), 0L),    // greedy continues after match
+      (Seq("abcabd"), Seq("abc", "ab", "d"), 1L), // maxmatch then fallback
+      (Seq("xyz"), Seq("x", "y", "z"), 3L),    // all-unk word
+      (Seq("", "c"), Seq("c"), 0L),            // empty words skipped
+      (Seq.empty[String], Seq.empty[String], 0L))
+    for ((words, pieces, unk) <- cases) {
+      val row = Seq(Tuple1(words)).toDF("words")
+        .select(subwordTokens(col("words"), vocab).as("st"))
+        .select(col("st.pieces"), col("st.n_unk")).collect().head
+      assert(row.getSeq[String](0) == pieces, s"words=$words")
+      assert(row.getLong(1) == unk, s"words=$words")
+    }
+  }
+
   test("zvalue is monotone under coordinate dominance (the locality guarantee)") {
     // if a1 <= a2 and b1 <= b2 (in-domain), then z(a1,b1) <= z(a2,b2):
     // bit-interleaving never inverts the dominance order, which is what
