@@ -24,13 +24,20 @@ object GraftSession {
     * blockmgr/spark-* children but not the parent we made), so repeated
     * runs don't accumulate empty dirs in /dev/shm. */
   private[graft] def scratchDir(): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val minFree = 8L << 30
-    val base =
-      if (java.nio.file.Files.isWritable(shm) &&
-          shm.toFile.getUsableSpace >= minFree) shm
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    tempDir(base, "graft-local")
+    // SPARK_GRAFT_SCRATCH redirects spill for shuffle-heavy one-offs whose
+    // intermediate exceeds RAM-backed tmpfs (a SIGKILLed JVM also skips the
+    // cleanup hook, so runs that may be OOM-killed should not spill to shm)
+    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(dir) => tempDir(java.nio.file.Paths.get(dir), "graft-local")
+      case None =>
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        val minFree = 8L << 30
+        val base =
+          if (java.nio.file.Files.isWritable(shm) &&
+              shm.toFile.getUsableSpace >= minFree) shm
+          else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+        tempDir(base, "graft-local")
+    }
   }
 
   /** Temp dir removed on JVM exit — Spark cleans its own children but

@@ -757,6 +757,29 @@ object SparkEntry {
       .select("doc_id", "ws_tokens", "distinct_tokens", "bpe_tokens")
       .orderBy("doc_id")
 
+  /** BPE merge induction from the corpus's own word-type histogram —
+    * the learned merge table in rank order. Rows-only by design (the
+    * iterative weighted-pair argmax has no SQL form); the learner is
+    * property-pinned in OperatorsSpec (hand-verified merges, layout
+    * independence). */
+  private def subwordVocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hist = TextAnalysis.wordTypeHistogram(documents(s, d), "text", maxTypes = 1000)
+    TextAnalysis.learnBpeMerges(hist, k = 40).zipWithIndex
+      .map { case ((l, r, m), i) => (i.toLong + 1, l, r, m) }
+      .toDF("rank", "left", "right", "merged").orderBy("rank")
+  }
+
+  /** Corpus-learned-vocabulary tokenization: the 40-merge BPE vocab from
+    * [[subwordVocab]]'s learner applied with the greedy trie kernel.
+    * Rows-only (vocab derivation is not SQL-expressible); the apply half
+    * shares text_subwords' oracle-proven kernel. */
+  private def textSubwordsLearned(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.subwordsLearned(documents(s, d), "doc_id", "text",
+      k = 40, maxTypes = 1000)
+      .where(col("n_subwords") > 0)
+      .orderBy("doc_id")
+
   /** Greedy longest-match subword tokenization against the demo vocab —
     * full segmentation string plus subword/distinct/unk counts per doc. */
   private def textSubwords(s: SparkSession, d: String): DataFrame =
@@ -1382,6 +1405,8 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_subwords" -> (textSubwords _),
+    "subword_vocab" -> (subwordVocab _),
+    "text_subwords_learned" -> (textSubwordsLearned _),
     "text_fingerprint" -> (textFingerprint _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_heavy_hitters_approx" -> (textHeavyHittersApprox _),

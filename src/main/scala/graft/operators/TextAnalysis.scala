@@ -163,6 +163,93 @@ object TextAnalysis {
        |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Driver-side BPE merge induction over a word-TYPE histogram — the
+    * vocabulary LEARNING half of the subword story ([[subwords]] is the
+    * apply half). Standard byte-pair encoding on word types weighted by
+    * frequency: start from single characters, repeatedly merge the
+    * most-frequent adjacent symbol pair. Deterministic: ties break on the
+    * lexicographically smallest (left, right); merges apply left-to-right
+    * non-overlapping within each word.
+    *
+    * Scale posture (the k-means-centroid / PQ-codebook precedent): the
+    * only corpus-sized stage is the word histogram (one map-side-combined
+    * groupBy); the learner runs on the TOP-`maxTypes` word types — a
+    * bounded, vocab-sized driver structure — exactly how production
+    * tokenizer training subsamples (frequency-ranked types carry nearly
+    * all the pair mass). Returns (left, right, merged) in merge order;
+    * may return fewer than `k` when pair mass is exhausted. */
+  def learnBpeMerges(hist: Seq[(String, Long)], k: Int): Seq[(String, String, String)] = {
+    val words = hist.map { case (w, c) => (w.map(_.toString).toArray, c) }.toArray
+    val merges = Seq.newBuilder[(String, String, String)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      // weighted adjacent-pair counts over the current segmentation
+      val counts = new java.util.HashMap[(String, String), Long]()
+      for ((syms, c) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        counts.merge(p, c, (a, b) => a + b)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        counts.forEach { (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        val merged = best._1 + best._2
+        merges += ((best._1, best._2, merged))
+        // left-to-right non-overlapping merge within each word
+        var wi = 0
+        while (wi < words.length) {
+          val (syms, c) = words(wi)
+          if (syms.length > 1) {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            words(wi) = (out.result(), c)
+          }
+          wi += 1
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The distributed half of vocabulary learning: the frequency-ranked
+    * word-type histogram (one corpus-sized map-side-combined shuffle,
+    * `maxTypes`-bounded output with a unique (count desc, word asc)
+    * order) collected for [[learnBpeMerges]]. */
+  def wordTypeHistogram(docs: DataFrame, textCol: String,
+      maxTypes: Int): Seq[(String, Long)] =
+    docs.select(explode(wsTokens(lower(col(textCol)))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Learned-vocabulary tokenization: BPE merges induced from the corpus
+    * itself ([[learnBpeMerges]]), applied with the greedy longest-match
+    * kernel. The apply vocabulary is the learned symbols plus the
+    * histogram alphabet's single characters (the standard base vocab), so
+    * `n_unk` counts only characters outside the top-`maxTypes` types. */
+  def subwordsLearned(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxTypes: Int): DataFrame = {
+    val hist = wordTypeHistogram(docs, textCol, maxTypes)
+    val merges = learnBpeMerges(hist, k)
+    val alphabet = hist.flatMap(_._1.map(_.toString)).distinct.sorted
+    subwords(docs, idCol, textCol, alphabet ++ merges.map(_._3))
+  }
+
   /** EXACT distributed heavy hitters (tokens with > total/k of the token
     * mass) via a two-pass Misra-Gries candidate prune — the frequency
     * sketch every corpus-statistics pipeline needs at web scale.

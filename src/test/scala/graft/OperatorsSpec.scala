@@ -316,6 +316,43 @@ class OperatorsSpec extends AnyFunSuite {
     spark.catalog.dropTempView("graft_keep_best_clusters"): Unit
   }
 
+  test("BPE merge learner: hand-verified merges, ties, overlap handling") {
+    import graft.operators.TextAnalysis.learnBpeMerges
+    // weighted argmax + cascade: (a,b)=25 wins, then the merged symbol
+    // itself pairs, then the remainder; exhausts at 3 merges
+    assert(learnBpeMerges(Seq(("abab", 10L), ("abc", 5L)), 10) ==
+      Seq(("a", "b", "ab"), ("ab", "ab", "abab"), ("ab", "c", "abc")))
+    // equal counts -> lexicographically smallest (left, right)
+    assert(learnBpeMerges(Seq(("cd", 1L), ("ab", 1L)), 1) ==
+      Seq(("a", "b", "ab")))
+    // overlapping pair in "aaa": counted twice, merged left-to-right
+    // non-overlapping ([aa, a]), then shortcut to the full word
+    assert(learnBpeMerges(Seq(("aaa", 1L)), 5) ==
+      Seq(("a", "a", "aa"), ("aa", "a", "aaa")))
+    // k caps the merge count
+    assert(learnBpeMerges(Seq(("abab", 10L), ("abc", 5L)), 1) ==
+      Seq(("a", "b", "ab")))
+  }
+
+  test("learned-vocab tokenization is layout-independent and reconstructs the text") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = TextAnalysis.subwordsLearned(docs, "doc_id", "text", k = 40, maxTypes = 1000)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextAnalysis.subwordsLearned(docs.repartition(7), "doc_id", "text",
+      k = 40, maxTypes = 1000).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b) // histogram, learner, and apply are all layout-independent
+    // pieces concatenate back to the whitespace-stripped lowercased text —
+    // the segmentation property that holds for ANY vocab (fallback included)
+    val recon = TextAnalysis.subwords(docs, "doc_id", "text",
+      TextAnalysis.demoSubwordVocab)
+      .join(docs, "doc_id")
+      .where(regexp_replace(col("subwords"), " ", "") =!=
+        regexp_replace(lower(col("text")), "\\s+", ""))
+      .count()
+    assert(recon == 0L)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
