@@ -603,6 +603,16 @@ object SparkEntry {
       .withColumn("is_spike", col("is_spike").cast(LongType))
       .orderBy("hour_start", "event_type")
 
+  /** Robust median/MAD volume-anomaly flags ([[Quality.madAnomalies]]):
+    * the outlier-resistant twin of events_spike over the same trailing
+    * frame, cleared to exact integer arithmetic (4·cnt > 2·med2+k·mad4)
+    * so the boolean is engine-portable (emitted as 0/1 BIGINT). */
+  private def eventsMad(s: SparkSession, d: String): DataFrame =
+    Quality.madAnomalies(events(s, d), "event_type", "ts",
+        trailing = 24, k = 5, minN = 8)
+      .withColumn("is_anomaly", col("is_anomaly").cast(LongType))
+      .orderBy("hour_start", "event_type")
+
   /** Z-order layout key: the Morton interleave of (l_partkey, l_suppkey)
     * that [[graft.operators.Layout.zorderWrite]] clusters files on —
     * registered as a query so the curve itself is oracle-checked
@@ -1457,6 +1467,7 @@ object SparkEntry {
     "dedup_keep_best_cached" -> (dedupKeepBestCached _),
     "events_rolling" -> (eventsRolling _),
     "events_spike" -> (eventsSpike _),
+    "events_mad" -> (eventsMad _),
     "dedup_containment" -> (dedupContainment _),
     "shuffle_shards" -> (shuffleShardsQ _),
     "corpus_drift" -> (corpusDrift _),
@@ -2403,6 +2414,32 @@ object SparkEntry {
 
     // the z-test evaluated in exact BIGINT arithmetic (see
     // Quality.spikes) — no float mean/stddev to diverge between engines
+    "events_mad" ->
+      """WITH h AS (
+        | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT h.*, row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS rn
+        | FROM h),
+        |p AS (
+        | SELECT c.hour_ts, c.event_type, c.cnt, pr.cnt AS p_cnt
+        | FROM r c LEFT JOIN r pr ON pr.event_type = c.event_type
+        |  AND pr.rn BETWEEN c.rn - 24 AND c.rn - 1),
+        |m AS (
+        | SELECT hour_ts, event_type, cnt, COUNT(p_cnt) AS n_prior,
+        |  CAST(2 * median(p_cnt) AS BIGINT) AS med2
+        | FROM p GROUP BY 1, 2, 3),
+        |f AS (
+        | SELECT p.hour_ts, p.event_type,
+        |  CAST(2 * median(abs(2 * p.p_cnt - m.med2)) AS BIGINT) AS mad4
+        | FROM p JOIN m ON p.hour_ts = m.hour_ts AND p.event_type = m.event_type
+        | GROUP BY 1, 2)
+        |SELECT strftime(m.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | m.event_type, m.cnt, m.n_prior, m.med2, f.mad4,
+        | CAST(m.n_prior >= 8 AND 4 * m.cnt > 2 * m.med2 + 5 * f.mad4 AS BIGINT)
+        |  AS is_anomaly
+        |FROM m JOIN f ON m.hour_ts = f.hour_ts AND m.event_type = f.event_type
+        |ORDER BY hour_start, m.event_type""".stripMargin,
     "events_spike" ->
       """WITH h AS (
         | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt

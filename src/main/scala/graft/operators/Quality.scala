@@ -129,6 +129,77 @@ object Quality {
 
   private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c * c
 
+  /** Robust (median/MAD) volume-anomaly flags per type — the
+    * outlier-resistant twin of [[spikes]]: one burst INSIDE the trailing
+    * window inflates the z-test's mean and variance and can mask the next
+    * burst, while the median and the median absolute deviation shrug off
+    * up to half the window. Same ROWS-`trailing`-preceding frame as the
+    * z-test; flags `cnt > median + k·MAD`.
+    *
+    * Engine-portable exactness (the [[spikes]] playbook — clear the
+    * divisions): with medians interpolated as (a+b)/2, both
+    * `med2 = 2·median(cnt)` and `mad4 = 2·median(|2·cnt − med2|)` are
+    * BIGINT-valued, and the flag is the pure integer predicate
+    *
+    *   4·cnt > 2·med2 + k·mad4
+    *
+    * (the doubles Spark/DuckDB return for interpolated medians carry at
+    * most a .5 fraction, so doubling them is exact in both engines).
+    *
+    * Shape: the hourly rollup partial-aggregates MAP-SIDE (hourly rows on
+    * the wire, never events); MAD needs a second pass over each frame
+    * with that frame's median in hand — no single window pass can nest
+    * that — so the frame is realized as a row-number band self-join of
+    * the HOURLY frame (hours × types × ≤trailing rows). At 100 TB the
+    * hourly frame of the event stream is still just hours × types: every
+    * Exchange after the rollup is bounded by that, never by events. */
+  def madAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      trailing: Int = 24, k: Int = 5, minN: Int = 8): DataFrame =
+    madFromHourly(
+      events.groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
+        .agg(count(lit(1)).as("cnt")),
+      typeCol, "hour_ts", "cnt", trailing, k, minN)
+
+  /** [[madAnomalies]] over an ALREADY-AGGREGATED hourly count table — the
+    * same deployment seam as [[spikesFromHourly]]: the streaming hourly
+    * sink can be scored without re-touching raw events. */
+  def madFromHourly(hourlyCounts: DataFrame, typeCol: String,
+      hourCol: String, cntCol: String,
+      trailing: Int = 24, k: Int = 5, minN: Int = 8): DataFrame = {
+    require(trailing >= 2 && minN >= 2 && minN <= trailing && k >= 1,
+      s"bad mad params: trailing=$trailing minN=$minN k=$k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("hour_ts"))
+    val hourly = hourlyCounts
+      .select(col(hourCol).as("hour_ts"), col(typeCol), col(cntCol).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+    val prior = hourly.select(col(typeCol).as("__t"),
+      col("cnt").as("p_cnt"), col("rn").as("p_rn"))
+    // LEFT join keeps cold-start hours (empty frame -> n_prior 0, null med)
+    val pairs = hourly.join(prior,
+        col(typeCol) === col("__t") &&
+        col("p_rn") >= col("rn") - trailing && col("p_rn") <= col("rn") - 1,
+        "left")
+      .select(col("hour_ts"), col(typeCol), col("cnt"), col("p_cnt"))
+    val med = pairs.groupBy(col("hour_ts"), col(typeCol), col("cnt"))
+      .agg(count(col("p_cnt")).as("n_prior"),
+        (expr("percentile(p_cnt, 0.5)") * 2).cast(org.apache.spark.sql.types.LongType).as("med2"))
+    val mad = pairs.join(med.select(col("hour_ts").as("__h"),
+        col(typeCol).as("__t2"), col("med2").as("__m2")),
+        col("hour_ts") === col("__h") && col(typeCol) === col("__t2"))
+      .withColumn("dev2", abs(lit(2) * col("p_cnt") - col("__m2")))
+      .groupBy(col("hour_ts"), col(typeCol))
+      .agg((expr("percentile(dev2, 0.5)") * 2).cast(org.apache.spark.sql.types.LongType).as("mad4"))
+    med.join(mad, Seq("hour_ts", typeCol))
+      .withColumn("is_anomaly",
+        col("n_prior") >= minN &&
+        lit(4) * col("cnt") > lit(2) * col("med2") + lit(k.toLong) * col("mad4"))
+      .select(
+        graft.functions.tsString(col("hour_ts")).as("hour_start"),
+        col(typeCol), col("cnt"), col("n_prior"), col("med2"), col("mad4"),
+        col("is_anomaly"))
+  }
+
   /** Per-source distribution-drift monitor — the corpus-composition twin
     * of [[spikes]]: for each source, the total-variation distance between
     * its hashed-token-bucket distribution and the corpus-wide one. A

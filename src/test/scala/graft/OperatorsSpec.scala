@@ -233,6 +233,48 @@ class OperatorsSpec extends AnyFunSuite {
       String.valueOf(t.getMessage).toLowerCase.contains("overflow")))
   }
 
+  test("MAD detector flags the second burst a window burst masks from the z-test") {
+    import graft.operators.Quality
+    // 24 trailing hours of 10 with ONE 1000-count burst inside the window,
+    // then a 100-count hour: the burst inflates mean (~51) and sample
+    // sigma (~202) so mean+3sigma ~ 657 and the z-test stays silent; the
+    // median (10) and MAD (0) shrug the burst off and flag 100 at once
+    val counts = (Seq.fill(19)(10L) :+ 1000L) ++ Seq.fill(4)(10L) :+ 100L
+    val df = counts.zipWithIndex.map { case (c, h) =>
+      (f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00", "a", c) }
+      .toDF("h", "event_type", "cnt")
+      .withColumn("hour_ts", to_timestamp(col("h")))
+    def flagsOf(r: org.apache.spark.sql.DataFrame, flag: String) =
+      r.filter(col(flag)).select("hour_start")
+        .collect().map(_.getString(0)).sorted.toSeq
+    val mad = Quality.madFromHourly(df, "event_type", "hour_ts", "cnt",
+      trailing = 24, k = 5, minN = 8)
+    val z = Quality.spikesFromHourly(df, "event_type", "hour_ts", "cnt",
+      trailing = 24, z = 3, minN = 8)
+    // both see the initial burst; only MAD sees the masked second one
+    assert(flagsOf(z, "is_spike") == Seq("2024-01-01 19:00:00"))
+    assert(flagsOf(mad, "is_anomaly") ==
+      Seq("2024-01-01 19:00:00", "2024-01-02 00:00:00"))
+    // exact interpolation: at hour 24 the frame is hours 0..23 (23x10 and
+    // one 1000) -> med2 = 20, deviations |2c-20| are 0 x23 and 1980 ->
+    // mad4 = 0; n_prior = 24
+    val h24 = mad.filter(col("hour_start") === "2024-01-02 00:00:00")
+      .select("n_prior", "med2", "mad4").collect().head
+    assert((h24.getLong(0), h24.getLong(1), h24.getLong(2)) == ((24L, 20L, 0L)))
+  }
+
+  test("MAD detector: hourly seam equals the events form (deployment parity)") {
+    import graft.operators.Quality
+    val ev = graft.Tables.events(spark, sf)
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
+      col("event_type")).agg(count(lit(1)).as("cnt"))
+    val a = Quality.madAnomalies(ev, "event_type", "ts")
+      .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+    val b = Quality.madFromHourly(hourly, "event_type", "hour_ts", "cnt")
+      .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("drift is exactly 0 for distribution-identical sources, 0.5 for disjoint halves") {
     import graft.operators.Quality
     // a and b share one token multiset -> each equals the overall
