@@ -170,27 +170,27 @@ object Quality {
       s"bad mad params: trailing=$trailing minN=$minN k=$k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(typeCol)).orderBy(col("hour_ts"))
+    // the frame MEDIAN is a plain window aggregate (one sorted pass);
+    // only the deviation pass — which needs that median in hand per
+    // current row — requires realizing the frame as a band self-join
     val hourly = hourlyCounts
       .select(col(hourCol).as("hour_ts"), col(typeCol), col(cntCol).as("cnt"))
-      .withColumn("rn", row_number().over(w))
+      .select(col("hour_ts"), col(typeCol), col("cnt"),
+        row_number().over(w).as("rn"),
+        (expr("percentile(cnt, 0.5)")
+          .over(w.rowsBetween(-trailing, -1)) * 2)
+          .cast(org.apache.spark.sql.types.LongType).as("med2"))
     val prior = hourly.select(col(typeCol).as("__t"),
       col("cnt").as("p_cnt"), col("rn").as("p_rn"))
     // LEFT join keeps cold-start hours (empty frame -> n_prior 0, null med)
-    val pairs = hourly.join(prior,
+    hourly.join(prior,
         col(typeCol) === col("__t") &&
         col("p_rn") >= col("rn") - trailing && col("p_rn") <= col("rn") - 1,
         "left")
-      .select(col("hour_ts"), col(typeCol), col("cnt"), col("p_cnt"))
-    val med = pairs.groupBy(col("hour_ts"), col(typeCol), col("cnt"))
+      .groupBy(col("hour_ts"), col(typeCol), col("cnt"), col("med2"))
       .agg(count(col("p_cnt")).as("n_prior"),
-        (expr("percentile(p_cnt, 0.5)") * 2).cast(org.apache.spark.sql.types.LongType).as("med2"))
-    val mad = pairs.join(med.select(col("hour_ts").as("__h"),
-        col(typeCol).as("__t2"), col("med2").as("__m2")),
-        col("hour_ts") === col("__h") && col(typeCol) === col("__t2"))
-      .withColumn("dev2", abs(lit(2) * col("p_cnt") - col("__m2")))
-      .groupBy(col("hour_ts"), col(typeCol))
-      .agg((expr("percentile(dev2, 0.5)") * 2).cast(org.apache.spark.sql.types.LongType).as("mad4"))
-    med.join(mad, Seq("hour_ts", typeCol))
+        (expr("percentile(abs(2 * p_cnt - med2), 0.5)") * 2)
+          .cast(org.apache.spark.sql.types.LongType).as("mad4"))
       .withColumn("is_anomaly",
         col("n_prior") >= minN &&
         lit(4) * col("cnt") > lit(2) * col("med2") + lit(k.toLong) * col("mad4"))

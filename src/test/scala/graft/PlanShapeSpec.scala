@@ -269,6 +269,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("events_mad: rollup combines map-side; all joins are hourly-frame-sized") {
+    // the raw-event stage must end at the partial-counted hourly rollup:
+    // the first Exchange carries hourly rows, and every Join in the MAD
+    // band-join cascade sits strictly ABOVE that rollup (joins over the
+    // hours x types frame, never over events)
+    val qe = SparkEntry.queries("events_mad")(spark, sf).queryExecution
+    assert(qe.executedPlan.toString.contains("partial_count"),
+      qe.executedPlan.toString)
+    // no Join may have a raw relation below it without an intervening
+    // aggregate: every join input is post-rollup. Asserted on the
+    // OPTIMIZED LOGICAL plan (AQE wraps the physical plan in a leaf
+    // AdaptiveSparkPlanExec, so physical collect cannot descend)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan}
+    def rawLeavesBelow(n: LogicalPlan): Int = n match {
+      case _: Aggregate => 0
+      case _: LeafNode => 1
+      case other => other.children.map(rawLeavesBelow).sum
+    }
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, qe.optimizedPlan.toString)
+    joins.foreach(j => assert(rawLeavesBelow(j) == 0, j.toString))
+  }
+
   test("shuffle_shards: one shard-keyed shuffle, one Window, no global sort") {
     // the seeded permutation must plan exactly like the shard writer it
     // models: hash Exchange on the shard key + in-partition sort +

@@ -64,14 +64,22 @@ class StreamingSpec extends AnyFunSuite {
       input.addData((ts("2024-01-01 20:00:00"), "late", 0.0)) // close windows
       q.processAllAvailable()
 
+      val sink = spark.table("spike_hourly")
+        .withColumn("hour_ts", to_timestamp(col("hour_start")))
       val flagged = graft.operators.Quality.spikesFromHourly(
-          spark.table("spike_hourly")
-            .withColumn("hour_ts", to_timestamp(col("hour_start"))),
-          "event_type", "hour_ts", "n", trailing = 24, z = 3, minN = 8)
+          sink, "event_type", "hour_ts", "n", trailing = 24, z = 3, minN = 8)
         .filter(col("is_spike"))
         .select("event_type", "hour_start").collect()
         .map(r => (r.getString(0), r.getString(1)))
       assert(flagged.toSeq == Seq(("click", "2024-01-01 09:00:00")))
+      // the MAD twin scores the SAME sink through the same seam (both
+      // monitors deploy over one accumulating hourly rollup)
+      val madFlagged = graft.operators.Quality.madFromHourly(
+          sink, "event_type", "hour_ts", "n", trailing = 24, k = 5, minN = 8)
+        .filter(col("is_anomaly"))
+        .select("event_type", "hour_start").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(madFlagged.toSeq == Seq(("click", "2024-01-01 09:00:00")))
     } finally q.stop()
   }
 
