@@ -20,12 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
-    * a timestamp. Read nanos as long and convert with exact integer division
-    * to microseconds (matching DuckDB's ns->us truncation). */
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * parquet across testdata generations, so the loader is schema-driven:
+    * NANOS (which Spark 4 refuses to read as a timestamp) is read as a
+    * long via the legacy conf and converted with exact integer division to
+    * microseconds (matching DuckDB's ns->us truncation); MICROS arrives as
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false) and is cast to the session-TZ
+    * timestamp — a wall-clock identity under the UTC session. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -506,11 +506,17 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events_0.parquet"))
-    // the raw file has ns timestamps; stream with the long schema and convert
+    // ts has shipped as ns-long and as us-NTZ across testdata generations;
+    // mirror Tables.events' schema-driven conversion on the raw stream
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batchDf = spark.read.parquet(s"$sf/events.parquet")
-    val stream = EventsStream.fromParquetDir(spark, dir.toString, batchDf.schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = EventsStream.fromParquetDir(spark, dir.toString, batchDf.schema)
+    val stream = batchDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
     assert(stream.isStreaming)
     val q = EventsStream.hourlyRollup(stream)
       .writeStream.format("memory").queryName("file_rollup")
