@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 import graft.operators.Cleaning.CleaningOps
-import graft.operators.{Dedup, Layout, Multimodal, Quality, Similarity, Star, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, Quality, Similarity, Star, Temporal, TextAnalysis}
 import graft.sources.{Bucketing, JsonNormalize, ScrapeSource, Staging}
 
 /** Driver contract: every capability from SURVEY.md §2 exposed as a named
@@ -666,6 +666,39 @@ object SparkEntry {
     zorderScanRead(s, d)
       .select("l_orderkey", "l_linenumber", "a", "b")
       .orderBy("l_orderkey", "l_linenumber")
+
+  /** SQ8 scalar quantization of the embedding corpus, exploded audit form
+    * ([[Similarity.sq8Encode]]): per-dim corpus [mn,mx] broadcast back
+    * onto one scan. The packed writer twin is property-pinned equal. */
+  private def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    Similarity.sq8Encode(embeddings(s, d), "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+
+  /** Bigram collocations by lift ([[TextAnalysis.collocations]]) — the
+    * multi-word-expression pass of a tokenizer/corpus build. */
+  private def collocationsPmi(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.collocations(documents(s, d), "text", minCount = 5L, k = 50)
+
+  /** Keyed snapshot CDC diff ([[Staging.snapshotDiff]]): base = corpus
+    * minus every 7th doc, current = corpus minus every 5th with every 3rd
+    * doc's text revised — the non-`unchanged` delta an incremental
+    * pipeline would reprocess. */
+  private def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.filter(col("doc_id") % 7 =!= 0)
+    val cur = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    graft.sources.Staging.snapshotDiff(base, cur, "doc_id", Seq("text", "source"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
+  /** Padding-waste report over the doubling length-bucket ladder
+    * ([[Curation.lengthBuckets]]) — the batch-shape planning twin of
+    * pack_sequences. */
+  private def lengthBucketsQ(s: SparkSession, d: String): DataFrame =
+    Curation.lengthBuckets(documents(s, d), "text")
 
   /** BM25 retrieval: the first 8 documents act as the query set (the
     * sim_topk convention) against the whole corpus, top-10 per query. */
@@ -1472,7 +1505,11 @@ object SparkEntry {
     "shuffle_shards" -> (shuffleShardsQ _),
     "corpus_drift" -> (corpusDrift _),
     "value_drift" -> (valueDrift _),
-    "zorder_scan" -> (zorderScan _)
+    "zorder_scan" -> (zorderScan _),
+    "embedding_quantize" -> (embeddingQuantize _),
+    "collocations_pmi" -> (collocationsPmi _),
+    "snapshot_diff" -> (snapshotDiffQ _),
+    "length_buckets" -> (lengthBucketsQ _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2351,6 +2388,70 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, a, b FROM dims
         |WHERE a BETWEEN 384 AND 639 AND b BETWEEN 256 AND 511
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // SQ8: min/max of FLOATs are exact, and the scale/floor arithmetic is
+    // IEEE double with the association order written identically on both
+    // sides — integer codes, no decimal dance needed
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |s AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM e GROUP BY pos)
+        |SELECT e.vec_id, CAST(e.pos - 1 AS BIGINT) AS pos,
+        | CASE WHEN s.mx = s.mn THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(LEAST(FLOOR(((CAST(e.x AS DOUBLE) - CAST(s.mn AS DOUBLE)) * 255.0) / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE))), 255.0) AS BIGINT) END AS code
+        |FROM e JOIN s USING (pos)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    // lift ranks identically to PMI (log is monotone) without a log()
+    // whose libm rounding could differ between engines; the double
+    // arithmetic has integer inputs and a fixed association order
+    "collocations_pmi" ->
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |             x -> x <> '') AS w FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS c_tok
+        |        FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |bg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM (
+        |         SELECT w[i.i] AS w1, w[i.i + 1] AS w2
+        |         FROM t, unnest(generate_series(1, len(w) - 1)) i(i)
+        |         WHERE len(w) >= 2)
+        |       GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        |tot AS (SELECT CAST(SUM(len(w)) AS BIGINT) AS n_tok,
+        |               CAST(SUM(GREATEST(len(w) - 1, 0)) AS BIGINT) AS m_big FROM t)
+        |SELECT bg.w1, bg.w2, bg.c_bg, u1.c_tok AS c1, u2.c_tok AS c2,
+        | ((CAST(bg.c_bg AS DOUBLE) * tot.n_tok) * tot.n_tok) / ((CAST(tot.m_big AS DOUBLE) * u1.c_tok) * u2.c_tok) AS lift
+        |FROM bg JOIN uni u1 ON bg.w1 = u1.tok JOIN uni u2 ON bg.w2 = u2.tok
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, md5(concat_ws(chr(1), text, source)) AS fp
+        |              FROM documents WHERE doc_id % 7 <> 0),
+        |cur AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |          CASE WHEN doc_id % 3 = 0 THEN concat(text, ' [rev2]') ELSE text END,
+        |          source)) AS fp
+        |        FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, status FROM (
+        | SELECT COALESCE(base.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN base.fp IS NULL THEN 'added'
+        |       WHEN cur.fp IS NULL THEN 'removed'
+        |       WHEN base.fp <> cur.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM base FULL OUTER JOIN cur ON base.doc_id = cur.doc_id)
+        |WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    "length_buckets" ->
+      """WITH d AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+        |b AS (SELECT n,
+        |  CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+        |       WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |       ELSE 1024 END AS bucket FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        | CAST(SUM(LEAST(n, 1024)) AS BIGINT) AS kept_tokens,
+        | CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        | CAST(SUM(bucket - LEAST(n, 1024)) AS BIGINT) AS waste_tokens,
+        | CAST(SUM(GREATEST(n - 1024, 0)) AS BIGINT) AS truncated_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "dedup_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),

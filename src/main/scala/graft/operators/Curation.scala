@@ -153,6 +153,40 @@ object Curation {
     * physical plan of the shard writer it models (repartition +
     * sortWithinPartitions + per-file position); no global sort, no
     * driver state, shard skew bounded by the md5 uniformity. */
+  /** Sequence-length bucketing report — the batch-shape planning twin of
+    * [[packSequences]]: when a trainer pads each example to a fixed bucket
+    * boundary instead of packing, how many tokens does each bucket waste?
+    * Buckets are the doubling ladder `boundaries` (every doc lands in the
+    * smallest boundary >= its token count; docs past the last boundary are
+    * TRUNCATED to it — padded = boundary, waste = 0, the overflow counted
+    * in `truncated_tokens`). Reported per bucket: docs, real tokens,
+    * padded tokens, waste, truncation loss — all exact BIGINTs, so the
+    * padding-vs-packing decision is engine-portable arithmetic.
+    *
+    * Shape: one scan computing per-doc sizes inside codegen, one
+    * map-side-combined groupBy on the (few-valued) bucket key — the
+    * Exchange carries buckets x partitions rows at any corpus size. */
+  def lengthBuckets(docs: DataFrame, textCol: String,
+      boundaries: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024)): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"need ascending non-empty boundaries, got $boundaries")
+    val n = size(graft.functions.wsTokens(col(textCol))).cast(LongType)
+    val last = boundaries.last.toLong
+    val bucket = boundaries.init.reverse.foldLeft(lit(last)) {
+      (acc, b) => when(n <= b, lit(b.toLong)).otherwise(acc)
+    }
+    docs
+      .select(n.as("n"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("n"), lit(last))).as("kept_tokens"),
+        (count(lit(1)) * col("bucket")).as("padded_tokens"),
+        sum(col("bucket") - least(col("n"), lit(last))).as("waste_tokens"),
+        sum(greatest(col("n") - lit(last), lit(0L))).as("truncated_tokens"))
+      .orderBy("bucket")
+  }
+
   def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
       seed: Long): DataFrame = {
     require(nShards >= 1, s"need nShards >= 1, got $nShards")

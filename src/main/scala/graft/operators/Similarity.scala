@@ -371,6 +371,66 @@ object Similarity {
     (codes, tables)
   }
 
+  /** Per-dimension scalar-quantization stats: (pos, mn, mx) over the whole
+    * corpus — the SQ8 index-compression build step (faiss
+    * ScalarQuantizer-style). Dim-bounded output (one row per dimension);
+    * the aggregate partial-combines map-side, so the only Exchange carries
+    * dims x partitions scalars regardless of corpus size. */
+  def sq8Stats(emb: DataFrame, vecCol: String): DataFrame =
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast(LongType).as("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** SQ8 scalar quantization: each element linearly mapped to an 8-bit
+    * code against its dimension's corpus [mn, mx] range — 4x storage
+    * compression for ANN shortlists with a bounded reconstruction error of
+    * (mx-mn)/255 per element. Emitted in the audit-friendly exploded
+    * (id, pos, code) form (the [[groupCentroids]] convention); the shape
+    * is one scan + the dim-bounded stats broadcast back onto it — no
+    * corpus-sized shuffle at any scale. Arithmetic is engine-portable:
+    * float mn/mx are exact, and the scale/floor runs in IEEE double with a
+    * fixed association order, so the codes are bit-reproducible. A
+    * degenerate dimension (mx == mn) codes to 0. */
+  def sq8Encode(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = emb.select(col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("pos", col("pos").cast(LongType))
+    val scaled = ((col("x").cast(DoubleType) - col("mn").cast(DoubleType)) * lit(255.0)) /
+      (col("mx").cast(DoubleType) - col("mn").cast(DoubleType))
+    e.join(broadcast(sq8Stats(emb, vecCol)), "pos")
+      .select(col(idCol), col("pos"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor(scaled), lit(255L))).as("code"))
+  }
+
+  /** Packed SQ8 writer: same codes as [[sq8Encode]] but emitted as one
+    * int-array column per vector against a plan-embedded stats matrix (the
+    * PQ-codebook precedent: stats are dim-sized driver state from
+    * [[sq8Stats]]) — the form a 100 TB index write actually ships, with no
+    * 64x row inflation. Per-row small-array HOF (interpreted) is fine
+    * here: one pass, zero shuffle. Property-pinned element-identical to
+    * the exploded form. */
+  def sq8EncodePacked(emb: DataFrame, idCol: String, vecCol: String,
+      stats: Array[(Double, Double)]): DataFrame = {
+    val mns = array(stats.map(s => lit(s._1)): _*)
+    val mxs = array(stats.map(s => lit(s._2)): _*)
+    emb.select(col(idCol), transform(col(vecCol), (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(least(floor(((x.cast(DoubleType) - mn) * lit(255.0)) / (mx - mn)),
+          lit(255L)))
+    }).as("codes"))
+  }
+
+  /** Collect [[sq8Stats]] into the per-dim (mn, mx) matrix
+    * [[sq8EncodePacked]] embeds — dim-sized driver state, the same
+    * justified index-size collect as [[centroidMatrix]]. */
+  def sq8StatsMatrix(stats: DataFrame): Array[(Double, Double)] =
+    stats.orderBy("pos").collect()
+      .map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
+
   /** ADC rollup + heap ranking over joined (q_id, id, __partial) rows. */
   private def pqRank(scoredRows: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

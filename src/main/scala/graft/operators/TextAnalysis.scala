@@ -800,4 +800,51 @@ object TextAnalysis {
           1, k)))
       .toDF(idCol, "rk0", "sh_hash")
       .select(col(idCol), (col("rk0") + 1).cast(LongType).as("rk"), col("sh_hash"))
+
+  /** Bigram collocation mining: the top-k adjacent word pairs ranked by
+    * LIFT — observed bigram probability over the independence expectation,
+    * (c_bg/M) / ((c1/N)(c2/N)) = c_bg·N² / (M·c1·c2), the exp of PMI.
+    * This is the phrase-detection pass a tokenizer/corpus build runs to
+    * find multi-word expressions (word2vec-phrases style).
+    *
+    * Scale shape: unigram and bigram counts are each ONE map-side-combined
+    * groupBy (the bigram stream comes from the codegen'd [[ShingleStrings]]
+    * kernel, not an interpreted HOF); both Exchanges carry word-TYPE rows,
+    * never the corpus. The `minCount` filter shrinks the bigram side
+    * before it joins the unigram table twice (AQE broadcasts the filtered
+    * side), and the N/M totals ride a broadcast one-row cross join.
+    * Ranking arithmetic is integer-input IEEE double with a fixed
+    * association order — engine-portable, no log() (ranking by lift IS
+    * ranking by PMI: log is monotone). Ties at the cut break by (w1, w2).
+    *
+    * Tokens are lowercased whitespace words with empties removed
+    * (`array_remove`, codegen'd) so edge whitespace cannot mint "" grams. */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    require(minCount >= 1L, s"need minCount >= 1, got $minCount")
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(
+      array_remove(wsTokens(lower(col(textCol))), "").as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val big = toks.select(explode(shingles(col("w"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_bg"))
+      .filter(col("c_bg") >= minCount)
+    // N tokens / M bigrams in one pass over per-doc sizes (M = Σ max(len-1,0))
+    // — no second tokenize-and-explode of the corpus just for a scalar
+    val totals = toks.agg(
+      sum(size(col("w")).cast(LongType)).as("n_tok"),
+      sum(greatest(size(col("w")) - 1, lit(0)).cast(LongType)).as("m_big"))
+    val parts = big
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val scored = parts
+      .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c_tok", "c1"), "w1")
+      .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c_tok", "c2"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_bg"), col("c1"), col("c2"),
+        ((col("c_bg").cast(DoubleType) * col("n_tok") * col("n_tok")) /
+          (col("m_big").cast(DoubleType) * col("c1") * col("c2"))).as("lift"))
+    scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+  }
 }

@@ -58,4 +58,31 @@ object Staging {
       .format(format)
       .partitionBy("y", "m", "d")
       .save(path)
+
+  /** Keyed snapshot diff — the CDC step between two corpus/table
+    * snapshots: classify every key as added / removed / changed /
+    * unchanged by comparing an md5 fingerprint over `cols` (multi-column
+    * content folded with a \u0001 separator, so column boundaries can't
+    * alias). This is what turns "yesterday's lake + today's dump" into
+    * the small delta the rest of an incremental pipeline (re-embed,
+    * re-dedup, re-shard) actually processes.
+    *
+    * Scale shape: each side is projected to (key, fingerprint) BEFORE the
+    * join — the full-outer join shuffles two key+32-byte-hash streams,
+    * never document bodies, and it is the only Exchange. At 100 TB both
+    * sides co-partition on the key (bucketed snapshots make it
+    * shuffle-free); the output is classification rows, typically consumed
+    * filtered to the non-`unchanged` minority. */
+  def snapshotDiff(base: DataFrame, cur: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one content column")
+    def fp(df: DataFrame, as: String): DataFrame = df.select(col(keyCol),
+      md5(concat_ws("\u0001", cols.map(col): _*)).as(as))
+    fp(base, "__fp_b").join(fp(cur, "__fp_c"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__fp_b").isNull, lit("added"))
+          .when(col("__fp_c").isNull, lit("removed"))
+          .when(col("__fp_b") =!= col("__fp_c"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
 }
