@@ -774,6 +774,113 @@ class LlmOpsSpec extends AnyFunSuite {
     val hit = Dedup.crossWinnowPairs(train, bench, "doc_id", "text", minShared = 1L)
     assert(hit.filter($"t_id" === 11L && $"b_id" === 20L).count() == 1)
   }
+
+  // ---- SQ8 scalar quantization ----
+
+  test("sq8 codes are 8-bit and reconstruct within the quantization bound") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Similarity.sq8Encode(emb, "vec_id", "embedding")
+    assert(codes.filter($"code" < 0L || $"code" > 255L).count() == 0)
+    val joined = emb
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "x")))
+      .withColumn("pos", $"pos".cast("long"))
+      .join(codes, Seq("vec_id", "pos"))
+      .join(Similarity.sq8Stats(emb, "embedding"), "pos")
+    // midpoint dequantization lands within half a step (+ float slack)
+    val step = ($"mx".cast("double") - $"mn".cast("double")) / 255.0
+    val over = joined
+      .select((abs($"mn".cast("double") + ($"code" + 0.5) * step - $"x".cast("double")) -
+        (step / 2.0 + lit(1e-9))).as("over"))
+      .filter($"over" > 0).count()
+    assert(over == 0)
+  }
+
+  test("packed sq8 writer emits exactly the exploded codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val stats = Similarity.sq8StatsMatrix(Similarity.sq8Stats(emb, "embedding"))
+    val packed = Similarity.sq8EncodePacked(emb, "vec_id", "embedding", stats)
+      .select($"vec_id", posexplode($"codes").as(Seq("pos", "code")))
+      .withColumn("pos", $"pos".cast("long"))
+    val exploded = Similarity.sq8Encode(emb, "vec_id", "embedding")
+    assert(packed.except(exploded).count() == 0)
+    assert(exploded.except(packed).count() == 0)
+  }
+
+  test("sq8 degenerate (constant) dimension codes to zero; extremes hit 0 and 255") {
+    val tiny = Seq(
+      (1L, Array(7.5f, 2.0f)),
+      (2L, Array(7.5f, 3.0f)),
+      (3L, Array(7.5f, 2.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.sq8Encode(tiny, "vec_id", "embedding")
+      .orderBy("vec_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.filter(_._2 == 0L).forall(_._3 == 0L)) // constant dim
+    val d1 = out.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    assert(d1(1L) == 0L && d1(2L) == 255L && d1(3L) == 127L)
+  }
+
+  // ---- bigram collocations ----
+
+  test("collocations rank the planted phrase first with exact counts") {
+    // per-doc-unique filler words keep every filler bigram below minCount;
+    // "alpha"/"beta" also occur OUTSIDE their shared bigram, so "alpha
+    // beta" is frequent but its unigram counts halve its lift — only the
+    // planted "ping pong" has both words exclusive to the phrase
+    val docs = (1L to 6L).map { i =>
+      val filler = (1 to 30).map(j => s"d${i}w$j common").mkString(" ")
+      (i, s"  ping pong alpha beta $filler alpha d${i}x beta d${i}y ")
+    }.toDF("doc_id", "text")
+    val top = TextAnalysis.collocations(docs, "text", minCount = 5L, k = 10).collect()
+    val first = top.head
+    assert((first.getString(0), first.getString(1)) == ("ping", "pong"), top.mkString("; "))
+    assert(first.getLong(2) == 6L && first.getLong(3) == 6L && first.getLong(4) == 6L)
+    // the frequent-but-independent pair survives yet ranks strictly below
+    val ab = top.find(r => r.getString(0) == "alpha" && r.getString(1) == "beta").get
+    assert(ab.getLong(2) == 6L && ab.getLong(3) == 12L && ab.getLong(4) == 12L)
+    assert(ab.getDouble(5) < first.getDouble(5))
+    // edge whitespace minted no "" token: every surviving word is nonempty
+    assert(top.forall(r => r.getString(0).nonEmpty && r.getString(1).nonEmpty))
+  }
+
+  // ---- snapshot diff ----
+
+  test("snapshot diff classifies all four statuses; separator prevents column aliasing") {
+    val base = Seq(
+      (1L, "gone", "s"), (2L, "old", "s"), (3L, "same", "s"),
+      (5L, "ab", "c")).toDF("doc_id", "text", "source")
+    val cur = Seq(
+      (2L, "new", "s"), (3L, "same", "s"), (4L, "fresh", "s"),
+      (5L, "a", "bc")).toDF("doc_id", "text", "source")
+    val got = Staging.snapshotDiff(base, cur, "doc_id", Seq("text", "source"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // (5) "ab"+"c" vs "a"+"bc" must be CHANGED — the  separator
+    // keeps column boundaries out of fingerprint collisions
+    assert(got == Seq((1L, "removed"), (2L, "changed"), (3L, "unchanged"),
+      (4L, "added"), (5L, "changed")))
+  }
+
+  // ---- length buckets ----
+
+  test("length buckets account every token exactly, including truncation") {
+    def words(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)),   // -> bucket 16, waste 6
+      (2L, words(16)),   // -> bucket 16, waste 0 (boundary inclusive)
+      (3L, words(100)),  // -> bucket 128, waste 28
+      (4L, words(2000))  // -> bucket 1024, truncated 976, waste 0
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Curation.lengthBuckets(docs, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == Seq(
+      (16L, 2L, 26L, 32L, 6L, 0L),
+      (128L, 1L, 100L, 128L, 28L, 0L),
+      (1024L, 1L, 1024L, 1024L, 0L, 976L)))
+    // conservation: padded = kept + waste in every bucket
+    rows.foreach { case (_, _, kept, padded, waste, _) =>
+      assert(padded == kept + waste) }
+  }
 }
 
 object LlmOpsSpec {

@@ -365,4 +365,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bHit <= 12, s"bHit=$bHit: ${rects.mkString(", ")}")
     assert(boxHit <= 8, s"boxHit=$boxHit: ${rects.mkString(", ")}")
   }
+
+  test("embedding_quantize: dim stats broadcast back; the only keyed shuffle is dim-bounded") {
+    // the per-dim [mn,mx] aggregate is the ONLY hash Exchange (it carries
+    // dims x partitions scalars), combines map-side, and returns to the
+    // corpus scan as a broadcast — quantization itself is scan-speed
+    val p = plan("embedding_quantize")
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("snapshot_diff: fingerprints are projected below the only join — bodies never shuffle") {
+    // each snapshot reduces to (key, md5) BEFORE the full-outer join, so
+    // the join Exchanges carry 32-byte hashes, not document text; assert
+    // on the optimized logical plan (AQE hides physical children)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SparkEntry.queries("snapshot_diff")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1, qe.optimizedPlan.toString)
+    joins.head.children.foreach { side =>
+      val names = side.output.map(_.name)
+      assert(names.length == 2 && names.contains("doc_id") &&
+        !names.contains("text"), names.mkString(","))
+    }
+  }
+
+  test("collocations: both count aggregates combine map-side; totals join broadcasts") {
+    val p = plan("collocations_pmi")
+    // unigram + bigram counts and the one-row totals all partial-aggregate
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p)
+    // the one-row totals frame must arrive via broadcast, never shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("length_buckets: one map-side-combined rollup on the bucket key") {
+    val p = plan("length_buckets")
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
 }
