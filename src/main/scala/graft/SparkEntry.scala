@@ -694,6 +694,11 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Embedding-space outlier monitor ([[Similarity.embeddingOutliers]]):
+    * top-20 vectors by exact squared distance to the corpus mean. */
+  private def embeddingOutliersQ(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingOutliers(embeddings(s, d), "vec_id", "embedding", k = 20)
+
   /** Padding-waste report over the doubling length-bucket ladder
     * ([[Curation.lengthBuckets]]) — the batch-shape planning twin of
     * pack_sequences. */
@@ -1509,7 +1514,8 @@ object SparkEntry {
     "embedding_quantize" -> (embeddingQuantize _),
     "collocations_pmi" -> (collocationsPmi _),
     "snapshot_diff" -> (snapshotDiffQ _),
-    "length_buckets" -> (lengthBucketsQ _)
+    "length_buckets" -> (lengthBucketsQ _),
+    "embedding_outliers" -> (embeddingOutliersQ _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2452,6 +2458,20 @@ object SparkEntry {
         | CAST(SUM(bucket - LEAST(n, 1024)) AS BIGINT) AS waste_tokens,
         | CAST(SUM(GREATEST(n - 1024, 0)) AS BIGINT) AS truncated_tokens
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // same decimal-parity route as embedding_centroids: VARCHAR-mediated
+    // double->DECIMAL casts make DuckDB round like Spark's Cast
+    "embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+        |             generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |m AS (SELECT pos,
+        |        CAST(SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(x) AS mu
+        |      FROM e GROUP BY pos),
+        |d AS (SELECT e.vec_id,
+        |        CAST(SUM(CAST(CAST((CAST(e.x AS DOUBLE) - m.mu) * (CAST(e.x AS DOUBLE) - m.mu) AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) AS dist2
+        |      FROM e JOIN m USING (pos) GROUP BY e.vec_id)
+        |SELECT vec_id, dist2 FROM d
+        |ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin,
 
     "dedup_keep_best" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),

@@ -361,6 +361,29 @@ object Stress {
         path = dir, files = 64)
       spark.read.parquet(dir).count()
     }
+    time("embedding_quantize") {
+      // scan-bound: dim stats + broadcast-back quantization; checksum
+      // forces every code (count would prune the projection)
+      val out = Similarity.sq8Encode(emb, "vec_id", "embedding")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("embedding_outliers") {
+      Similarity.embeddingOutliers(emb, "vec_id", "embedding", k = 20).count()
+    }
+    time("collocations_pmi") {
+      // word-type-bounded aggregates; the replica tag token (r0..rN)
+      // adds factor-many new types but the planted phrase mass scales
+      TextAnalysis.collocations(docs, "text", minCount = 5L, k = 50).count()
+    }
+    time("snapshot_diff") {
+      val base = docs.filter(col("doc_id") % 7 =!= 0)
+      val cur = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.sources.Staging.snapshotDiff(base, cur, "doc_id", Seq("text"))
+        .filter(col("status") =!= "unchanged").count()
+    }
     spark.stop()
   }
 }

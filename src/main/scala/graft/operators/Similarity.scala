@@ -431,6 +431,39 @@ object Similarity {
     stats.orderBy("pos").collect()
       .map(r => (r.getFloat(1).toDouble, r.getFloat(2).toDouble))
 
+  /** Embedding-space outliers: the k vectors farthest (squared euclidean)
+    * from the corpus mean vector — the embedding-quality monitor that
+    * surfaces corrupt/mislabeled/out-of-domain vectors before an index
+    * build or a semantic-dedup run trusts them.
+    *
+    * Exactness: the per-dim mean uses the decimal-accumulation route
+    * ([[groupCentroids]]' engine-parity pattern), each squared deviation
+    * is IEEE double cast to DECIMAL(28,12), and the per-vector sum is an
+    * order-independent decimal fold — so `dist2` (and the top-k ties) are
+    * bit-reproducible across partitionings and engines.
+    *
+    * Shape: the mean is one dim-bounded map-side-combined aggregate
+    * broadcast back onto the scan; the per-vector rollup shuffles
+    * (id, decimal) scalars — never whole vectors — and the global top-k
+    * is a TakeOrdered (per-partition heads folded on the driver), not a
+    * full sort. */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val e = emb.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("pos", col("pos").cast(LongType))
+    val mu = e.groupBy("pos")
+      .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 12)))
+        .cast(DoubleType) / count(col("x"))).as("mu"))
+    val dev = col("x").cast(DoubleType) - col("mu")
+    e.join(broadcast(mu), "pos")
+      .select(col(idCol), (dev * dev).cast(DecimalType(28, 12)).as("__d2"))
+      .groupBy(idCol)
+      .agg(sum(col("__d2")).cast(DoubleType).as("dist2"))
+      .orderBy(col("dist2").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ADC rollup + heap ranking over joined (q_id, id, __partial) rows. */
   private def pqRank(scoredRows: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

@@ -819,6 +819,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(d1(1L) == 0L && d1(2L) == 255L && d1(3L) == 127L)
   }
 
+  test("embedding outliers surface a planted far vector first, ranked by exact dist2") {
+    val base = (1L to 50L).map(i => (i, Array.fill(8)(1.0f + (i % 3) * 0.01f)))
+    val tiny = (base :+ (99L, Array.fill(8)(50.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.embeddingOutliers(tiny, "vec_id", "embedding", k = 3).collect()
+    assert(top.head.getLong(0) == 99L, top.mkString("; "))
+    val d = top.map(_.getDouble(1))
+    assert(d.sameElements(d.sorted(Ordering[Double].reverse)), d.mkString(","))
+    // repartition invariance: the decimal fold makes dist2 bit-stable
+    val re = Similarity.embeddingOutliers(tiny.repartition(7), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(re.toSeq == top.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   // ---- bigram collocations ----
 
   test("collocations rank the planted phrase first with exact counts") {

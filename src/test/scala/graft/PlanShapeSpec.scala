@@ -402,6 +402,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("embedding_outliers: mean broadcasts back; top-k is a TakeOrdered, not a sort") {
+    // two hash Exchanges only: the dim-bounded mean and the per-vector
+    // scalar rollup (id + decimal, never whole vectors); the global top-k
+    // folds per-partition heads — no rangepartitioning Exchange
+    val p = plan("embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("length_buckets: one map-side-combined rollup on the bucket key") {
     val p = plan("length_buckets")
     assert(p.contains("partial_count"), p)
