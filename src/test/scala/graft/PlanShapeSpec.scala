@@ -402,16 +402,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("embedding_outliers: mean broadcasts back; top-k is a TakeOrdered, not a sort") {
-    // two hash Exchanges only: the dim-bounded mean and the per-vector
-    // scalar rollup (id + decimal, never whole vectors); the global top-k
-    // folds per-partition heads — no rangepartitioning Exchange
+  test("embedding_outliers: scoring is a zero-shuffle per-row fold + TakeOrdered") {
+    // the mean is collected at build time (dim-sized driver state), so
+    // the scoring plan is scan -> per-row fold -> TakeOrdered: ZERO
+    // Exchanges of any kind, no joins, no explode
     val p = plan("embedding_outliers")
-    assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("SortMergeJoin"), p)
-    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Generate"), p)
   }
 
   test("length_buckets: one map-side-combined rollup on the bucket key") {
