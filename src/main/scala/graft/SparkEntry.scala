@@ -1275,6 +1275,69 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** SCD Type-2 versioned dimension ([[Star.scd2Apply]]): the customer dim
+    * as day-0 open rows, one change batch re-segmenting every 3rd customer
+    * to MACHINERY (a no-op where the segment already is MACHINERY — the
+    * unchanged-keep path), plus brand-new keys planted above the key
+    * space (the new-key path). Dates emit as strings (dim_date
+    * convention). */
+  private def dimScd2(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val current = cust.select(
+      col("c_custkey"), col("c_mktsegment"),
+      to_date(lit("1990-01-01")).as("valid_from"),
+      lit(null).cast(DateType).as("valid_to"))
+    val changes = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"),
+        to_date(lit("2024-06-01")).as("change_ts"))
+      .unionByName(cust.filter(col("c_custkey") % 1000 === 1)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"),
+          to_date(lit("2024-06-01")).as("change_ts")))
+    Star.scd2Apply(current, changes, "c_custkey", Seq("c_mktsegment"), "change_ts")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  /** FORWARD as-of: each purchase enriched with the NEXT click at-or-after
+    * it ("what did the user do right after buying") —
+    * [[Temporal.asofJoinForward]]. Forward ties pick MIN click_id
+    * (`first()` over the forward frame), so the lookup side dedups ASC —
+    * tie-free by construction on both engines. */
+  private def asofJoinForwardQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("click_id").asc))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    Temporal.asofJoinForward(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
+      .select(
+        col("event_id"), col("user_id"), tsString(col("ts")).as("ts"),
+        tsString(col("asof_ts")).as("asof_ts"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
+  /** As-of with a 30-minute staleness bound ([[Temporal.asofJoinTolerance]]):
+    * the feature-store freshness contract — a click older than the
+    * tolerance is no match at all. */
+  private def asofJoinToleranceQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("click_id").desc))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    Temporal.asofJoinTolerance(clicks, purchases, "user_id", "ts", "ts",
+        Seq("click_id"), toleranceUs = 1800L * 1000000L)
+      .select(
+        col("event_id"), col("user_id"), tsString(col("ts")).as("ts"),
+        tsString(col("asof_ts")).as("asof_ts"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
   /** Funnel conversion: for every user with a click, did a purchase follow
     * the FIRST click? (sequential-pattern analytics over the event
     * stream — one agg + one keyed left join, both on user_id so the
@@ -1515,7 +1578,10 @@ object SparkEntry {
     "collocations_pmi" -> (collocationsPmi _),
     "snapshot_diff" -> (snapshotDiffQ _),
     "length_buckets" -> (lengthBucketsQ _),
-    "embedding_outliers" -> (embeddingOutliersQ _)
+    "embedding_outliers" -> (embeddingOutliersQ _),
+    "asof_join_forward" -> (asofJoinForwardQ _),
+    "asof_join_tolerance" -> (asofJoinToleranceQ _),
+    "dim_scd2" -> (dimScd2 _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2363,6 +2429,53 @@ object SparkEntry {
         | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, c.click_id AS asof_click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "dim_scd2" ->
+      """WITH cur AS (SELECT c_custkey, c_mktsegment,
+        |              DATE '1990-01-01' AS o_vf FROM customer),
+        |ch AS (SELECT c_custkey, 'MACHINERY' AS seg, DATE '2024-06-01' AS ts
+        |       FROM customer WHERE c_custkey % 3 = 0
+        |       UNION ALL
+        |       SELECT c_custkey + 10000000, 'NEWSEG', DATE '2024-06-01'
+        |       FROM customer WHERE c_custkey % 1000 = 1),
+        |j AS (SELECT COALESCE(cur.c_custkey, ch.c_custkey) AS k,
+        |       cur.c_mktsegment AS o_seg, cur.o_vf, ch.seg, ch.ts
+        |      FROM cur FULL OUTER JOIN ch ON cur.c_custkey = ch.c_custkey)
+        |SELECT k AS c_custkey, c_mktsegment,
+        | strftime(vf, '%Y-%m-%d') AS valid_from, strftime(vt, '%Y-%m-%d') AS valid_to
+        |FROM (
+        | SELECT k, o_seg AS c_mktsegment, o_vf AS vf, CAST(NULL AS DATE) AS vt
+        | FROM j WHERE ts IS NULL OR (o_vf IS NOT NULL AND o_seg = seg)
+        | UNION ALL
+        | SELECT k, seg, ts, CAST(NULL AS DATE) FROM j WHERE o_vf IS NULL
+        | UNION ALL
+        | SELECT k, o_seg, o_vf, ts
+        | FROM j WHERE ts IS NOT NULL AND o_vf IS NOT NULL AND o_seg <> seg
+        | UNION ALL
+        | SELECT k, seg, ts, CAST(NULL AS DATE)
+        | FROM j WHERE ts IS NOT NULL AND o_vf IS NOT NULL AND o_seg <> seg)
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // forward direction: DuckDB ASOF with p.ts <= c.ts picks the earliest
+    // click at-or-after the purchase, matching the forward window frame
+    "asof_join_forward" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, c.click_id AS asof_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS asof_ts,
+        | CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.click_id END AS asof_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "range_join" ->
       """WITH c AS (SELECT user_id, event_id AS click_id, ts AS start_ts,
         |            ts + INTERVAL 30 MINUTE AS end_ts

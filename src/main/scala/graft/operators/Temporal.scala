@@ -41,6 +41,54 @@ object Temporal {
     carried.select(right.columns.map(col) ++ asofCols: _*)
   }
 
+  /** FORWARD as-of join: for each right row, the EARLIEST left row with
+    * left_ts >= right_ts in the same key group (pandas merge_asof
+    * direction='forward' — "the next state change after Y"). The mirror
+    * composition of [[asofJoin]]: same single keyed shuffle, the window
+    * frame looks FORWARD (`first(ignoreNulls)` over
+    * [currentRow, unboundedFollowing]) and equal timestamps sort right
+    * rows BEFORE left rows so a left row at the same instant matches
+    * (>= semantics); ties within the left side resolve by the smallest
+    * payload struct. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftPayload: Seq[String]): DataFrame = {
+    val lvFields = leftTs +: leftPayload
+    val l = left.select(
+      col(key), col(leftTs).as("__ts"), lit(0).as("__side"),
+      struct(lvFields.map(col): _*).as("__lv"))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side").desc, col("__lv"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = u
+      .withColumn("__asof", first(col("__lv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val asofCols = lvFields.map(f => col("__asof").getField(f).as(s"asof_$f"))
+    carried.select(right.columns.map(col) ++ asofCols: _*)
+  }
+
+  /** [[asofJoin]] with a staleness bound: a match older than
+    * `toleranceUs` microseconds before the right timestamp is DROPPED
+    * (all asof columns null) — the feature-store freshness contract
+    * ("use the last reading, but never one more than X old"). Composed
+    * as a post-projection on the carried row, so the plan shape is
+    * identical to [[asofJoin]]: one keyed shuffle, one window pass. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftPayload: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0L, s"need toleranceUs >= 0, got $toleranceUs")
+    val joined = asofJoin(left, right, key, leftTs, rightTs, leftPayload)
+    val fresh = unix_micros(col(rightTs)) -
+      unix_micros(col(s"asof_$leftTs")) <= toleranceUs
+    val lvFields = leftTs +: leftPayload
+    val guarded = lvFields.map(f =>
+      when(fresh, col(s"asof_$f")).as(s"asof_$f"))
+    joined.select(right.columns.map(col) ++ guarded: _*)
+  }
+
   /** Bucketized range (interval) join: each `points` row whose timestamp
     * falls inside a `intervals` row's `[startTs, endTs)` — with NO
     * non-equi join in the plan.

@@ -163,6 +163,72 @@ class OperatorsSpec extends AnyFunSuite {
       ("t4", None)))         // key with no quotes at all
   }
 
+  test("scd2 apply versions changes, keeps no-ops, inserts new keys; batches compose") {
+    import graft.operators.Star
+    val cur = Seq((1L, "A"), (2L, "B"), (3L, "C")).toDF("k", "seg")
+      .withColumn("valid_from", to_date(lit("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+    // change, no-op, new key in one batch
+    val b1 = Seq((1L, "A2"), (2L, "B"), (9L, "N")).toDF("k", "seg")
+      .withColumn("ts", to_date(lit("2021-01-01")))
+    val v1 = Star.scd2Apply(cur, b1, "k", Seq("seg"), "ts")
+    val rows1 = v1.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString)))
+    assert(rows1.toSeq == Seq(
+      (1L, "A", "2020-01-01", Some("2021-01-01")),
+      (1L, "A2", "2021-01-01", None),
+      (2L, "B", "2020-01-01", None),
+      (3L, "C", "2020-01-01", None),
+      (9L, "N", "2021-01-01", None)))
+    // a second batch composes: exactly one open row per key, history intact
+    val b2 = Seq((9L, "N2")).toDF("k", "seg")
+      .withColumn("ts", to_date(lit("2022-01-01")))
+    val v2 = Star.scd2Apply(v1, b2, "k", Seq("seg"), "ts")
+    val open = v2.filter(col("valid_to").isNull).groupBy("k").count().collect()
+    assert(open.length == 4 && open.forall(_.getLong(1) == 1L))
+    // 1 closed (k=1 history) + 3 kept opens + k=9's closed+new pair
+    assert(v2.count() == 6)
+    assert(v2.filter(col("k") === 1L && col("valid_to").isNotNull).count() == 1)
+  }
+
+  test("forward asof picks the earliest left row at or after each right ts") {
+    import graft.operators.Temporal
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 5L, 50.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq((1L, 9L, "t1"), (1L, 10L, "t2"), (1L, 25L, "t3"), (3L, 7L, "t4"))
+      .toDF("k", "ts", "trade")
+    val out = Temporal.asofJoinForward(quotes, trades, "k", "ts", "ts", Seq("px"))
+      .orderBy("trade")
+      .collect()
+      .map(r => (r.getString(2), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("t1", Some(100.0)),   // next quote at 10
+      ("t2", Some(100.0)),   // ts tie: quote at 10 counts (>=)
+      ("t3", None),          // nothing after 25
+      ("t4", None)))         // key with no quotes at all
+  }
+
+  test("asof tolerance nulls matches staler than the bound, keeps the rest") {
+    import graft.operators.Temporal
+    val quotes = Seq((1L, 10L, 100.0), (1L, 50L, 105.0)).toDF("k", "ts", "px")
+    val trades = Seq((1L, 12L, "t1"), (1L, 40L, "t2"), (1L, 55L, "t3"))
+      .toDF("k", "ts", "trade")
+    def run(tolUs: Long) =
+      Temporal.asofJoinTolerance(
+          quotes.withColumn("ts", timestamp_micros(col("ts"))),
+          trades.withColumn("ts", timestamp_micros(col("ts"))),
+          "k", "ts", "ts", Seq("px"), tolUs)
+        .orderBy("trade").collect()
+        .map(r => Option(r.get(4)).map(_.asInstanceOf[Double]))
+    // tolerance 10us: t1 (lag 2) and t3 (lag 5) keep, t2 (lag 30) drops
+    assert(run(10L).toSeq == Seq(Some(100.0), None, Some(105.0)))
+    // huge tolerance degenerates to the plain backward asof
+    assert(run(1000L).toSeq == Seq(Some(100.0), Some(100.0), Some(105.0)))
+    // zero tolerance keeps only exact-instant matches
+    assert(run(0L).toSeq == Seq(None, None, None))
+  }
+
   test("rollingCounts equals the naive windowed self-join, row for row") {
     import graft.operators.Temporal
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")

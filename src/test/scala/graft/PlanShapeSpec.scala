@@ -413,6 +413,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), p)
   }
 
+  test("asof forward/tolerance variants plan the union+window, never a join") {
+    // the naive formulation is a per-key range join (O(|L| x |R|) per
+    // key); the composition must keep the single-shuffle union+window
+    // shape for every direction/tolerance variant
+    for (q <- Seq("asof_join_forward", "asof_join_tolerance")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(p.contains("Window"), s"$q: $p")
+    }
+  }
+
+  test("dim_scd2: exactly one key join, no window, no second shuffle stage") {
+    // the SCD2 fold must stay open-slice x batch: one full-outer join on
+    // the key, rows minted by a per-row struct explode — never a window
+    // or a second data-sized Exchange
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = SparkEntry.queries("dim_scd2")(spark, sf).queryExecution
+    assert(qe.optimizedPlan.collect { case j: Join => j }.size == 1,
+      qe.optimizedPlan.toString)
+    assert(!qe.executedPlan.toString.contains("Window"),
+      qe.executedPlan.toString)
+  }
+
   test("length_buckets: one map-side-combined rollup on the bucket key") {
     val p = plan("length_buckets")
     assert(p.contains("partial_count"), p)

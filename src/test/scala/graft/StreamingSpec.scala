@@ -294,6 +294,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scd2 folds change micro-batches into the versioned dim (foreachBatch)") {
+    // the deployment form of Star.scd2Apply: a CDC stream of attribute
+    // snapshots folds into the history-keeping dimension one micro-batch
+    // at a time — the same operator the batch query dim_scd2 gates
+    implicit val sql = spark.sqlContext
+    import graft.operators.Star
+    import java.sql.Date
+    val input = MemoryStream[(Long, String, Date)]
+    @volatile var dim = Seq((1L, "A")).toDF("k", "seg")
+      .withColumn("valid_from", to_date(lit("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .localCheckpoint(true)
+    val q = input.toDF().toDF("k", "seg", "ts")
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+        val prev = dim
+        dim = Star.scd2Apply(prev, batch.dropDuplicates("k"),
+          "k", Seq("seg"), "ts").localCheckpoint(true)
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(prev)
+      })
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "A2", Date.valueOf("2021-01-01")),
+        (5L, "E", Date.valueOf("2021-01-01")))
+      q.processAllAvailable()
+      input.addData((5L, "E2", Date.valueOf("2022-01-01")))
+      q.processAllAvailable()
+      val rows = dim.orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+          Option(r.getDate(3)).map(_.toString)))
+      assert(rows.toSeq == Seq(
+        (1L, "A", "2020-01-01", Some("2021-01-01")),
+        (1L, "A2", "2021-01-01", None),
+        (5L, "E", "2021-01-01", Some("2022-01-01")),
+        (5L, "E2", "2022-01-01", None)))
+    } finally q.stop()
+  }
+
   test("streaming staged write lands y/m/d partitioned parquet incrementally") {
     import graft.sources.Staging
     implicit val sql = spark.sqlContext
