@@ -959,6 +959,21 @@ object SparkEntry {
       .select("source", "shard", "doc_id", "chunk_id", "n_chunk_tokens", "seq_id")
       .orderBy("source", "shard", "doc_id", "chunk_id")
 
+  /** Best-fit-decreasing packing ([[Curation.packSequencesBfd]]): same
+    * chunk stream and sharding contract as pack_sequences_sharded, but
+    * every multi-chunk sequence is GUARANTEED within budget and the bin
+    * count approaches optimal (FFD bound). Rows-only: the sequential bin
+    * state has no SQL form; exactly-once, capacity, the 11/9 OPT + 1
+    * bound, and repartition invariance are property-tested. */
+  private def packSequencesBfdQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.packSequencesBfd(
+        TextAnalysis.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 24, carry = Seq("source")),
+        "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512L,
+        shards = 8)
+      .select("source", "shard", "doc_id", "chunk_id", "n_chunk_tokens", "seq_id")
+      .orderBy("source", "shard", "doc_id", "chunk_id")
+
   /** Learned IVF coarse quantizer: Lloyd's k-means (k=8, 3 iterations),
     * deterministic seeds and exact-decimal means — rows-only (the
     * iterative build has no SQL-expressible oracle; determinism, SSE
@@ -1581,7 +1596,8 @@ object SparkEntry {
     "embedding_outliers" -> (embeddingOutliersQ _),
     "asof_join_forward" -> (asofJoinForwardQ _),
     "asof_join_tolerance" -> (asofJoinToleranceQ _),
-    "dim_scd2" -> (dimScd2 _)
+    "dim_scd2" -> (dimScd2 _),
+    "pack_sequences_bfd" -> (packSequencesBfdQ _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path

@@ -135,6 +135,15 @@ object Stress {
         .asofJoin(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
         .count()
     }
+    time("asof_join_forward") {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.Temporal
+        .asofJoinForward(clicks, purchases, "user_id", "ts", "ts", Seq("click_id"))
+        .count()
+    }
     time("interval_join") {
       val clicks = ev.filter(col("event_type") === "click").select(
         col("user_id"), col("event_id").as("click_id"),
@@ -192,6 +201,25 @@ object Stress {
           "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens",
           budget = 512L, shards = 8),
         sum(col("seq_id") + col("shard")))
+    }
+    time("pack_sequences_bfd") {
+      forced(graft.operators.Curation.packSequencesBfd(
+          TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24)
+            .withColumn("source", (col("doc_id") % 5).cast("string")),
+          "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens",
+          budget = 512L, shards = 8),
+        sum(col("seq_id") + col("shard")))
+    }
+    time("dim_scd2") {
+      // dim = one open row per doc keyed on doc_id; batch re-attributes
+      // a third of the keys — the open-slice x batch join at corpus scale
+      val cur = docs.select(col("doc_id"), col("text").substr(1, 8).as("attr"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val ch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("CHANGED").as("attr"),
+          to_date(lit("2024-06-01")).as("ts"))
+      graft.operators.Star.scd2Apply(cur, ch, "doc_id", Seq("attr"), "ts").count()
     }
     time("tfidf_top_terms") {
       TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3).count()

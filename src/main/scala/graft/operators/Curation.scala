@@ -79,6 +79,84 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Best-fit-decreasing sequence packing — the bin-packing upgrade of
+    * [[packSequences]]: where the greedy running-sum pack lets a chunk
+    * straddle a boundary (sequences can exceed the budget by one chunk),
+    * BFD guarantees every multi-chunk sequence fits the budget AND
+    * approaches the optimal bin count (the classic FFD/BFD <= 11/9 OPT + 1
+    * bound): chunks sort by token count DESCENDING and each goes into the
+    * fullest open bin that still fits it, else opens a new bin. A chunk
+    * larger than the budget gets a bin of its own (the trainer truncates).
+    *
+    * Why `mapPartitions` (the documented last resort, justified here):
+    * bin state is inherently sequential — each placement depends on every
+    * earlier one — so no window/aggregate expresses it. The imperative
+    * region is as small as the problem allows: chunks repartition by
+    * (group, shard) and sort within partitions, then ONE pass with a
+    * TreeMap keyed by remaining capacity (O(log bins) best-fit per chunk)
+    * that resets at every (group, shard) run boundary. Parallelism and
+    * output identity are exactly [[packSequences]]' sharded contract:
+    * `shards` independent packers per group, `(group, shard, seq_id)`
+    * identity, md5 shard assignment (deterministic, no partition-id
+    * dependence) — so results are bit-stable across partitionings.
+    *
+    * Determinism of the packing itself: the intake order is a total order
+    * (tokens desc, then `orderCols`), and a remaining-capacity tie picks
+    * the lowest bin id. */
+  def packSequencesBfd(chunks: DataFrame, groupCol: String,
+      orderCols: Seq[String], tokenCol: String, budget: Long,
+      shards: Int = 1): DataFrame = {
+    require(budget >= 1, s"need budget >= 1, got $budget")
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val withShard = chunks.withColumn("shard",
+      if (shards == 1) lit(0L)
+      else conv(substring(md5(col(orderCols.head).cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % shards)
+    val sorted = withShard
+      .repartition(col(groupCol), col("shard"))
+      .sortWithinPartitions(
+        (Seq(col(groupCol), col("shard")) ++
+          (col(tokenCol).desc +: orderCols.map(col))): _*)
+    val schema = sorted.schema
+    val gIdx = schema.fieldIndex(groupCol)
+    val sIdx = schema.fieldIndex("shard")
+    val tIdx = schema.fieldIndex(tokenCol)
+    val outSchema = schema.add("seq_id", org.apache.spark.sql.types.LongType)
+    sorted.mapPartitions { it =>
+      // remaining capacity -> bin ids at that remaining (lowest id wins)
+      var bins: java.util.TreeMap[Long, java.util.TreeSet[Long]] = null
+      var nextBin = 0L
+      var curKey: (Any, Long) = null
+      it.map { row =>
+        val key = (row.get(gIdx), row.getLong(sIdx))
+        if (key != curKey) {
+          curKey = key
+          bins = new java.util.TreeMap
+          nextBin = 0L
+        }
+        val n = row.getAs[Number](tIdx).longValue()
+        val entry = bins.ceilingEntry(n)
+        val bin = if (entry == null) {
+          val b = nextBin; nextBin += 1
+          val rem = budget - n
+          if (rem > 0)
+            bins.computeIfAbsent(rem, _ => new java.util.TreeSet).add(b)
+          b
+        } else {
+          val ids = entry.getValue
+          val b = ids.first()
+          ids.remove(b)
+          if (ids.isEmpty) bins.remove(entry.getKey)
+          val rem = entry.getKey - n
+          if (rem > 0)
+            bins.computeIfAbsent(rem, _ => new java.util.TreeSet).add(b)
+          b
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): every document is scored
     * by how much more likely its hashed n-gram features are under a TARGET

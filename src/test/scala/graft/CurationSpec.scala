@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Similarity}
+import graft.operators.{Curation, Similarity, TextAnalysis}
 
 /** Curation-family coverage: mixture sampling boundaries/idempotency,
   * greedy sequence packing (incl. the sharded scale form), and the
@@ -138,6 +138,48 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.packSequences(chunks, "source", Seq("doc_id"), "n_tokens", 8L, shards = 0)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // packSequencesBfd
+  // ------------------------------------------------------------------
+
+  test("bfd packing: exactly-once, within-budget bins, near-optimal count") {
+    val budget = 100L
+    val items = Seq(70L, 60L, 50L, 40L, 35L, 30L, 25L, 20L, 15L, 10L, 5L, 90L)
+    val df = items.zipWithIndex
+      .map { case (n, i) => ("s", i.toLong, n) }.toDF("source", "doc_id", "n_tokens")
+    val out = Curation.packSequencesBfd(df, "source", Seq("doc_id"), "n_tokens", budget)
+    // exactly-once
+    assert(out.count() == items.length &&
+      out.select("doc_id").distinct().count() == items.length)
+    // every bin within budget (no oversize items in this fixture)
+    val fills = out.groupBy("seq_id").agg(sum("n_tokens").as("fill"))
+      .collect().map(_.getLong(1))
+    assert(fills.forall(_ <= budget), fills.mkString(","))
+    // FFD/BFD bound: bins <= 11/9 * ceil(total/budget) + 1
+    val opt = (items.sum + budget - 1) / budget
+    assert(fills.length <= (11 * opt) / 9 + 1, s"${fills.length} bins for opt>=$opt")
+  }
+
+  test("bfd packing: oversize chunk gets its own bin; repartition-invariant") {
+    val df = Seq(("s", 1L, 150L), ("s", 2L, 60L), ("s", 3L, 60L))
+      .toDF("source", "doc_id", "n_tokens")
+    val out = Curation.packSequencesBfd(df, "source", Seq("doc_id"), "n_tokens", 100L)
+      .select("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the oversize 150 sits alone; the two 60s cannot share a bin
+    assert(Seq(out(1L), out(2L), out(3L)).distinct.length == 3, out.toString)
+    val chunked = TextAnalysis.chunkTokens(
+      Tables.documents(spark, sf), "doc_id", "text",
+      chunkSize = 32, stride = 24, carry = Seq("source"))
+    def run(c: DataFrame) = Curation
+      .packSequencesBfd(c, "source", Seq("doc_id", "chunk_id"),
+        "n_chunk_tokens", budget = 512L, shards = 4)
+      .select("source", "shard", "doc_id", "chunk_id", "seq_id")
+      .orderBy("source", "shard", "doc_id", "chunk_id")
+      .collect().toSeq
+    assert(run(chunked) == run(chunked.repartition(13)))
   }
 
   // ------------------------------------------------------------------
