@@ -34,10 +34,18 @@ object Staging {
       .save(path)
 
   /** Read a staged table back (partition columns y/m/d come back as
-    * directory-derived columns; filters on them prune directories). */
+    * directory-derived columns; filters on them prune directories).
+    * `mergeSchema = true` reconciles slices written with EVOLVED schemas
+    * (a column added mid-stream): the read exposes the union schema and
+    * pre-evolution rows surface the new columns as null — the standard
+    * additive-evolution contract of a parquet lake. Off by default: the
+    * merged-schema inference lists every file's footer, which is the
+    * expensive path at lake scale (prefer it only on evolved tables). */
   def readStaged(spark: SparkSession, path: String,
-      format: String = "parquet"): DataFrame =
-    spark.read.format(format).load(path)
+      format: String = "parquet", mergeSchema: Boolean = false): DataFrame = {
+    val r = spark.read.format(format)
+    (if (mergeSchema) r.option("mergeSchema", "true") else r).load(path)
+  }
 
   /** Interval-bounded incremental staging run (reference:
     * dags/scripts/helpers.py:10-47 — every hourly run extracts only

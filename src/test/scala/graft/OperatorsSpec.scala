@@ -113,6 +113,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(back.columns.toSet == Set("_c0", "_c1", "_c2", "y", "m", "d"))
   }
 
+  test("staged lake absorbs additive schema evolution via mergeSchema read") {
+    import graft.sources.Staging
+    val tmp = java.nio.file.Files.createTempDirectory("graft_evolve_spec").toString
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "value")
+    // day 1 written with the original schema, day 2 with an added column
+    Staging.writeSlice(ev, "ts", "2024-01-01 00:00:00", "2024-01-02 00:00:00", tmp)
+    Staging.writeSlice(ev.withColumn("quality", lit(0.5)), "ts",
+      "2024-01-02 00:00:00", "2024-01-03 00:00:00", tmp)
+    val merged = Staging.readStaged(spark, tmp, mergeSchema = true)
+    assert(merged.columns.contains("quality"))
+    // pre-evolution rows surface the new column as null, new rows carry it
+    assert(merged.filter(col("d") === 1 && col("quality").isNotNull).count() == 0)
+    val day2 = merged.filter(col("d") === 2)
+    assert(day2.count() > 0 && day2.filter(col("quality").isNull).count() == 0)
+    // the default (cheap) read still works, on the first slice's schema
+    assert(Staging.readStaged(spark, tmp).count() == merged.count())
+  }
+
   test("json normalize walks a nested record_path with meta, like pandas") {
     import graft.sources.JsonNormalize
     // the reference's achievements case: per-player array of records

@@ -615,4 +615,33 @@ class PropertiesSpec extends AnyFunSuite {
       assert(viol == 0L)
     }
   }
+
+  test("operators are total on EMPTY inputs (empty days/partitions are routine)") {
+    import graft.operators.{Curation, Similarity, TextAnalysis}
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+
+    assert(Dedup.exact(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text", tau = 0.5).count() == 0)
+    assert(TextAnalysis.collocations(noDocs, "text").count() == 0)
+    assert(TextAnalysis.heavyHitters(noDocs, "text", k = 5).count() == 0)
+    assert(Curation.lengthBuckets(noDocs, "text").count() == 0)
+    assert(Curation.packSequencesBfd(noDocs.withColumn("n", lit(1L)),
+      "source", Seq("doc_id"), "n", budget = 8L).count() == 0)
+    assert(graft.sources.Staging.snapshotDiff(
+      noDocs, noDocs, "doc_id", Seq("text")).count() == 0)
+    assert(Similarity.sq8Encode(noEmb, "vec_id", "embedding").count() == 0)
+    assert(Similarity.embeddingOutliers(noEmb, "vec_id", "embedding", k = 3).count() == 0)
+    // scd2: empty batch preserves the dim; empty dim takes the whole batch
+    val dim = Seq((1L, "A")).toDF("k", "seg")
+      .withColumn("valid_from", to_date(lit("2020-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+    val noChanges = Seq.empty[(Long, String)].toDF("k", "seg")
+      .withColumn("ts", lit(null).cast("date"))
+    assert(Star.scd2Apply(dim, noChanges, "k", Seq("seg"), "ts").count() == 1)
+    assert(Star.scd2Apply(dim.limit(0),
+      Seq((9L, "N")).toDF("k", "seg")
+        .withColumn("ts", to_date(lit("2021-01-01"))),
+      "k", Seq("seg"), "ts").count() == 1)
+  }
 }
