@@ -639,14 +639,30 @@ object SparkEntry {
 
   /** The z-order READ path, pre-ordering — shared with the PlanShapeSpec
     * guard, which asserts on this DataFrame's scan node directly: writes
-    * the keyed lineitem z-clustered into 16 files, reads it back through
-    * the selective box. */
+    * the keyed lineitem z-clustered into 16 files ONCE per source
+    * dataset, then reads back through the selective box. The clustered
+    * table is keyed by an md5 of (source dir, source parquet mtime+size),
+    * so a regenerated testdata set can never be served a stale layout
+    * (the mid-round regeneration made this a live hazard), while repeat
+    * calls — the bench's n runs, the correctness gate after the plan
+    * guard — measure what this row is FOR: the read path. The write path
+    * has its own row (zorder_layout). */
+  private[graft] def zorderScanPath(d: String): String = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_zorder_scan_$tag"
+  }
+
   private[graft] def zorderScanRead(s: SparkSession, d: String): DataFrame = {
-    val path = stagingBase + "/graft_zorder_scan"
-    Layout.zorderWrite(
-      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
-        zorderScanDim("a").as("a"), zorderScanDim("b").as("b")),
-      Seq("a", "b"), bits = 10, path, files = 16)
+    val path = zorderScanPath(d)
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      Layout.zorderWrite(
+        lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          zorderScanDim("a").as("a"), zorderScanDim("b").as("b")),
+        Seq("a", "b"), bits = 10, path, files = 16)
+    }
     s.read.parquet(path)
       .filter(col("a").between(384, 639) && col("b").between(256, 511))
   }
@@ -711,6 +727,31 @@ object SparkEntry {
     val docs = documents(s, d)
     TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") < 8), "doc_id", "text", k = 10)
       .orderBy(col("q_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Hybrid retrieval: BM25 (lexical term weighting) and exact 3-gram
+    * Jaccard (surface overlap) each rank the corpus for the same 8-doc
+    * query set; [[TextAnalysis.rrfFuse]] combines them by reciprocal
+    * rank. Both sub-rankings are themselves oracle-proven queries
+    * (bm25_topk / decontaminate_jaccard machinery), so the fusion is
+    * exact end to end. */
+  private def hybridTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val queries = docs.filter(col("doc_id") < 8)
+    val byScore = Window.partitionBy(col("q_id"))
+    val bmRank = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text", k = 10)
+      .withColumn("r", row_number().over(
+        byScore.orderBy(col("score").desc, col("doc_id"))))
+      .select("q_id", "doc_id", "r")
+    val jacRank = Dedup.crossJaccardPairs(docs, queries, "doc_id", "text",
+        n = 3, tau = 0.1)
+      .select(col("b_id").as("q_id"), col("t_id").as("doc_id"), col("jaccard"))
+      .withColumn("r", row_number().over(
+        byScore.orderBy(col("jaccard").desc, col("doc_id"))))
+      .filter(col("r") <= 10)
+      .select("q_id", "doc_id", "r")
+    TextAnalysis.rrfFuse(Seq(bmRank, jacRank), "q_id", "doc_id", "r", k = 10)
+      .orderBy("q_id", "rank")
   }
 
   /** DSIR importance weights: hashed unigram+bigram features, target =
@@ -836,6 +877,30 @@ object SparkEntry {
       // token-less docs produce no row (the oracle's GROUP BY drops them)
       .where(col("n_subwords") > 0)
       .orderBy("doc_id")
+
+  /** Per-source subword token accounting — the corpus dashboard over the
+    * tokenizer rows: pieces, OOV fallbacks, and whitespace words per
+    * source (the numbers that price a training run per data source:
+    * pieces/word is the tokenizer's compression on that source, n_unk its
+    * vocabulary coverage). One doc-keyed join of two projections of the
+    * same scan + one map-side-combined rollup on the few-valued source. */
+  private def subwordCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val sw = TextAnalysis.subwords(docs, "doc_id", "text",
+        TextAnalysis.demoSubwordVocab)
+      .where(col("n_subwords") > 0)
+    val words = docs.select(col("doc_id"), col("source"),
+      size(array_remove(wsTokens(lower(col("text"))), ""))
+        .cast(LongType).as("n_words"))
+    sw.join(words, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_subwords")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"),
+        sum(col("n_words")).as("n_words"))
+      .orderBy("source")
+  }
 
   /** Exact heavy-hitter tokens (> 1/50 of token mass) via the
     * Misra-Gries candidate prune. */
@@ -1316,6 +1381,32 @@ object SparkEntry {
       .orderBy("c_custkey", "valid_from")
   }
 
+  /** Point-in-time SCD2 lookup — the consumption side of [[dimScd2]]:
+    * every order resolves the customer-segment VERSION valid at its order
+    * date (change planted mid-range at 1998-01-01 so facts genuinely
+    * split across versions). The join is EQUI on the key with the
+    * validity interval as a post-condition — versions per key are few,
+    * so this is a plain keyed join, never a range-join explosion. */
+  private def factScd2Lookup(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+      to_date(lit("1990-01-01")).as("valid_from"),
+      lit(null).cast(DateType).as("valid_to"))
+    val changes = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), lit("MACHINERY").as("c_mktsegment"),
+        to_date(lit("1998-01-01")).as("change_ts"))
+    val dim = Star.scd2Apply(current, changes, "c_custkey",
+      Seq("c_mktsegment"), "change_ts")
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      to_date(col("o_orderdate")).as("o_date"))
+    o.join(dim, o("o_custkey") === dim("c_custkey") &&
+        col("o_date") >= col("valid_from") &&
+        (col("valid_to").isNull || col("o_date") < col("valid_to")))
+      .select(col("o_orderkey"), col("c_mktsegment").as("segment_at_order"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("version_from"))
+      .orderBy("o_orderkey")
+  }
+
   /** FORWARD as-of: each purchase enriched with the NEXT click at-or-after
     * it ("what did the user do right after buying") —
     * [[Temporal.asofJoinForward]]. Forward ties pick MIN click_id
@@ -1597,7 +1688,10 @@ object SparkEntry {
     "asof_join_forward" -> (asofJoinForwardQ _),
     "asof_join_tolerance" -> (asofJoinToleranceQ _),
     "dim_scd2" -> (dimScd2 _),
-    "pack_sequences_bfd" -> (packSequencesBfdQ _)
+    "pack_sequences_bfd" -> (packSequencesBfdQ _),
+    "subword_coverage" -> (subwordCoverage _),
+    "fact_scd2_lookup" -> (factScd2Lookup _),
+    "hybrid_topk" -> (hybridTopK _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -1969,6 +2063,18 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_subwords" ->
       TextAnalysis.subwordsOracleSql(TextAnalysis.demoSubwordVocab),
+    // the per-doc subword oracle rides inside a derived table; the rollup
+    // joins back to documents for the source and whitespace word count
+    "subword_coverage" -> {
+      val inner = TextAnalysis.subwordsOracleSql(TextAnalysis.demoSubwordVocab)
+      s"""SELECT d.source, COUNT(*) AS n_docs,
+         | CAST(SUM(o.n_subwords) AS BIGINT) AS n_pieces,
+         | CAST(SUM(o.n_unk) AS BIGINT) AS n_unk,
+         | CAST(SUM(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+         |   x -> x <> ''))) AS BIGINT) AS n_words
+         |FROM ($inner) o JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
     "text_fingerprint" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS sh_hash
@@ -2285,6 +2391,54 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn FROM agg)
         |SELECT q_id, doc_id, score FROM r WHERE rn <= 10
         |ORDER BY q_id, score DESC, doc_id""".stripMargin,
+    // the two sub-rankings reuse the bm25_topk and cross-jaccard oracle
+    // constructions verbatim; the fusion arithmetic is integer-input IEEE
+    // division in a fixed term order
+    "hybrid_topk" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') w FROM documents),
+        |tok AS (SELECT doc_id, u.g AS term FROM toks, unnest(w) u(g)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 8),
+        |sc AS (SELECT q.q_id, tf.doc_id,
+        |        ROUND((ln((CAST(s.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |              / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |           * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+        |          / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |             * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE)
+        |                * (CAST(dl.dl AS DOUBLE) / (CAST(s.toks AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6) AS sv
+        |       FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+        |        JOIN dfq ON tf.term = dfq.term, s),
+        |agg AS (SELECT q_id, doc_id, CAST(SUM(CAST(sv AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |        FROM sc GROUP BY q_id, doc_id),
+        |bm AS (SELECT q_id, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r_bm
+        |       FROM agg QUALIFY r_bm <= 10),
+        |jw AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |jsh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |        FROM jw, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |jsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM jsh GROUP BY doc_id),
+        |jc AS (SELECT a.doc_id AS t_id, b.doc_id AS b_id, COUNT(*) AS common
+        |       FROM jsh a JOIN jsh b ON a.sh = b.sh AND b.doc_id < 8 GROUP BY 1, 2),
+        |jr0 AS (SELECT c.b_id AS q_id, c.t_id AS doc_id,
+        |         CAST(c.common AS DOUBLE) / (x.n_sh + y.n_sh - c.common) AS jac
+        |        FROM jc c JOIN jsz x ON c.t_id = x.doc_id JOIN jsz y ON c.b_id = y.doc_id
+        |        WHERE CAST(c.common AS DOUBLE) / (x.n_sh + y.n_sh - c.common) >= 0.1),
+        |jf AS (SELECT q_id, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY jac DESC, doc_id) AS r_jc
+        |       FROM jr0 QUALIFY r_jc <= 10),
+        |f AS (SELECT COALESCE(bm.q_id, jf.q_id) AS q_id,
+        |       COALESCE(bm.doc_id, jf.doc_id) AS doc_id,
+        |       COALESCE(1.0 / (60 + bm.r_bm), 0.0) + COALESCE(1.0 / (60 + jf.r_jc), 0.0) AS rrf
+        |      FROM bm FULL OUTER JOIN jf ON bm.q_id = jf.q_id AND bm.doc_id = jf.doc_id)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM (
+        | SELECT q_id, doc_id, rrf,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+        | FROM f) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     "lm_score" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |bi AS (SELECT doc_id, array_to_string(w[i.i:i.i+1], ' ') AS bg
@@ -2470,6 +2624,25 @@ object SparkEntry {
         | SELECT k, seg, ts, CAST(NULL AS DATE)
         | FROM j WHERE ts IS NOT NULL AND o_vf IS NOT NULL AND o_seg <> seg)
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // the oracle rebuilds the SCD2 dim directly, closing ONLY genuinely
+    // changed rows (already-MACHINERY customers keep their single open
+    // version — scd2Apply's unchanged-keep semantics)
+    "fact_scd2_lookup" ->
+      """WITH dim AS (
+        | SELECT c_custkey, c_mktsegment, DATE '1990-01-01' AS valid_from,
+        |  CASE WHEN c_custkey % 3 = 0 AND c_mktsegment <> 'MACHINERY'
+        |       THEN DATE '1998-01-01' END AS valid_to
+        | FROM customer
+        | UNION ALL
+        | SELECT c_custkey, 'MACHINERY', DATE '1998-01-01', CAST(NULL AS DATE)
+        | FROM customer WHERE c_custkey % 3 = 0 AND c_mktsegment <> 'MACHINERY')
+        |SELECT o.o_orderkey, d.c_mktsegment AS segment_at_order,
+        | strftime(d.valid_from, '%Y-%m-%d') AS version_from
+        |FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+        | AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+        | AND (d.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // forward direction: DuckDB ASOF with p.ts <= c.ts picks the earliest
     // click at-or-after the purchase, matching the forward window frame

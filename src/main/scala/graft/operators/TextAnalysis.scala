@@ -801,6 +801,36 @@ object TextAnalysis {
       .toDF(idCol, "rk0", "sh_hash")
       .select(col(idCol), (col("rk0") + 1).cast(LongType).as("rk"), col("sh_hash"))
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al.): given per-query rankings from N retrievers, score
+    * every candidate `Σ 1/(c + rank_i)` over the rankings that returned
+    * it and re-rank. Rank-based (no score calibration needed across
+    * retrievers), and exact: the only arithmetic is integer-input IEEE
+    * division in a fixed term order, so fused scores and tie-broken
+    * ranks are engine-reproducible.
+    *
+    * Shape: the rankings are top-k-per-query frames (bench-sized), so the
+    * full-outer joins and the per-query re-rank window all run on
+    * queries x k rows — nothing corpus-sized moves regardless of what the
+    * upstream retrievers scanned. */
+  def rrfFuse(rankings: Seq[DataFrame], qCol: String, idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"need k >= 1, got $k")
+    val named = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(qCol), col(idCol), col(rankCol).as(s"__r$i")) }
+    val joined = named.reduce((a, b) => a.join(b, Seq(qCol, idCol), "full_outer"))
+    val rrf = rankings.indices.map(i =>
+      coalesce(lit(1.0) / (lit(c) + col(s"__r$i")), lit(0.0))).reduce(_ + _)
+    joined
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qCol)).orderBy(col("rrf").desc, col(idCol)))
+        .cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(qCol), col("rank"), col(idCol), col("rrf"))
+  }
+
   /** Bigram collocation mining: the top-k adjacent word pairs ranked by
     * LIFT — observed bigram probability over the independence expectation,
     * (c_bg/M) / ((c1/N)(c2/N)) = c_bg·N² / (M·c1·c2), the exp of PMI.

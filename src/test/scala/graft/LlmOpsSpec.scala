@@ -855,6 +855,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(top.forall(r => r.getString(0).nonEmpty && r.getString(1).nonEmpty))
   }
 
+  test("rrf fusion combines rankings and surfaces single-ranking hits") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q", "id", "r")
+    val b = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q", "id", "r")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), "q", "id", "r", k = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+    // 11 leads (present in both), then 10 (rank-1 in one), then 12
+    assert(out.toSeq.sortBy(_._2) == Seq(
+      (11L, 1L, 1.0 / 62 + 1.0 / 61),
+      (10L, 2L, 1.0 / 61),
+      (12L, 3L, 1.0 / 62)))
+  }
+
   // ---- snapshot diff ----
 
   test("snapshot diff classifies all four statuses; separator prevents column aliasing") {

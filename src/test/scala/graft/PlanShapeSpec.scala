@@ -350,7 +350,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the 16 files on EACH dim alone and fewer still jointly (a 1-d sort
     // would read 16/16 on its unsorted dim; exact counts jitter with the
     // range partitioner's boundary sampling)
-    val rects = spark.read.parquet(SparkEntry.stagingBase + "/graft_zorder_scan")
+    val rects = spark.read.parquet(SparkEntry.zorderScanPath(sf))
       .groupBy(input_file_name())
       .agg(min("a").as("alo"), max("a").as("ahi"),
         min("b").as("blo"), max("b").as("bhi"))
@@ -434,6 +434,15 @@ class PlanShapeSpec extends AnyFunSuite {
       qe.optimizedPlan.toString)
     assert(!qe.executedPlan.toString.contains("Window"),
       qe.executedPlan.toString)
+  }
+
+  test("fact_scd2_lookup: the validity interval rides an equi key join") {
+    // the interval predicate must be a post-condition on the key-equi
+    // join — a bare range join would plan a nested loop
+    val p = plan("fact_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
   }
 
   test("length_buckets: one map-side-combined rollup on the bucket key") {
