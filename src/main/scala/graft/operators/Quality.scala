@@ -307,4 +307,31 @@ object Quality {
       throw new IllegalStateException(s"Data quality violations: $msg")
     }
   }
+
+  /** Schema drift between two snapshots — the METADATA twin of the
+    * token/value drift monitors: which columns were added, removed, or
+    * type-changed since the last run. Pure driver-side schema comparison
+    * (schemas are metadata; nothing scans), so it gates an ingest at any
+    * corpus size for free. Intended use: `schemaDrift(expected,
+    * incoming)` before a load, alert or quarantine on any `changed` row
+    * (additive `added` columns usually pass with the mergeSchema read —
+    * see [[graft.sources.Staging.readStaged]]). */
+  def schemaDrift(before: org.apache.spark.sql.types.StructType,
+      after: org.apache.spark.sql.types.StructType): Seq[SchemaDriftRow] = {
+    val b = before.fields.map(f => f.name -> f.dataType.sql).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.sql).toMap
+    val added = after.fields.collect {
+      case f if !b.contains(f.name) =>
+        SchemaDriftRow(f.name, "added", None, Some(f.dataType.sql)) }
+    val removed = before.fields.collect {
+      case f if !a.contains(f.name) =>
+        SchemaDriftRow(f.name, "removed", Some(f.dataType.sql), None) }
+    val changed = before.fields.collect {
+      case f if a.get(f.name).exists(_ != f.dataType.sql) =>
+        SchemaDriftRow(f.name, "changed", Some(f.dataType.sql), Some(a(f.name))) }
+    (added ++ removed ++ changed).sortBy(r => (r.status, r.column)).toSeq
+  }
+
+  case class SchemaDriftRow(column: String, status: String,
+      before: Option[String], after: Option[String])
 }

@@ -131,6 +131,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Staging.readStaged(spark, tmp).count() == merged.count())
   }
 
+  test("schema drift reports added/removed/type-changed columns, nothing else") {
+    import graft.operators.Quality
+    val before = Seq((1L, "a", 0.5)).toDF("k", "txt", "score").schema
+    val after = Seq((1L, 1, true)).toDF("k", "txt", "fresh").schema
+    val drift = Quality.schemaDrift(before, after)
+    assert(drift == Seq(
+      Quality.SchemaDriftRow("fresh", "added", None, Some("BOOLEAN")),
+      Quality.SchemaDriftRow("txt", "changed", Some("STRING"), Some("INT")),
+      Quality.SchemaDriftRow("score", "removed", Some("DOUBLE"), None)))
+    // identical schemas drift nothing; evolution example round-trips
+    assert(Quality.schemaDrift(before, before).isEmpty)
+  }
+
   test("json normalize walks a nested record_path with meta, like pandas") {
     import graft.sources.JsonNormalize
     // the reference's achievements case: per-player array of records
