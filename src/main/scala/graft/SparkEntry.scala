@@ -754,6 +754,42 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** The END-TO-END curation pipeline as ONE declarative plan — every
+    * stage is an already-oracle-proven operator, chained in deployment
+    * order: normalize -> exact dedup (keep-first per normalized hash) ->
+    * exact decontamination vs the held-out benchmark slice -> quality
+    * percentile gate (threshold computed over the SURVIVORS, the
+    * realistic order) -> mixture sampling -> 32/24 chunking -> greedy
+    * 512-token packing. Output is the packed-sequence manifest
+    * (source, seq_id, chunks, tokens). Catalyst sees the WHOLE chain, so
+    * filters fold into upstream stages and nothing materializes between
+    * steps — the point of declaring a pipeline rather than running six
+    * jobs. Oracle: the same six stage fragments chained as CTEs. */
+  private def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val all = documents(s, d)
+      .withColumn("__h", md5(normalizeText(col("text"))))
+    val corpus = all.filter(col("doc_id") % 50 =!= 0)
+    val bench = all.filter(col("doc_id") % 50 === 0).select("__h").distinct()
+    val deduped = corpus.dedupKeepFirst(Seq("__h"), Seq(col("doc_id")))
+    val clean = deduped.join(broadcast(bench), Seq("__h"), "left_anti")
+    val q = TextAnalysis.quality(clean, "text")
+      .select(col("doc_id"), col("text"), col("source"), col("quality_score"))
+    val thr = q.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    val gated = q.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("__thr"))
+      .select("doc_id", "text", "source")
+    val mixed = Curation.mixtureSample(gated, "source", "doc_id",
+      weights = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+      defaultWeight = 0.375)
+    Curation.packSequences(
+        TextAnalysis.chunkTokens(mixed, "doc_id", "text",
+          chunkSize = 32, stride = 24, carry = Seq("source")),
+        "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens", budget = 512L)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_chunk_tokens")).as("seq_tokens"))
+      .orderBy("source", "seq_id")
+  }
+
   /** DSIR importance weights: hashed unigram+bigram features, target =
     * the src0-src3 slice of the pool (the "domain we want more of"),
     * raw = the rest. Selection keeps the top-score documents. */
@@ -1691,7 +1727,8 @@ object SparkEntry {
     "pack_sequences_bfd" -> (packSequencesBfdQ _),
     "subword_coverage" -> (subwordCoverage _),
     "fact_scd2_lookup" -> (factScd2Lookup _),
-    "hybrid_topk" -> (hybridTopK _)
+    "hybrid_topk" -> (hybridTopK _),
+    "curation_pipeline" -> (curationPipeline _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2391,6 +2428,44 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn FROM agg)
         |SELECT q_id, doc_id, score FROM r WHERE rn <= 10
         |ORDER BY q_id, score DESC, doc_id""".stripMargin,
+    // the six stage fragments are each proven by their own oracle rows;
+    // here they chain as CTEs in deployment order
+    "curation_pipeline" ->
+      """WITH n AS (SELECT doc_id, text, source,
+        |        md5(trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))) AS h
+        |       FROM documents),
+        |corpus AS (SELECT * FROM n WHERE doc_id % 50 <> 0),
+        |bench AS (SELECT DISTINCT h FROM n WHERE doc_id % 50 = 0),
+        |ded AS (SELECT * FROM corpus QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h)),
+        |clean AS (SELECT d.* FROM ded d
+        |          WHERE NOT EXISTS (SELECT 1 FROM bench b WHERE b.h = d.h)),
+        |q AS (SELECT doc_id, text, source,
+        |       least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |        + CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |            x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS DOUBLE)
+        |          / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 0.5 AS qs
+        |      FROM clean),
+        |t AS (SELECT quantile_cont(qs, 0.25) AS thr FROM q),
+        |gated AS (SELECT doc_id, text, source FROM q, t WHERE qs >= thr),
+        |mixed AS (SELECT doc_id, text, source FROM gated
+        |          WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |            < CAST(FLOOR((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75
+        |                    WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.25
+        |                    ELSE 0.375 END) * 4294967296) AS BIGINT)),
+        |tk AS (SELECT doc_id, source, regexp_split_to_array(text, '\s+') w FROM mixed),
+        |c AS (SELECT doc_id, source, s, array_to_string(w[s:s+31], ' ') AS chunk
+        |      FROM tk, unnest(generate_series(1, greatest(len(w) - 32 + 1, 1), 24)) st(s)),
+        |x AS (SELECT source, doc_id, CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+        |       CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT) AS n_chunk_tokens
+        |      FROM c),
+        |p AS (SELECT source, doc_id, chunk_id, n_chunk_tokens,
+        |       SUM(n_chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+        |         ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM x)
+        |SELECT source, CAST(FLOOR((cum - n_chunk_tokens) / 512) AS BIGINT) AS seq_id,
+        | COUNT(*) AS n_chunks, CAST(SUM(n_chunk_tokens) AS BIGINT) AS seq_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the two sub-rankings reuse the bm25_topk and cross-jaccard oracle
     // constructions verbatim; the fusion arithmetic is integer-input IEEE
     // division in a fixed term order
