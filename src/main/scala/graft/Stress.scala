@@ -404,6 +404,36 @@ object Stress {
       // adds factor-many new types but the planted phrase mass scales
       TextAnalysis.collocations(docs, "text", minCount = 5L, k = 50).count()
     }
+    time("curation_pipeline") {
+      // the six-stage end-to-end chain on the replicated corpus
+      // (replica-tagged sources; unseen sources take the default mixture
+      // weight). Forced via the final manifest aggregate's row count.
+      import graft.operators.Cleaning.CleaningOps
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+      val withH = src.withColumn("__h",
+        md5(graft.functions.normalizeText(col("text"))))
+      val corpus = withH.filter(col("doc_id") % 50 =!= 0)
+      val bench = withH.filter(col("doc_id") % 50 === 0).select("__h").distinct()
+      val deduped = corpus.dedupKeepFirst(Seq("__h"), Seq(col("doc_id")))
+      val clean = deduped.join(broadcast(bench), Seq("__h"), "left_anti")
+      val q = graft.operators.TextAnalysis.quality(clean, "text")
+        .select(col("doc_id"), col("text"), col("source"), col("quality_score"))
+      val thr = q.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+      val gated = q.crossJoin(broadcast(thr))
+        .filter(col("quality_score") >= col("__thr"))
+        .select("doc_id", "text", "source")
+      val mixed = graft.operators.Curation.mixtureSample(gated, "source",
+        "doc_id", weights = Map.empty, defaultWeight = 0.375)
+      graft.operators.Curation.packSequences(
+          TextAnalysis.chunkTokens(mixed, "doc_id", "text", 32, 24,
+            carry = Seq("source")),
+          "source", Seq("doc_id", "chunk_id"), "n_chunk_tokens",
+          budget = 512L, shards = 8)
+        .groupBy("source", "shard", "seq_id")
+        .agg(count(lit(1)), sum(col("n_chunk_tokens")))
+        .count()
+    }
     time("snapshot_diff") {
       val base = docs.filter(col("doc_id") % 7 =!= 0)
       val cur = docs.filter(col("doc_id") % 5 =!= 0)
