@@ -377,6 +377,27 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` operator — the
+    * Catalyst-built-in twin of [[sessionize]]'s window-lag formulation
+    * (same single user-keyed Exchange; the session merge happens inside
+    * the aggregate instead of a lag + running-sum pass, and the same
+    * code runs unchanged under Structured Streaming with a watermark).
+    * Boundary semantics differ from [[sessionize]] BY DEFINITION: a gap
+    * of exactly the 30-minute duration starts a NEW session here
+    * (windows are [start, last+gap) half-open), where the lag form's
+    * strict `>` keeps it — the oracle encodes `>=` accordingly.
+    * `session_end` is the window end = last event + gap. */
+  private def sessionizeNative(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        tsString(col("w.start")).as("session_start"),
+        tsString(col("w.end")).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
   // ------------------------------------------------------------------
   // LLM-training-data operators (SURVEY §2 #24-35)
   // ------------------------------------------------------------------
@@ -1728,7 +1749,8 @@ object SparkEntry {
     "subword_coverage" -> (subwordCoverage _),
     "fact_scd2_lookup" -> (factScd2Lookup _),
     "hybrid_topk" -> (hybridTopK _),
-    "curation_pipeline" -> (curationPipeline _)
+    "curation_pipeline" -> (curationPipeline _),
+    "sessionize_native" -> (sessionizeNative _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -1954,6 +1976,26 @@ object SparkEntry {
         | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // session_window semantics: a gap of exactly the duration starts a
+    // NEW session ([start, last+gap) half-open) -> `>=` here where the
+    // lag-form oracle uses `>`; session_end = last event + gap
+    "sessionize_native" ->
+      """WITH x AS (
+        | SELECT user_id, ts,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        | FROM events),
+        |s AS (
+        | SELECT user_id, ts,
+        |  SUM(CASE WHEN gap IS NULL OR gap >= 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x),
+        |g AS (SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts) AS t0,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS t1
+        |      FROM s GROUP BY user_id, sid)
+        |SELECT user_id, strftime(t0, '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(t1, '%Y-%m-%d %H:%M:%S') AS session_end, n_events
+        |FROM g ORDER BY user_id, session_start""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS canonical_id, md5(text) AS content_hash, COUNT(*) AS group_size
         |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin,
