@@ -155,6 +155,52 @@ object SparkEntry {
       .orderBy("segment")
   }
 
+  /** CUBE aggregate over order status × priority with grouping flags —
+    * the OLAP subtotal surface (GROUPING SETS / ROLLUP / CUBE) dashboard
+    * queries imply. Spark plans ONE Expand (4 grouping-set replicas per
+    * row, map-side) feeding a single partially-aggregated Exchange on the
+    * grouping-set key — all subtotal levels cost one shuffle, not four
+    * jobs; at 100 TB the Expand multiplies rows before the partial
+    * aggregate collapses them, so the shuffle stays group-sized. Sums
+    * accumulate in DECIMAL(18,2) on both engines (the q1 parity rule). */
+  private def salesCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sumExact(col("o_totalprice"), 18, 2).as("sum_price"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("g_status"), col("g_priority"), col("n_orders"), col("sum_price"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  /** Month × status pivot: `groupBy(month).pivot(status, explicit
+    * values)`. Declaring the pivot domain matters at scale — without it
+    * Spark runs a distinct-values JOB first (a second scan of the
+    * corpus). With it the plan is two stacked aggregates: the corpus
+    * aggregates once on (month, status) with map-side partials, then
+    * `pivotfirst` rotates the month×status-sized result — so the only
+    * corpus-sized Exchange is the first, and the second carries at most
+    * months×statuses rows. No Join, no Expand, one scan. Counts fill 0
+    * for absent (month, status) cells exactly like the oracle's FILTER'd
+    * COUNT; revenue stays NULL there (SUM over no rows) on both
+    * engines. */
+  private def orderPivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy(col("month"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("n"), sumExact(col("o_totalprice"), 18, 2).as("rev"))
+      .na.fill(0L, Seq("O_n", "F_n", "P_n"))
+      .select(col("month"),
+        col("O_n").as("open_n"), col("O_rev").as("open_rev"),
+        col("F_n").as("done_n"), col("F_rev").as("done_rev"),
+        col("P_n").as("pend_n"), col("P_rev").as("pend_rev"))
+      .orderBy("month")
+
   // ------------------------------------------------------------------
   // Cleaning menu + DQ (SURVEY §2 #5-7)
   // ------------------------------------------------------------------
@@ -897,6 +943,16 @@ object SparkEntry {
         "quality_score")
       .orderBy("doc_id")
 
+  /** Hashed linear quality classifier ([[TextAnalysis.hashedLinearScore]])
+    * over 64 slots with the Knuth demo weights and the keep gate at
+    * score >= 0 — quantized-integer scoring, zero-shuffle per-row fold.
+    * The oracle recomputes each slot's weight arithmetically from the
+    * same closed form [[TextAnalysis.knuthWeights]] embeds. */
+  private def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedLinearScore(documents(s, d), "doc_id", "text",
+        TextAnalysis.knuthWeights(64))
+      .orderBy("doc_id")
+
   /** Token counting: whitespace / distinct / BPE-ish regex. */
   private def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d), "text")
@@ -1055,6 +1111,22 @@ object SparkEntry {
         defaultWeight = 0.375)
       .select("doc_id", "source")
       .orderBy("doc_id")
+
+  /** The weights [[weightedSample]] and its oracle both derive from —
+    * one source, two engines (the zvalueSql pattern). */
+  private val weightedSampleWeights =
+    Map("src0" -> 8L, "src1" -> 8L, "src2" -> 8L, "src3" -> 4L, "src4" -> 4L)
+
+  /** Exact-k weighted sampling ([[Curation.weightedSampleK]]): 150 docs
+    * by integer md5-draw priority, odds monotone in the per-source
+    * weight. The mixture twin (corpus_mix) keeps an expected fraction;
+    * this keeps an exact global budget — the form a fixed-token-budget
+    * training run actually needs. Plan: TakeOrdered over one scan. */
+  private def weightedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.weightedSampleK(
+        documents(s, d).select("doc_id", "source"), "doc_id", "source",
+        weights = weightedSampleWeights, defaultWeight = 1L, k = 150)
+      .select("doc_id", "source", "weight", "priority")
 
   /** Greedy fixed-budget sequence packing over the 32/24 token chunks:
     * one keyed window per source assigns each chunk its training-sequence
@@ -1642,6 +1714,9 @@ object SparkEntry {
     "topk_names" -> (topkNames _),
     "topk_per_group" -> (topkPerGroup _),
     "segment_distribution" -> (segmentDistribution _),
+    "sales_cube" -> (salesCube _),
+    "order_pivot" -> (orderPivot _),
+    "weighted_sample" -> (weightedSample _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
@@ -1677,6 +1752,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (simLshTopK _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
+    "quality_classifier" -> (qualityClassifier _),
     "text_tokens" -> (textTokens _),
     "text_subwords" -> (textSubwords _),
     "subword_vocab" -> (subwordVocab _),
@@ -1843,6 +1919,49 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
         | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
         |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+    "sales_cube" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        | COALESCE(o_orderpriority, '(all)') AS priority,
+        | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
+    "order_pivot" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |             o_orderstatus AS st,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders)
+        |SELECT month,
+        | COUNT(*) FILTER (WHERE st = 'O') AS open_n,
+        | CAST(SUM(p) FILTER (WHERE st = 'O') AS DOUBLE) AS open_rev,
+        | COUNT(*) FILTER (WHERE st = 'F') AS done_n,
+        | CAST(SUM(p) FILTER (WHERE st = 'F') AS DOUBLE) AS done_rev,
+        | COUNT(*) FILTER (WHERE st = 'P') AS pend_n,
+        | CAST(SUM(p) FILTER (WHERE st = 'P') AS DOUBLE) AS pend_rev
+        |FROM o GROUP BY month ORDER BY month""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, source,
+        | CAST(${graft.operators.Curation.weightCaseSql("source", weightedSampleWeights, 1L)} AS BIGINT) AS weight,
+        | CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        | FROM documents)
+        |SELECT doc_id, source, weight, CAST(u // weight AS BIGINT) AS priority
+        |FROM w ORDER BY priority, doc_id LIMIT 150""".stripMargin,
+    // slot weight recomputed arithmetically from TextAnalysis.knuthWeights'
+    // closed form: ((slot * 2654435761) % 21) - 10, slot = md5-prefix % 64
+    "quality_classifier" ->
+      """WITH toks AS (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        |sc AS (SELECT doc_id,
+        |   SUM(((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+        |        * 2654435761) % 21 - 10) AS s
+        | FROM t GROUP BY doc_id)
+        |SELECT k.doc_id, CAST(len(k.w) AS BIGINT) AS n_tokens,
+        | CAST(COALESCE(sc.s, 0) AS BIGINT) AS score,
+        | COALESCE(sc.s, 0) >= 0 AS keep
+        |FROM toks k LEFT JOIN sc USING (doc_id) ORDER BY k.doc_id""".stripMargin,
     "clean_pipeline" ->
       // COALESCE mirrors fillNaValues(amount -> 0.0); QUALIFY mirrors
       // dedupKeepFirst(event_id) — both previously absent, so equivalence

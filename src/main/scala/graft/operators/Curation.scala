@@ -35,6 +35,53 @@ object Curation {
     docs.filter(draw < (weight * lit(4294967296L)).cast(LongType))
   }
 
+  /** Exact-k weighted sampling without replacement: each row draws a
+    * deterministic uniform u ∈ [0, 2^32) from the md5 of its id and
+    * competes with integer priority `u div w`, where w is its source's
+    * positive integer weight — the k SMALLEST priorities are the sample,
+    * so a weight-8 row's draw is scaled into a range 8× tighter than a
+    * weight-1 row's and wins accordingly more often. Where
+    * [[mixtureSample]] keeps an EXPECTED fraction per source, this keeps
+    * an EXACT global k with per-row odds monotonically increasing in
+    * weight (the textbook A-ES scheme's u^(1/w) key would make the odds
+    * exactly proportional, but pow/log rounding is not engine-portable;
+    * the integer-division priority trades exact proportionality for
+    * bit-exact portability and is spec-pinned monotone + deterministic).
+    * Plan shape: a TakeOrdered over a scan — zero shuffle, no rand(),
+    * idempotent across re-runs and incremental loads (the same id always
+    * draws the same priority). */
+  def weightedSampleK(docs: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Long], defaultWeight: Long, k: Int): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 1L),
+      "weights must be positive integers")
+    require(k >= 1, s"need k >= 1, got $k")
+    val u = conv(substring(md5(col(idCol).cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType)
+    // sorted fold keeps the when-chain (and the generated oracle CASE)
+    // in one deterministic order
+    val weight = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    docs
+      .withColumn("weight", weight.cast(LongType))
+      .withColumn("__u", u)
+      .withColumn("priority", expr("__u div weight"))
+      .drop("__u")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
+  /** The DuckDB-side weight expression for [[weightedSampleK]] oracles,
+    * generated from the SAME weights map so the two engines cannot
+    * drift (the zvalueSql one-source-two-engines pattern). */
+  def weightCaseSql(sourceCol: String, weights: Map[String, Long],
+      defaultWeight: Long): String = {
+    val arms = weights.toSeq.sortBy(_._1).reverse
+      .map { case (s, w) => s"WHEN $sourceCol = '$s' THEN $w" }
+      .mkString(" ")
+    s"CASE $arms ELSE $defaultWeight END"
+  }
+
   /** Greedy sequence packing: chunks are ordered deterministically within
     * each group and assigned to fixed-token-budget training sequences by
     * running token count — seq_id = tokens_before / budget. This is the

@@ -877,4 +877,50 @@ object TextAnalysis {
           (col("m_big").cast(DoubleType) * col("c1") * col("c2"))).as("lift"))
     scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
   }
+
+  /** Deterministic demo weight vector for [[hashedLinearScore]]: a Knuth
+    * multiplicative hash of the slot index into [-10, 10]. The registered
+    * query uses it so no external model artifact is needed; real
+    * deployments pass their trained, quantized weights instead. */
+  def knuthWeights(buckets: Int): Seq[Long] =
+    (0 until buckets).map(i => (i * 2654435761L) % 21L - 10L)
+
+  /** Quality gating with a hashed linear classifier — the fasttext-style
+    * filter of production LLM data pipelines (CCNet/GPT-3-style quality
+    * classifiers), with the model QUANTIZED to integer weights so scoring
+    * is engine-portable bit for bit. Each lowercased whitespace token
+    * hashes into one of `weights.size` feature slots (first 8 md5 hex
+    * chars — the repo's standard portable draw) and contributes its
+    * slot's integer weight; the document score is the plain BIGINT sum
+    * (order-independent, so the per-row fold equals any grouped rollup),
+    * and the decision is the integer cross-multiplied per-token-average
+    * gate `score * thresholdDen >= thresholdNum * n_tokens` — no float
+    * division anywhere.
+    *
+    * SCALE: scoring is a ZERO-SHUFFLE per-row projection — the fold runs
+    * inside the scan stage against the plan-embedded weight array (the
+    * PQ-codebook precedent); nothing corpus-sized ever exchanges. The
+    * per-token md5 fold is an interpreted HOF — fine at per-row token
+    * counts (the CLAUDE.md HOF rule); a codegen kernel is the upgrade
+    * path if a corpus is pathological. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], thresholdNum: Long = 0L,
+      thresholdDen: Long = 1L): DataFrame = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    require(thresholdDen >= 1L, s"need thresholdDen >= 1, got $thresholdDen")
+    val b = weights.size
+    val wArr = array(weights.map(lit): _*)
+    val slot = (t: Column) =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % b)
+        .cast(IntegerType)
+    docs
+      .select(col(idCol),
+        array_remove(wsTokens(lower(col(textCol))), "").as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        aggregate(col("__toks"), lit(0L),
+          (acc, t) => acc + element_at(wArr, slot(t) + 1)).as("score"))
+      .withColumn("keep",
+        col("score") * thresholdDen >= lit(thresholdNum) * col("n_tokens"))
+  }
 }

@@ -303,4 +303,59 @@ class CurationSpec extends AnyFunSuite {
       "doc_id", "text").orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  // ------------------------------------------------------------------
+  // weightedSampleK
+  // ------------------------------------------------------------------
+
+  /** Straight-line reference of the priority draw: first 8 md5 hex chars
+    * of the id string, integer-divided by the weight. */
+  private def refPriority(id: Long, w: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(8), 16) / w
+  }
+
+  test("weighted sample equals the straight-line top-k by priority") {
+    val pool = mixPool // 2000 rows, web/books alternating
+    val weights = Map("web" -> 4L)
+    val got = Curation.weightedSampleK(pool, "doc_id", "source",
+      weights, defaultWeight = 1L, k = 100)
+      .select("doc_id", "priority").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val expect = (0L until 2000L)
+      .map(id => id -> refPriority(id, if (id % 2 == 0) 4L else 1L))
+      .sortBy { case (id, p) => (p, id) }.take(100)
+    assert(got == expect)
+  }
+
+  test("weighted sample is exact-k, monotone in weight, repartition-invariant") {
+    val out = Curation.weightedSampleK(mixPool, "doc_id", "source",
+      Map("web" -> 8L), defaultWeight = 1L, k = 400)
+    assert(out.count() == 400L)
+    val bySource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal-size sources: the weight-8 source must dominate the sample
+    assert(bySource("web") > bySource("books"),
+      s"weight-8 source under-sampled: $bySource")
+    val shuffled = Curation.weightedSampleK(mixPool.repartition(7), "doc_id",
+      "source", Map("web" -> 8L), defaultWeight = 1L, k = 400)
+    assert(out.collect().map(_.toSeq).toSeq == shuffled.collect().map(_.toSeq).toSeq)
+  }
+
+  test("weighted sample with k >= pool returns the whole pool; rejects bad args") {
+    val tiny = mixPool.limit(10)
+    val out = Curation.weightedSampleK(tiny, "doc_id", "source",
+      Map.empty, defaultWeight = 1L, k = 100)
+    assert(out.count() == 10L)
+    intercept[IllegalArgumentException] {
+      Curation.weightedSampleK(tiny, "doc_id", "source",
+        Map("web" -> 0L), defaultWeight = 1L, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.weightedSampleK(tiny, "doc_id", "source",
+        Map.empty, defaultWeight = 1L, k = 0)
+    }
+  }
 }

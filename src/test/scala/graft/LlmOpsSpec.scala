@@ -906,6 +906,66 @@ class LlmOpsSpec extends AnyFunSuite {
     rows.foreach { case (_, _, kept, padded, waste, _) =>
       assert(padded == kept + waste) }
   }
+
+  // ---- hashed linear classifier ----
+
+  /** Straight-line scorer: md5-prefix slot, weight lookup, plain sum. */
+  private def refScore(text: String, weights: Seq[Long]): (Long, Long) = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = toks.map { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      weights((java.lang.Long.parseLong(hex.take(8), 16) % weights.size).toInt)
+    }.sum
+    (toks.length.toLong, s)
+  }
+
+  test("hashed linear score equals the straight-line reference") {
+    val w = TextAnalysis.knuthWeights(64)
+    val docs = Seq(
+      (1L, "The quick brown fox JUMPS over the lazy dog"),
+      (2L, "spark catalyst tungsten codegen shuffle exchange"),
+      (3L, "a a a repeated token stream a a a"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", w)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Seq(1L, 2L, 3L, 4L).map { id =>
+      val text = docs.filter($"doc_id" === id).head().getString(1)
+      val (n, s) = refScore(text, w)
+      (id, n, s)
+    }
+    assert(got == expect)
+  }
+
+  test("classifier keep gate is the integer cross-multiplied per-token average") {
+    // one slot, weight 3: every token scores 3, so avg-per-token is 3
+    val docs = Seq((1L, "x y z"), (2L, "x")).toDF("doc_id", "text")
+    val keepAll = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+      Seq(3L), thresholdNum = 3L, thresholdDen = 1L)
+    assert(keepAll.filter($"keep").count() == 2L) // 9 >= 3*3, 3 >= 3*1
+    val keepNone = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+      Seq(3L), thresholdNum = 7L, thresholdDen = 2L)
+    // score*2 >= 7*n: doc1 18 < 21, doc2 6 < 7
+    assert(keepNone.filter($"keep").count() == 0L)
+    // empty text: n=0, score=0, 0 >= 0 keeps
+    val empty = TextAnalysis.hashedLinearScore(
+      Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text", Seq(-5L))
+    val r = empty.head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3))
+  }
+
+  test("classifier rejects empty weights and nonpositive denominators") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearScore(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearScore(docs, "doc_id", "text", Seq(1L),
+        thresholdDen = 0L)
+    }
+  }
 }
 
 object LlmOpsSpec {

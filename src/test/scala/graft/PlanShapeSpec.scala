@@ -451,4 +451,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p)
   }
+
+  test("sales_cube: one Expand feeding one partial-aggregated Exchange") {
+    val p = plan("sales_cube")
+    // all four grouping sets ride a single Expand + hash aggregate pass —
+    // subtotals never become extra jobs or joins
+    assert("(?m)^\\s*[+:*-]*\\s*Expand".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("order_pivot: explicit pivot domain means no discovery job, one corpus shuffle") {
+    val p = plan("order_pivot")
+    // agg on (month, status) with map-side partials, then pivotfirst over
+    // the month×status-sized result — no distinct-values pass, no Join;
+    // the only corpus-sized Exchange is the first of exactly two
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_pivotfirst"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("quality_classifier scores as a zero-shuffle per-row fold") {
+    val p = plan("quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("weighted_sample: priority top-k is a TakeOrdered over the scan — zero shuffle") {
+    val p = plan("weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
