@@ -201,6 +201,19 @@ object SparkEntry {
         col("P_n").as("pend_n"), col("P_rev").as("pend_rev"))
       .orderBy("month")
 
+  /** Pareto frontier over parts ([[graft.operators.Frontier.skyline2D]]):
+    * the largest-size-for-lowest-price skyline. The oracle is the
+    * textbook quadratic NOT EXISTS; the operator is the value-bounded
+    * grouped formulation (per-size minima + one running-min pass +
+    * broadcast verdict) — the shapes must agree exactly, duplicates
+    * included. */
+  private def paretoFront(s: SparkSession, d: String): DataFrame =
+    graft.operators.Frontier.skyline2D(
+        part(s, d).select("p_partkey", "p_size", "p_retailprice"),
+        maxCol = "p_size", minCol = "p_retailprice")
+      .select("p_partkey", "p_size", "p_retailprice")
+      .orderBy(col("p_size").desc, col("p_retailprice"), col("p_partkey"))
+
   // ------------------------------------------------------------------
   // Cleaning menu + DQ (SURVEY §2 #5-7)
   // ------------------------------------------------------------------
@@ -1717,6 +1730,7 @@ object SparkEntry {
     "sales_cube" -> (salesCube _),
     "order_pivot" -> (orderPivot _),
     "weighted_sample" -> (weightedSample _),
+    "pareto_front" -> (paretoFront _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
@@ -1947,6 +1961,13 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, source, weight, CAST(u // weight AS BIGINT) AS priority
         |FROM w ORDER BY priority, doc_id LIMIT 150""".stripMargin,
+    "pareto_front" ->
+      """SELECT p_partkey, p_size, p_retailprice FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
+        |ORDER BY p_size DESC, p_retailprice, p_partkey""".stripMargin,
     // slot weight recomputed arithmetically from TextAnalysis.knuthWeights'
     // closed form: ((slot * 2654435761) % 21) - 10, slot = md5-prefix % 64
     "quality_classifier" ->

@@ -480,6 +480,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("pareto_front: value-bounded aggregate + broadcast verdict, never a quadratic join") {
+    val p = plan("pareto_front")
+    // the only hash Exchange carries per-p_size minima (value-bounded);
+    // the verdict returns via broadcast — no shuffled or nested-loop join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("weighted_sample: priority top-k is a TakeOrdered over the scan — zero shuffle") {
     val p = plan("weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -644,4 +644,40 @@ class PropertiesSpec extends AnyFunSuite {
         .withColumn("ts", to_date(lit("2021-01-01"))),
       "k", Seq("seg"), "ts").count() == 1)
   }
+
+  test("skyline equals the naive quadratic dominance filter (duplicates survive)") {
+    val ptsGen: Gen[List[(Int, Int)]] =
+      Gen.listOfN(80, for {
+        a <- Gen.choose(0, 12)   // small domains force ties AND duplicates
+        b <- Gen.choose(0, 12)
+      } yield (a, b))
+    forAll(ptsGen, n = 8) { pts =>
+      whenever(pts.nonEmpty) {
+        val df = pts.zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b) }
+          .toDF("id", "big", "small")
+        val got = graft.operators.Frontier.skyline2D(df, "big", "small")
+          .select("id").collect().map(_.getLong(0)).toSet
+        val expect = pts.zipWithIndex.collect {
+          case ((a, b), i) if !pts.exists { case (a2, b2) =>
+            a2 >= a && b2 <= b && (a2 > a || b2 < b) } => i.toLong
+        }.toSet
+        assert(got == expect, s"pts=$pts")
+      }
+    }
+  }
+
+  test("skyline drops null-dimension rows and is repartition-invariant") {
+    val df = Seq(
+      (1L, Some(5), Some(10)), (2L, Some(5), Some(10)), // duplicate frontier pt
+      (3L, None, Some(1)), (4L, Some(9), None),         // null dims excluded
+      (5L, Some(9), Some(20)), (6L, Some(2), Some(10))  // 6 dominated by 1
+    ).toDF("id", "big", "small")
+    val out = graft.operators.Frontier.skyline2D(df, "big", "small")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 5L))
+    val shuffled = graft.operators.Frontier.skyline2D(df.repartition(5), "big", "small")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(shuffled == out)
+  }
 }
