@@ -214,6 +214,28 @@ object SparkEntry {
       .select("p_partkey", "p_size", "p_retailprice")
       .orderBy(col("p_size").desc, col("p_retailprice"), col("p_partkey"))
 
+  /** Damped PageRank over the part↔supplier co-occurrence graph
+    * ([[graft.operators.Graph.pageRankInt]], 5 rounds, fixed-point
+    * integer arithmetic): the authority-scoring pass a web-crawl
+    * curation pipeline runs over its domain link graph, exercised here
+    * on the testdata's natural bipartite graph (distinct lineitem
+    * part–supplier pairs, both directions; supplier ids offset by 1e6
+    * into a disjoint node space). The oracle's 5 chained CTEs are
+    * GENERATED from the same parameters. */
+  private def pagerankQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .select(col("l_partkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 5)
+      .orderBy(col("pr").desc, col("node")).limit(100)
+  }
+
+  private val pagerankEdgesCte =
+    """SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+      | UNION SELECT DISTINCT l_suppkey + 1000000, l_partkey FROM lineitem""".stripMargin
+
   // ------------------------------------------------------------------
   // Cleaning menu + DQ (SURVEY §2 #5-7)
   // ------------------------------------------------------------------
@@ -1731,6 +1753,7 @@ object SparkEntry {
     "order_pivot" -> (orderPivot _),
     "weighted_sample" -> (weightedSample _),
     "pareto_front" -> (paretoFront _),
+    "pagerank" -> (pagerankQ _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
@@ -1864,7 +1887,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     oracleSqlLit +
       ("lm_score_cached" -> oracleSqlLit("lm_score")) +
-      ("dedup_keep_best_cached" -> oracleSqlLit("dedup_keep_best"))
+      ("dedup_keep_best_cached" -> oracleSqlLit("dedup_keep_best")) +
+      ("pagerank" -> graft.operators.Graph.pageRankIntSql(
+        pagerankEdgesCte, iters = 5, k = 100))
 
   /** UNTIMED per-query preparation Bench runs before starting the clock —
     * for queries whose real-world cost excludes an input another pipeline

@@ -645,6 +645,52 @@ class PropertiesSpec extends AnyFunSuite {
       "k", Seq("seg"), "ts").count() == 1)
   }
 
+  test("integer pagerank equals a straight-line driver loop on random graphs") {
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(40, for {
+        a <- Gen.choose(0L, 9L)
+        b <- Gen.choose(0L, 9L)
+      } yield (a, b)).map(_.filter { case (a, b) => a != b }.distinct)
+    forAll(graphGen, n = 6) { edges =>
+      whenever(edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val got = graft.operators.Graph
+          .pageRankInt(df, "src", "dst", iters = 4, scale = 1000L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference: same fixed-point recurrence, plain Scala
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val base = 1000L * 15L / 100L
+        var pr = nodes.map(_ -> 1000L).toMap
+        for (_ <- 1 to 4) {
+          val shares = pr.collect {
+            case (u, r) if deg.contains(u) => u -> r / deg(u)
+          }
+          pr = nodes.map { v =>
+            val s = edges.collect { case (u, `v`) => shares(u) }.sum
+            v -> (base + 85L * s / 100L)
+          }.toMap
+        }
+        assert(got == pr, s"edges=$edges")
+        // total mass never exceeds the initial N*scale (floor only loses)
+        assert(got.values.sum <= nodes.size * 1000L)
+      }
+    }
+  }
+
+  test("pagerank: no-in-edge nodes sit at base; result is repartition-invariant") {
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val out = graft.operators.Graph.pageRankInt(df, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 has no in-edges: exactly base = scale*15/100 every round
+    assert(out(1L) == 150000L)
+    assert(out(2L) > out(1L) && out(3L) > out(1L))
+    val shuffled = graft.operators.Graph
+      .pageRankInt(df.repartition(5), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == out)
+  }
+
   test("skyline equals the naive quadratic dominance filter (duplicates survive)") {
     val ptsGen: Gen[List[(Int, Int)]] =
       Gen.listOfN(80, for {
