@@ -214,6 +214,74 @@ object SparkEntry {
       .select("p_partkey", "p_size", "p_retailprice")
       .orderBy(col("p_size").desc, col("p_retailprice"), col("p_partkey"))
 
+  /** Rolling 7-day active users: for each observed day, the EXACT count
+    * of distinct users active in [day-6, day]. Sliding distinct cannot
+    * be aggregated from per-day counts (users overlap windows), so the
+    * scale-honest exact form dedups (user, day), fans each pair out to
+    * the ≤7 window days it serves (explode of a generated sequence —
+    * map-side, ×window growth, no self-join), restricts to OBSERVED days
+    * via a broadcast semi join with the tiny day table, dedups
+    * (user, window-day) and counts. The fan-out constant is the window
+    * length, so the exact path stays viable far past where a day×day
+    * self-join would explode; the HLL sketch twin
+    * (distinct_users_approx machinery) is the drop-in past that. */
+  private def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = ud.select(col("day")).distinct()
+    val fanned = ud
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
+        col("user_id"))
+      .join(broadcast(days.withColumnRenamed("day", "wday")), Seq("wday"), "leftsemi")
+      .distinct()
+    fanned.groupBy("wday")
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("n_users"))
+      .orderBy("day")
+  }
+
+  /** First-order event-type transition matrix (Markov counts): per user,
+    * consecutive event pairs via ONE lag over the user-keyed window,
+    * rolled up to (prev, next) counts with the row-conditional
+    * probability as a single integer-input IEEE division (the
+    * segment_distribution share rule). One user-keyed Exchange for the
+    * lag, one type-pair-bounded aggregate — nothing event-sized
+    * shuffles twice. */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy("prev_type")).cast(DoubleType))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Cheapest supplier per part — the TPC-H Q2 argmin-per-group pattern
+    * re-expressed over lineitem spend. The input hash-partitions by part
+    * ONCE: the (part, supplier) decimal-exact rollup and the per-part
+    * argmin both reuse that Exchange (the bm25 doc-length trick — a
+    * subset hash partitioning satisfies both clusterings), and the
+    * argmin itself is a map-side-combinable min(struct) with a unique
+    * supplier tie-break — never a corpus-wide window sort. */
+  private def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .repartition(col("l_partkey"))
+    val spend = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sumExact(col("l_extendedprice"), 18, 2).as("spend"))
+    spend.groupBy("l_partkey")
+      .agg(min(struct(col("spend"), col("l_suppkey"))).as("__best"))
+      .select(col("l_partkey"),
+        col("__best.l_suppkey").as("best_suppkey"),
+        col("__best.spend").as("spend"))
+      .orderBy("l_partkey")
+  }
+
   /** Damped PageRank over the part↔supplier co-occurrence graph
     * ([[graft.operators.Graph.pageRankInt]], 5 rounds, fixed-point
     * integer arithmetic): the authority-scoring pass a web-crawl
@@ -1754,6 +1822,9 @@ object SparkEntry {
     "weighted_sample" -> (weightedSample _),
     "pareto_front" -> (paretoFront _),
     "pagerank" -> (pagerankQ _),
+    "rolling_active_users" -> (rollingActiveUsers _),
+    "event_transitions" -> (eventTransitions _),
+    "min_cost_supplier" -> (minCostSupplier _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
@@ -1986,6 +2057,30 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, source, weight, CAST(u // weight AS BIGINT) AS priority
         |FROM w ORDER BY priority, doc_id LIMIT 150""".stripMargin,
+    "rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |w AS (SELECT DISTINCT d.day AS wday, u.user_id
+        |      FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 6)
+        |SELECT strftime(wday, '%Y-%m-%d') AS day, COUNT(*) AS n_users
+        |FROM w GROUP BY wday ORDER BY day""".stripMargin,
+    "event_transitions" ->
+      """WITH x AS (SELECT event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        | FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |      FROM x WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT l_partkey, l_suppkey AS best_suppkey, spend
+        |FROM ps
+        |QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY spend, l_suppkey) = 1
+        |ORDER BY l_partkey""".stripMargin,
     "pareto_front" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part a
         |WHERE NOT EXISTS (

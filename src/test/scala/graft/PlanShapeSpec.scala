@@ -490,6 +490,32 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("min_cost_supplier: both aggregates reuse ONE part-subset Exchange, no join") {
+    val p = plan("min_cost_supplier")
+    // repartition(part) satisfies both the (part, supp) rollup and the
+    // per-part argmin clustering; the min(struct) SortAggregate runs on
+    // the pair-REDUCED frame, never the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("event_transitions: one event-sized shuffle; pair/share stages are type-bounded") {
+    val p = plan("event_transitions")
+    assert(!p.contains("Join"), p)
+    assert("(?m)^\\s*[+:|* -]*Window".r.findAllIn(p).size == 2, p) // lag + share
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+    assert(p.contains("partial_count"), p) // pair rollup combines map-side
+  }
+
+  test("rolling_active_users: fan-out is map-side; day filter is a broadcast semi join") {
+    val p = plan("rolling_active_users")
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // (day,user) dedup, tiny day table, (wday,user) dedup, wday rollup —
+    // each partial-aggregated before exchanging; no explode-driven join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 4, p)
+  }
+
   test("weighted_sample: priority top-k is a TakeOrdered over the scan — zero shuffle") {
     val p = plan("weighted_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
