@@ -225,20 +225,12 @@ object SparkEntry {
     * length, so the exact path stays viable far past where a day×day
     * self-join would explode; the HLL sketch twin
     * (distinct_users_approx machinery) is the drop-in past that. */
-  private def rollingActiveUsers(s: SparkSession, d: String): DataFrame = {
-    val ud = events(s, d)
-      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
-    val days = ud.select(col("day")).distinct()
-    val fanned = ud
-      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wday"),
-        col("user_id"))
-      .join(broadcast(days.withColumnRenamed("day", "wday")), Seq("wday"), "leftsemi")
-      .distinct()
-    fanned.groupBy("wday")
-      .agg(count(lit(1)).as("n_users"))
-      .select(date_format(col("wday"), "yyyy-MM-dd").as("day"), col("n_users"))
+  private def rollingActiveUsers(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingDistinct(events(s, d),
+        to_date(col("ts")), col("user_id"), windowDays = 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_distinct").as("n_users"))
       .orderBy("day")
-  }
 
   /** First-order event-type transition matrix (Markov counts): per user,
     * consecutive event pairs via ONE lag over the user-keyed window,
@@ -1056,6 +1048,14 @@ object SparkEntry {
         TextAnalysis.knuthWeights(64))
       .orderBy("doc_id")
 
+  /** LZ78 compressibility signal ([[TextAnalysis.lzComplexityStats]]):
+    * rows-only by design — the sequential parse has no SQL form; the
+    * kernel is property-pinned against a straight-line reference and
+    * hand fixtures in the suite. */
+  private def textLzComplexity(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lzComplexityStats(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Token counting: whitespace / distinct / BPE-ish regex. */
   private def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d), "text")
@@ -1861,6 +1861,7 @@ object SparkEntry {
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "quality_classifier" -> (qualityClassifier _),
+    "text_lz_complexity" -> (textLzComplexity _),
     "text_tokens" -> (textTokens _),
     "text_subwords" -> (textSubwords _),
     "subword_vocab" -> (subwordVocab _),

@@ -442,6 +442,50 @@ object Stress {
       graft.sources.Staging.snapshotDiff(base, cur, "doc_id", Seq("text"))
         .filter(col("status") =!= "unchanged").count()
     }
+    time("quality_classifier") {
+      // zero-shuffle per-row fold; checksum forces every score
+      val out = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+        TextAnalysis.knuthWeights(64))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("rolling_active_users") {
+      val out = graft.operators.Temporal.rollingDistinct(ev,
+        to_date(col("ts")), col("user_id"), windowDays = 7)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("event_transitions") {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val out = ev
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("pagerank") {
+      // user ↔ active-hour co-occurrence graph (both directions): users
+      // scale with the replica factor, so nodes AND edges grow with it
+      val pairs = ev.select(col("user_id").as("a"),
+          (lit(1000000000L) +
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 5)
+        .agg(bit_xor(xxhash64(col("node"), col("pr"))), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("pareto_front") {
+      // 50-value discrete max-dim over the event stream (the documented
+      // low-cardinality contract), minimizing the event timestamp
+      val pts = ev.select(col("event_id"),
+        pmod(xxhash64(col("user_id")), lit(50L)).as("sz"),
+        unix_micros(col("ts")).as("age"))
+      graft.operators.Frontier.skyline2D(pts, "sz", "age").count()
+    }
     spark.stop()
   }
 }

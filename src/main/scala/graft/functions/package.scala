@@ -146,6 +146,14 @@ package object functions {
     column(RepetitionStats(expression(tokens)))
   }
 
+  /** LZ78 phrase-count complexity of a string — the native
+    * [[LzComplexity]] kernel. Returns a struct {n_bytes, n_phrases,
+    * lz_ratio}. */
+  def lzComplexity(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(LzComplexity(expression(text)))
+  }
+
   /** Greedy longest-match subword segmentation of a word array against a
     * fixed vocabulary — the native [[SubwordTokens]] kernel. Returns a
     * struct {pieces: array<string>, n_unk: long}. */

@@ -162,4 +162,29 @@ object Temporal {
         count(lit(1)).over(w).as("n_trailing") :+
         sum(col("__v")).over(w).cast("double").as("total_trailing"): _*)
   }
+
+  /** EXACT rolling `windowDays`-day distinct keys per observed day (WAU/
+    * rolling-MAU): sliding distinct cannot compose from per-day counts
+    * (keys overlap windows), so each deduped (key, day) pair fans out —
+    * map-side, via an exploded generated sequence, never a day×day
+    * self-join — to the ≤ `windowDays` trailing window days it serves,
+    * keeps to OBSERVED days via a broadcast semi join with the tiny day
+    * table, dedups (key, window-day) and counts. The fan-out constant is
+    * the window length, so the exact path stays viable far past a
+    * self-join; the HLL sketch twin (approx_count_distinct over the same
+    * pairs) is the drop-in beyond that. Returns (day: date, n_distinct:
+    * bigint). */
+  def rollingDistinct(events: DataFrame, dayCol: Column, keyCol: Column,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val ud = events.select(dayCol.as("day"), keyCol.as("key")).distinct()
+    val days = ud.select(col("day")).distinct()
+    ud
+      .select(explode(
+          sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"),
+        col("key"))
+      .join(broadcast(days), Seq("day"), "leftsemi")
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("n_distinct"))
+  }
 }

@@ -878,6 +878,24 @@ object TextAnalysis {
     scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
   }
 
+  /** Compressibility quality signal: LZ78 complexity per document via
+    * the codegen'd [[graft.functions.LzComplexity]] kernel — boilerplate
+    * and template spam parse into far fewer phrases per byte than
+    * natural prose (the Gopher "compression ratio" heuristic, with a
+    * SPECIFIED parse instead of a zlib-build-dependent one). Zero
+    * shuffle: one kernel call per row inside the scan stage; the three
+    * struct-field reads share the kernel subtree via codegen
+    * subexpression elimination. */
+  def lzComplexityStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val st = graft.functions.lzComplexity(col(textCol))
+    docs.select(
+      col(idCol),
+      st.getField("n_bytes").as("n_bytes"),
+      st.getField("n_phrases").as("n_phrases"),
+      st.getField("lz_ratio").as("lz_ratio"))
+  }
+
   /** Deterministic demo weight vector for [[hashedLinearScore]]: a Knuth
     * multiplicative hash of the slot index into [-10, 10]. The registered
     * query uses it so no external model artifact is needed; real

@@ -474,6 +474,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
+  test("text_lz_complexity is a zero-shuffle kernel projection") {
+    val p = plan("text_lz_complexity")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("lz_complexity"), p)
+  }
+
   test("quality_classifier scores as a zero-shuffle per-row fold") {
     val p = plan("quality_classifier")
     assert(!p.contains("Exchange hashpartitioning"), p)

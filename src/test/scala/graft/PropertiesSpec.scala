@@ -645,6 +645,49 @@ class PropertiesSpec extends AnyFunSuite {
       "k", Seq("seg"), "ts").count() == 1)
   }
 
+  test("LZ78 kernel equals a straight-line byte-level parse on random strings") {
+    // independent reference: dictionary keyed by the phrase STRING
+    def ref(text: String): (Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val dict = scala.collection.mutable.Set[Seq[Byte]]()
+      var phrases = 0L
+      var cur = Vector.empty[Byte]
+      bytes.foreach { b =>
+        cur = cur :+ b
+        if (!dict.contains(cur)) { phrases += 1; dict += cur; cur = Vector.empty }
+      }
+      if (cur.nonEmpty) phrases += 1
+      (bytes.length.toLong, phrases)
+    }
+    val textGen: Gen[String] = for {
+      alpha <- Gen.choose(2, 6) // small alphabets force deep dictionaries
+      cs <- Gen.listOfN(200, Gen.choose('a', ('a' + alpha - 1).toChar))
+    } yield cs.mkString
+    forAll(textGen, n = 10) { text =>
+      val got = graft.operators.TextAnalysis.lzComplexityStats(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        .head()
+      assert((got.getLong(1), got.getLong(2)) == ref(text), s"text=$text")
+    }
+    // fixtures: pure repetition parses to ~sqrt(n) phrases; all-distinct
+    // bytes parse to n phrases (ratio 1.0); empty is null-ratio
+    val fx = graft.operators.TextAnalysis.lzComplexityStats(
+        Seq((1L, "aaaaaaaaaa"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(fx(0).getLong(2) == 4L)                 // a|aa|aaa|aaaa
+    assert(fx(1).getLong(2) == 4L && fx(1).getDouble(3) == 1.0)
+    assert(fx(2).getLong(1) == 0L && fx(2).getLong(2) == 0L && fx(2).isNullAt(3))
+    // the quality-signal direction: template spam below natural prose
+    val spam = ("lorem ipsum " * 40).trim
+    val prose = "the five boxing wizards jump quickly over a lazy dog while " +
+      "seventeen quiet zebras graze beyond the old stone bridge at dawn"
+    val sig = graft.operators.TextAnalysis.lzComplexityStats(
+        Seq((1L, spam), (2L, prose)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(sig(0).getDouble(3) < sig(1).getDouble(3))
+  }
+
   test("integer pagerank equals a straight-line driver loop on random graphs") {
     val graphGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(40, for {
