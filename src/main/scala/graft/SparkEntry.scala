@@ -296,6 +296,23 @@ object SparkEntry {
     """SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
       | UNION SELECT DISTINCT l_suppkey + 1000000, l_partkey FROM lineitem""".stripMargin
 
+  /** Bounded multi-source BFS over the same co-occurrence graph
+    * ([[graft.operators.Graph.hopDistance]]): minimum hops from the
+    * 10-part seed set within 4 hops — crawl-scoping / blast-radius
+    * reachability. Oracle: recursive CTE deduping (node, hops) states. */
+  private def hopDistanceQ(s: SparkSession, d: String): DataFrame = {
+    val pairs = lineitem(s, d)
+      .select(col("l_partkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = lineitem(s, d).filter(col("l_partkey") < 10)
+      .select(col("l_partkey").as("node")).distinct()
+    graft.operators.Graph.hopDistance(edges, "src", "dst", seeds, "node",
+        maxHops = 4)
+      .orderBy("hops", "node")
+  }
+
   // ------------------------------------------------------------------
   // Cleaning menu + DQ (SURVEY §2 #5-7)
   // ------------------------------------------------------------------
@@ -1822,6 +1839,7 @@ object SparkEntry {
     "weighted_sample" -> (weightedSample _),
     "pareto_front" -> (paretoFront _),
     "pagerank" -> (pagerankQ _),
+    "hop_distance" -> (hopDistanceQ _),
     "rolling_active_users" -> (rollingActiveUsers _),
     "event_transitions" -> (eventTransitions _),
     "min_cost_supplier" -> (minCostSupplier _),
@@ -1961,7 +1979,11 @@ object SparkEntry {
       ("lm_score_cached" -> oracleSqlLit("lm_score")) +
       ("dedup_keep_best_cached" -> oracleSqlLit("dedup_keep_best")) +
       ("pagerank" -> graft.operators.Graph.pageRankIntSql(
-        pagerankEdgesCte, iters = 5, k = 100))
+        pagerankEdgesCte, iters = 5, k = 100)) +
+      ("hop_distance" -> graft.operators.Graph.hopDistanceSql(
+        pagerankEdgesCte,
+        "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 10",
+        maxHops = 4))
 
   /** UNTIMED per-query preparation Bench runs before starting the clock —
     * for queries whose real-world cost excludes an input another pipeline

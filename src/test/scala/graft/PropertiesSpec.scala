@@ -643,6 +643,21 @@ class PropertiesSpec extends AnyFunSuite {
       Seq((9L, "N")).toDF("k", "seg")
         .withColumn("ts", to_date(lit("2021-01-01"))),
       "k", Seq("seg"), "ts").count() == 1)
+    // session-3 additions
+    assert(graft.operators.Frontier.skyline2D(
+      Seq.empty[(Long, Int, Double)].toDF("id", "big", "small"),
+      "big", "small").count() == 0)
+    assert(graft.operators.Graph.pageRankInt(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst",
+      iters = 3).count() == 0)
+    assert(graft.operators.Temporal.rollingDistinct(
+      Seq.empty[(java.sql.Date, Long)].toDF("d", "u"),
+      col("d"), col("u"), windowDays = 7).count() == 0)
+    assert(Curation.weightedSampleK(noDocs, "doc_id", "source",
+      Map("a" -> 2L), defaultWeight = 1L, k = 5).count() == 0)
+    assert(TextAnalysis.hashedLinearScore(noDocs, "doc_id", "text",
+      Seq(1L, -1L)).count() == 0)
+    assert(TextAnalysis.lzComplexityStats(noDocs, "doc_id", "text").count() == 0)
   }
 
   test("LZ78 kernel equals a straight-line byte-level parse on random strings") {
@@ -719,6 +734,54 @@ class PropertiesSpec extends AnyFunSuite {
         assert(got.values.sum <= nodes.size * 1000L)
       }
     }
+  }
+
+  test("hop distance equals straight-line BFS; bounds hops; frees round blocks") {
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(50, for {
+        a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L)
+      } yield (a, b)).map(_.filter { case (a, b) => a != b }.distinct)
+    forAll(graphGen, n = 5) { edges =>
+      whenever(edges.nonEmpty) {
+        val seeds = Seq(0L, 1L).toDF("node")
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val res = graft.operators.Graph.hopDistance(
+          edges.toDF("src", "dst"), "src", "dst", seeds, "node", maxHops = 4)
+        val got = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // reference BFS
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        var ref = Map(0L -> 0L, 1L -> 0L)
+        var frontier = Set(0L, 1L)
+        for (h <- 1L to 4L) {
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Nil)) -- ref.keySet
+          ref = ref ++ frontier.map(_ -> h)
+        }
+        assert(got == ref, s"edges=$edges")
+        org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(res)
+        val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+        assert(leaked.isEmpty, s"leaked checkpoints: $leaked")
+      }
+    }
+    // maxHops = 0 returns exactly the distinct seed set at distance 0
+    val only = graft.operators.Graph.hopDistance(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+      Seq(1L, 1L).toDF("node"), "node", maxHops = 0)
+    assert(only.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+  }
+
+  test("checkpointed pagerank equals the plain chain and frees superseded blocks") {
+    val edges = (0L until 30L).map(i => (i, (i * 7 + 3) % 30)).toDF("src", "dst")
+    val plain = graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ck = graft.operators.Graph.pageRankInt(edges, "src", "dst", iters = 6,
+      checkpointEvery = 2)
+    assert(ck.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == plain)
+    // superseded round checkpoints were unpersisted: at most ONE backing
+    // checkpoint (the last) remains
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked checkpoints: $leaked")
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(ck)
   }
 
   test("pagerank: no-in-edge nodes sit at base; result is repartition-invariant") {
