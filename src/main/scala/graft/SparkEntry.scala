@@ -274,6 +274,38 @@ object SparkEntry {
       .orderBy("l_partkey")
   }
 
+  /** Market-basket co-occurrence (association mining): part pairs
+    * appearing in the same order, ranked by lift — the collocations
+    * pattern over transactions instead of token streams. The basket
+    * stream hash-partitions on the order key ONCE: the (order, part)
+    * dedup reuses it (subset rule) and the self-join is co-partitioned
+    * (ReusedExchange, plan-guarded) — pair fan-out is bounded by basket
+    * size (≤13 items here), `p1 < p2` halves it, and the pair rollup
+    * combines map-side with a min-support prune BEFORE the
+    * item-frequency joins. Lift = n_pair·N / (n1·n2): integer inputs,
+    * fixed association order — engine-exact. */
+  private def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(col("o"))
+      .distinct()
+    val total = items.agg(countDistinct(col("o")).as("n_orders"))
+    val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    pairs
+      .join(freq.select(col("p").as("p1"), col("n_p").as("n1")), Seq("p1"))
+      .join(freq.select(col("p").as("p2"), col("n_p").as("n2")), Seq("p2"))
+      .crossJoin(broadcast(total))
+      .select(col("p1"), col("p2"), col("n_pair"), col("n1"), col("n2"),
+        ((col("n_pair").cast(DoubleType) * col("n_orders")) /
+          (col("n1").cast(DoubleType) * col("n2"))).as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2")).limit(50)
+  }
+
   /** Damped PageRank over the part↔supplier co-occurrence graph
     * ([[graft.operators.Graph.pageRankInt]], 5 rounds, fixed-point
     * integer arithmetic): the authority-scoring pass a web-crawl
@@ -1843,6 +1875,7 @@ object SparkEntry {
     "rolling_active_users" -> (rollingActiveUsers _),
     "event_transitions" -> (eventTransitions _),
     "min_cost_supplier" -> (minCostSupplier _),
+    "basket_pairs" -> (basketPairs _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
@@ -2096,6 +2129,18 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),
+        |freq AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+        |pr AS (SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_pair
+        |       FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT pr.p1, pr.p2, pr.n_pair, f1.n_p AS n1, f2.n_p AS n2,
+        | (CAST(pr.n_pair AS DOUBLE) * tot.n_orders) / (CAST(f1.n_p AS DOUBLE) * f2.n_p) AS lift
+        |FROM pr JOIN freq f1 ON pr.p1 = f1.p JOIN freq f2 ON pr.p2 = f2.p
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, p1, p2 LIMIT 50""".stripMargin,
     "min_cost_supplier" ->
       """WITH ps AS (SELECT l_partkey, l_suppkey,
         |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spend

@@ -497,6 +497,14 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("basket_pairs: keyed self-join, map-side pair rollup, one broadcast totals row") {
+    val p = plan("basket_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the broadcast ONE-ROW totals cross join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("min_cost_supplier: both aggregates reuse ONE part-subset Exchange, no join") {
     val p = plan("min_cost_supplier")
     // repartition(part) satisfies both the (part, supp) rollup and the
