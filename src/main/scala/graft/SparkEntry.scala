@@ -274,6 +274,29 @@ object SparkEntry {
       .orderBy("l_partkey")
   }
 
+  /** Freshness gate ([[Quality.freshness]]) — the arrival-latency leg of
+    * the monitoring family: per event type, newest timestamp and its age
+    * in whole minutes against a FIXED reference instant (never now():
+    * retried tasks and the oracle must agree), stale-flagged past 45
+    * minutes. */
+  private def dqFreshness(s: SparkSession, d: String): DataFrame =
+    Quality.freshness(events(s, d), "event_type", "ts",
+        referenceTs = "2024-01-31 00:30:00", maxLagMinutes = 45L)
+      .orderBy("event_type")
+
+  /** Key-gap completeness report ([[Quality.idGaps]]) over a
+    * deterministically-holed orderkey sequence (the raw sequence is
+    * dense, so the query plants holes — every multiple of 97, and every
+    * multiple of 1000 so gaps straddle the operator's bucket boundaries
+    * and BOTH legs of the bucketed formulation fire; the oracle
+    * replicates the holes over the flat single-window form). */
+  private def idGapsQ(s: SparkSession, d: String): DataFrame =
+    Quality.idGaps(
+        orders(s, d).filter(col("o_orderkey") % 97 =!= 0 &&
+          col("o_orderkey") % 1000 =!= 0),
+        "o_orderkey", step = 1L, bucketSpan = 1000L)
+      .orderBy("gap_start")
+
   /** Market-basket co-occurrence (association mining): part pairs
     * appearing in the same order, ranked by lift — the collocations
     * pattern over transactions instead of token streams. The basket
@@ -1876,6 +1899,8 @@ object SparkEntry {
     "event_transitions" -> (eventTransitions _),
     "min_cost_supplier" -> (minCostSupplier _),
     "basket_pairs" -> (basketPairs _),
+    "dq_freshness" -> (dqFreshness _),
+    "id_gaps" -> (idGapsQ _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
     "dq_report" -> (dqReport _),
@@ -2129,6 +2154,19 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "dq_freshness" ->
+      """SELECT event_type,
+        | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+        | CAST((epoch_us(TIMESTAMP '2024-01-31 00:30:00') - epoch_us(MAX(ts))) // 60000000 AS BIGINT) AS lag_minutes,
+        | (epoch_us(TIMESTAMP '2024-01-31 00:30:00') - epoch_us(MAX(ts))) // 60000000 > 45 AS stale
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "id_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |           WHERE o_orderkey % 97 <> 0 AND o_orderkey % 1000 <> 0),
+        |g AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k)
+        |SELECT pk + 1 AS gap_start, k - 1 AS gap_end, k - pk - 1 AS n_missing
+        |FROM g WHERE pk IS NOT NULL AND k - pk > 1
+        |ORDER BY gap_start""".stripMargin,
     "basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM items),

@@ -334,4 +334,73 @@ object Quality {
 
   case class SchemaDriftRow(column: String, status: String,
       before: Option[String], after: Option[String])
+
+  /** Freshness gate — the arrival-latency leg of the monitoring family
+    * (volume spike / value drift / corpus drift / schema drift /
+    * freshness): per group, the newest event timestamp and its age in
+    * whole minutes against an EXPLICIT reference instant (never now() —
+    * retried tasks and the oracle must agree), flagged when the age
+    * exceeds `maxLagMinutes`. One map-side-combined MAX per group —
+    * group-bounded Exchange, nothing event-sized moves; integer epoch
+    * arithmetic end to end. */
+  def freshness(df: DataFrame, groupCol: String, tsCol: String,
+      referenceTs: String, maxLagMinutes: Long): DataFrame = {
+    require(maxLagMinutes >= 0L, s"need maxLagMinutes >= 0, got $maxLagMinutes")
+    // integer microsecond arithmetic with `div` (truncating): exact and
+    // engine-portable for the contract's non-negative lags — the
+    // reference instant must be at-or-after the data (a negative lag
+    // would truncate toward zero here but floor under DuckDB's `//`)
+    df.groupBy(col(groupCol))
+      .agg(max(col(tsCol)).as("__latest"))
+      .withColumn("__diff",
+        unix_micros(to_timestamp(lit(referenceTs))) - unix_micros(col("__latest")))
+      .select(
+        col(groupCol),
+        date_format(col("__latest"), "yyyy-MM-dd HH:mm:ss").as("latest_ts"),
+        expr("__diff div 60000000").as("lag_minutes"))
+      .withColumn("stale", col("lag_minutes") > maxLagMinutes)
+  }
+
+  /** Key-sequence gap report (the "islands" completeness check): missing
+    * ranges in an expected-dense key sequence — a silently-dropped batch
+    * shows up as a hole in the id space long before row counts drift.
+    * A gap exists wherever consecutive distinct keys differ by more than
+    * `step`; each gap reports its missing range and count (integer `div`
+    * — key spaces past 2^53 would lose precision in a double divide).
+    *
+    * SCALE: a bare `Window.orderBy` would drag every key through ONE
+    * task. Instead keys bucket by `k div bucketSpan`: in-bucket gaps run
+    * as a bucket-PARTITIONED window (parallel, the corpus-sized pass),
+    * and cross-bucket gaps fall out of a lag over the per-bucket
+    * min/max SUMMARY — keyspace/bucketSpan rows, the only global
+    * window. The two legs partition the consecutive-pair set exactly
+    * (a straddling pair is precisely (max of bucket i, min of the next
+    * non-empty bucket)), so the union equals the flat single-window
+    * formulation the oracle spells out. */
+  def idGaps(df: DataFrame, keyCol: String, step: Long = 1L,
+      bucketSpan: Long = 1000000L): DataFrame = {
+    require(step >= 1L, s"need step >= 1, got $step")
+    require(bucketSpan >= 1L, s"need bucketSpan >= 1, got $bucketSpan")
+    import org.apache.spark.sql.expressions.Window
+    val keys = df.select(col(keyCol).cast("long").as("__k")).distinct()
+      .withColumn("__b", expr(s"__k div $bucketSpan"))
+    val wIn = Window.partitionBy("__b").orderBy("__k")
+    val inBucket = keys
+      .withColumn("__prev", lag(col("__k"), 1).over(wIn))
+      .filter(col("__prev").isNotNull && col("__k") - col("__prev") > step)
+      .select(
+        (col("__prev") + step).as("gap_start"),
+        (col("__k") - step).as("gap_end"),
+        (expr(s"(__k - __prev) div $step") - 1L).as("n_missing"))
+    val summary = keys.groupBy("__b")
+      .agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+    val boundary = summary
+      .withColumn("__pmx", lag(col("__mx"), 1).over(Window.orderBy("__b")))
+      .filter(col("__pmx").isNotNull && col("__mn") - col("__pmx") > step)
+      .select(
+        (col("__pmx") + step).as("gap_start"),
+        (col("__mn") - step).as("gap_end"),
+        (expr(s"(__mn - __pmx) div $step") - 1L).as("n_missing"))
+    inBucket.unionByName(boundary)
+  }
 }

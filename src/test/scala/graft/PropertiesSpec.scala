@@ -736,6 +736,45 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed id-gap report equals the flat scan on random sparse key sets") {
+    import graft.operators.Quality
+    val keysGen: Gen[List[Long]] =
+      Gen.listOfN(60, Gen.choose(0L, 120L)).map(_.distinct)
+    forAll(keysGen, n = 8) { keys =>
+      whenever(keys.size >= 2) {
+        // tiny bucketSpan forces gaps across bucket boundaries — both
+        // legs of the bucketed formulation fire
+        val got = Quality.idGaps(keys.toDF("k"), "k", step = 1L, bucketSpan = 10L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        val s = keys.sorted
+        val expect = s.zip(s.tail).collect {
+          case (a, b) if b - a > 1 => (a + 1, b - 1, b - a - 1)
+        }.toSet
+        assert(got == expect, s"keys=$s")
+      }
+    }
+    // dense and singleton sequences report nothing; step respects strides
+    assert(Quality.idGaps((0L to 20L).toDF("k"), "k").count() == 0)
+    assert(Quality.idGaps(Seq(5L).toDF("k"), "k").count() == 0)
+    val strided = Quality.idGaps(Seq(0L, 5L, 20L).toDF("k"), "k", step = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(strided == Seq((10L, 15L, 2L))) // 10 and 15 missing on the 5-grid
+  }
+
+  test("freshness lags are exact truncated minutes against the fixed reference") {
+    import graft.operators.Quality
+    val ev = Seq(
+      ("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 11:58:59"),
+      ("b", "2024-01-01 06:00:00")
+    ).toDF("g", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val out = Quality.freshness(ev, "g", "ts", "2024-01-01 12:00:00",
+        maxLagMinutes = 60L)
+      .orderBy("g").collect()
+    // a: 61 s -> 1 whole minute, fresh; b: 360 minutes, stale
+    assert((out(0).getString(0), out(0).getLong(2), out(0).getBoolean(3)) == ("a", 1L, false))
+    assert((out(1).getString(0), out(1).getLong(2), out(1).getBoolean(3)) == ("b", 360L, true))
+  }
+
   test("hop distance equals straight-line BFS; bounds hops; frees round blocks") {
     val graphGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(50, for {
