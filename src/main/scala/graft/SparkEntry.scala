@@ -155,6 +155,38 @@ object SparkEntry {
       .orderBy("segment")
   }
 
+  /** TPC-H Q7-style bilateral trade: shipping revenue between every
+    * (supplier nation, customer nation) pair per ship year — the classic
+    * snowflake traversal. The only fact-sized shuffle is lineitem ⋈
+    * orders on the order key; every dimension chain (supplier→nation,
+    * customer→nation) broadcasts onto the stream, and the shipdate range
+    * filter pushes to the scan. Cross-border pairs only (the Q7
+    * restriction), decimal-exact revenue. */
+  private def q7NationTrade(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    val sup = broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(customer(s, d).select("c_custkey", "c_nationkey")
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("ship_year"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        28, 6).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
   /** CUBE aggregate over order status × priority with grouping flags —
     * the OLAP subtotal surface (GROUPING SETS / ROLLUP / CUBE) dashboard
     * queries imply. Spark plans ONE Expand (4 grouping-set replicas per
@@ -1890,6 +1922,7 @@ object SparkEntry {
     "topk_per_group" -> (topkPerGroup _),
     "segment_distribution" -> (segmentDistribution _),
     "sales_cube" -> (salesCube _),
+    "q7_nation_trade" -> (q7NationTrade _),
     "order_pivot" -> (orderPivot _),
     "weighted_sample" -> (weightedSample _),
     "pareto_front" -> (paretoFront _),
@@ -2110,6 +2143,21 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment, COUNT(*) AS n,
         | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
         |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+    "q7_nation_trade" ->
+      """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation
+        |             FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |cust AS (SELECT c_custkey, n_name AS cust_nation
+        |         FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT supp_nation, cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN sup ON l_suppkey = s_suppkey
+        | JOIN cust ON o_custkey = c_custkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND supp_nation <> cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "sales_cube" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
         | COALESCE(o_orderpriority, '(all)') AS priority,

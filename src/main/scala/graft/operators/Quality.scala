@@ -349,7 +349,12 @@ object Quality {
     // integer microsecond arithmetic with `div` (truncating): exact and
     // engine-portable for the contract's non-negative lags — the
     // reference instant must be at-or-after the data (a negative lag
-    // would truncate toward zero here but floor under DuckDB's `//`)
+    // would truncate toward zero here but floor under DuckDB's `//`).
+    // STREAMING deployment: sink a per-group max-ts streaming aggregate
+    // (update mode) and run this same function over the accumulating
+    // sink — max re-merges, so per-micro-batch partial maxima score
+    // identically to finals (StreamingSpec-pinned; the driftFromCounts
+    // re-aggregation design)
     df.groupBy(col(groupCol))
       .agg(max(col(tsCol)).as("__latest"))
       .withColumn("__diff",

@@ -497,6 +497,14 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q7: shipdate pushes to the scan; dimension chains broadcast; one fact join") {
+    val p = plan("q7_nation_trade")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // sup + cust chains
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("basket_pairs: keyed self-join, map-side pair rollup, one broadcast totals row") {
     val p = plan("basket_pairs")
     assert(!p.contains("CartesianProduct"), p)

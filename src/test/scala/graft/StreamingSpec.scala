@@ -569,6 +569,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(got <= batch)
     } finally q.stop()
   }
+
+  test("streaming freshness equals batch over accumulated per-batch maxima") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = input.toDF().toDF("g", "ts")
+      .groupBy(col("g")).agg(max(col("ts")).as("ts"))
+      .writeStream.format("memory").queryName("latest_sink")
+      .outputMode("update").start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      val feed = Seq(
+        ("a", ts("2024-01-01 00:00:00")), ("b", ts("2024-01-01 06:00:00")),
+        ("a", ts("2024-01-01 11:58:59")))
+      input.addData(feed.take(2): _*); q.processAllAvailable()
+      input.addData(feed.drop(2): _*); q.processAllAvailable()
+      // the update-mode sink has accumulated PER-MICRO-BATCH maxima (two
+      // rows for 'a'); the batch face re-maxes, so partials score
+      // identically to finals — the driftFromCounts re-aggregation design
+      val sink = spark.table("latest_sink")
+      assert(sink.count() >= 3, sink.count())
+      def score(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Quality.freshness(df, "g", "ts",
+            "2024-01-01 12:00:00", maxLagMinutes = 60L)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+          .toSet
+      assert(score(sink) == score(feed.toDF("g", "ts")))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
