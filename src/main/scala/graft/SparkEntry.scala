@@ -981,6 +981,20 @@ object SparkEntry {
   private def embeddingOutliersQ(s: SparkSession, d: String): DataFrame =
     Similarity.embeddingOutliers(embeddings(s, d), "vec_id", "embedding", k = 20)
 
+  /** Directional embedding outliers along the corpus's top principal
+    * component ([[Similarity.principalComponent]], matrix-free power
+    * iteration; [[Similarity.pcaProject]] scores) — rows-only by design
+    * (the iteration has no SQL form); deterministic: decimal-exact
+    * per-dim aggregates each round, sign-canonicalized direction,
+    * decimal-exact projection with unique tie-breaks. */
+  private def embeddingPca(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val (mu, v, _) = Similarity.principalComponent(e, "embedding", iters = 12)
+    Similarity.pcaProject(e, "vec_id", "embedding", mu, v)
+      .orderBy(abs(col("pc1_score")).desc, col("vec_id"))
+      .limit(20)
+  }
+
   /** Padding-waste report over the doubling length-bucket ladder
     * ([[Curation.lengthBuckets]]) — the batch-shape planning twin of
     * pack_sequences. */
@@ -2036,6 +2050,7 @@ object SparkEntry {
     "snapshot_diff" -> (snapshotDiffQ _),
     "length_buckets" -> (lengthBucketsQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
+    "embedding_pca" -> (embeddingPca _),
     "asof_join_forward" -> (asofJoinForwardQ _),
     "asof_join_tolerance" -> (asofJoinToleranceQ _),
     "dim_scd2" -> (dimScd2 _),

@@ -455,22 +455,87 @@ object Similarity {
     * at the 100x stress scale (200k vectors x 64 dims) the scoring pass
     * measures ~1 s warm, and the dim-bounded mean aggregate (~2.5 s) is
     * the remaining cost. */
-  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    val mu = emb
+  /** Exact per-dim corpus mean: decimal accumulation (order-independent)
+    * collected to dim-sized driver state — the centroids precedent. */
+  private[operators] def exactMean(emb: DataFrame, vecCol: String): Array[Double] =
+    emb
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("pos"))
       .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 12)))
         .cast(DoubleType) / count(col("x"))).as("mu"))
       .orderBy("pos")
       .collect().map(_.getDouble(1))
+
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val mu = exactMean(emb, vecCol)
     val muLit = array(mu.map(lit): _*)
     val diff = zip_with(col(vecCol), muLit, (x, m) => x.cast(DoubleType) - m)
     emb
       .select(col(idCol), dotExact(diff, diff).as("dist2"))
       .orderBy(col("dist2").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Top principal direction of the embedding corpus by MATRIX-FREE
+    * power iteration — PCA's first component (the dominant variance
+    * direction: whitening, drift direction, directional outliers)
+    * without ever materializing the d×d covariance. Each iteration
+    * computes A·v = Σ_rows (x−μ)·((x−μ)·v) directly: per row the scalar
+    * p = (x−μ)·v is a fixed-element-order double fold (deterministic),
+    * the per-dim contribution (x_i−μ_i)·p aggregates EXACTLY in DECIMAL
+    * (order-independent) and collects to dim-sized driver state (the
+    * centroids precedent) — so the whole iteration is deterministic AND
+    * layout-invariant, which the classic per-partition d×d Gramian
+    * accumulation in doubles is not (float sums reorder under
+    * repartitioning). Per iteration: ONE rows×d posexplode shuffle (the
+    * embedding_centroids shape) — no d² blowup anywhere. Normalization
+    * and the Rayleigh quotient are driver doubles; the returned v is
+    * sign-canonicalized (its largest-magnitude coordinate positive), so
+    * results are bit-reproducible run to run.
+    *
+    * Returns (mean, v, lambda): lambda = ‖A·v‖ at the last iteration ≈
+    * n·(top eigenvalue of the uncentered-count covariance) — callers
+    * divide by n for per-vector variance. */
+  def principalComponent(emb: DataFrame, vecCol: String,
+      iters: Int = 15): (Array[Double], Array[Double], Double) = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val mu = exactMean(emb, vecCol)
+    val d = mu.length
+    val muLit = array(mu.map(lit): _*)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val vLit = array(v.map(lit): _*)
+      val diff = zip_with(col(vecCol), muLit, (x, m) => x.cast(DoubleType) - m)
+      val p = aggregate(zip_with(diff, vLit, (a, b) => a * b),
+        lit(0.0), (acc, e) => acc + e)
+      val av = emb
+        .select(diff.as("__diff"), p.as("__p"))
+        .select(posexplode(transform(col("__diff"), x => x * col("__p")))
+          .as(Seq("pos", "c")))
+        .groupBy(col("pos"))
+        .agg(sum(col("c").cast(DecimalType(38, 12))).cast(DoubleType).as("s"))
+        .orderBy("pos")
+        .collect().map(_.getDouble(1))
+      lambda = math.sqrt(av.map(x => x * x).sum)
+      if (lambda > 0.0) v = av.map(_ / lambda)
+    }
+    // canonical sign: the largest-|coordinate| is positive
+    val pivot = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(pivot) < 0.0) v = v.map(-_)
+    (mu, v, lambda)
+  }
+
+  /** Per-vector projection onto a (plan-embedded) direction after mean
+    * centering — decimal-exact dot, zero shuffle, deterministic ties. */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      mean: Array[Double], v: Array[Double]): DataFrame = {
+    val muLit = array(mean.map(lit): _*)
+    val vLit = array(v.map(lit): _*)
+    val diff = zip_with(col(vecCol), muLit, (x, m) => x.cast(DoubleType) - m)
+    emb.select(col(idCol), dotExact(diff, vLit).as("pc1_score"))
   }
 
   /** ADC rollup + heap ranking over joined (q_id, id, __partial) rows. */

@@ -305,6 +305,42 @@ class CurationSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // principal component (matrix-free power iteration)
+  // ------------------------------------------------------------------
+
+  test("principal component recovers a planted dominant direction, bit-stably") {
+    val d = 8
+    val vecs = (0 until 40).map { i =>
+      val a = Array.fill(d)(0.0f)
+      a(3) = (i - 20).toFloat               // dominant variance axis
+      a(6) = ((i % 5) - 2).toFloat * 0.3f   // minor axis
+      (i.toLong, a)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mu, v, lam) = Similarity.principalComponent(df, "embedding", iters = 20)
+    assert(math.abs(v(3)) > 0.999, v.mkString(","))
+    assert(v(v.indices.maxBy(i => math.abs(v(i)))) > 0) // canonical sign
+    // Rayleigh maximality: lambda dominates the quadratic form along
+    // every coordinate axis
+    val axisQuad = (0 until d).map { k =>
+      vecs.map { case (_, a) => val t = a(k) - mu(k); t * t }.sum
+    }
+    assert(axisQuad.forall(q => lam + 1e-6 >= q), s"lam=$lam axis=$axisQuad")
+    // layout invariance: decimal per-dim aggregates make every round —
+    // and thus the result — bit-identical under repartitioning
+    val (mu2, v2, lam2) =
+      Similarity.principalComponent(df.repartition(7), "embedding", iters = 20)
+    assert(mu.toSeq == mu2.toSeq && v.toSeq == v2.toSeq && lam == lam2)
+    val scores = Similarity.pcaProject(df, "vec_id", "embedding", mu, v)
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    val scores2 = Similarity.pcaProject(df.repartition(5), "vec_id", "embedding", mu, v)
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(scores.toSeq == scores2.toSeq)
+    // the planted extremes project strongest
+    assert(math.abs(scores(0)) > math.abs(scores(20)))
+  }
+
+  // ------------------------------------------------------------------
   // weightedSampleK
   // ------------------------------------------------------------------
 
