@@ -233,6 +233,22 @@ object SparkEntry {
         col("P_n").as("pend_n"), col("P_rev").as("pend_rev"))
       .orderBy("month")
 
+  /** Equi-depth (equal-frequency) binning of order totals into 10
+    * buckets ([[graft.operators.Ranking.equiDepthBins]]): exact NTILE
+    * semantics WITHOUT the single-task global window — distributed
+    * global rank (range repartition + partition-offset reconstruction)
+    * feeds the SQL-standard bucket formula; emitted as per-bucket
+    * boundaries/counts, the feature-binning report. */
+  private def featureNtile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Ranking.equiDepthBins(
+        orders(s, d).select("o_orderkey", "o_totalprice"),
+        "o_totalprice", "o_orderkey", k = 10)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+
   /** Pareto frontier over parts ([[graft.operators.Frontier.skyline2D]]):
     * the largest-size-for-lowest-price skyline. The oracle is the
     * textbook quadratic NOT EXISTS; the operator is the value-bounded
@@ -1940,6 +1956,7 @@ object SparkEntry {
     "order_pivot" -> (orderPivot _),
     "weighted_sample" -> (weightedSample _),
     "pareto_front" -> (paretoFront _),
+    "feature_ntile" -> (featureNtile _),
     "pagerank" -> (pagerankQ _),
     "hop_distance" -> (hopDistanceQ _),
     "rolling_active_users" -> (rollingActiveUsers _),
@@ -2250,6 +2267,13 @@ object SparkEntry {
         |FROM ps
         |QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY spend, l_suppkey) = 1
         |ORDER BY l_partkey""".stripMargin,
+    "feature_ntile" ->
+      """WITH r AS (SELECT o_totalprice AS v,
+        |             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |           FROM orders)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+        | MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pareto_front" ->
       """SELECT p_partkey, p_size, p_retailprice FROM part a
         |WHERE NOT EXISTS (

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Global ranking without a single-task window. A bare
+  * `Window.orderBy(...)` funnels the whole dataset through ONE task —
+  * the classic scalability cliff of global row_number/ntile. The
+  * standard distributed fix: range-repartition on the order, sort
+  * within partitions, collect the per-partition COUNTS (a
+  * numPartitions-sized driver array — iteration-control-sized state),
+  * and reconstruct the exact global rank as partition-offset +
+  * in-partition row_number (a window PARTITIONED by partition id —
+  * parallel). The result is independent of where the sampled range
+  * boundaries fall, so it is deterministic even though the
+  * partitioning itself is an implementation detail.
+  */
+object Ranking {
+
+  /** `df` plus `rankCol` = exact 1-based global rank under `order`
+    * (which must be a total order — include a unique tie-break column).
+    * Returns (ranked frame, total row count). The frame is backed by an
+    * eager localCheckpoint (offsets and ranks must read the SAME
+    * materialization — a recompute could re-sample range boundaries);
+    * `Bridge.unpersistCheckpoints(result)` frees it when done. */
+  def withGlobalRank(df: DataFrame, order: Seq[Column],
+      rankCol: String): (DataFrame, Long) = {
+    require(order.nonEmpty, "need at least one order column")
+    import org.apache.spark.sql.graft.Bridge
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Bridge.resetStats(
+      df.repartitionByRange(p, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true))
+    val counts = sorted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.map(_._2) // offset for the i-th present pid
+    val offsetByPid = counts.map(_._1).zip(offsets).toMap
+    val offCol = offsetByPid.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val ranked = sorted
+      .withColumn(rankCol, row_number().over(w).cast(LongType) + offCol)
+      .drop("__pid")
+    (ranked, total)
+  }
+
+  /** SQL-standard NTILE(k) from a 1-based rank over `n` rows: the first
+    * n % k buckets take ceil(n/k) rows, the rest floor(n/k) — matching
+    * Spark's and DuckDB's window NTILE exactly. floor over doubles is
+    * exact here (ranks < 2^53; quotients land ≥ 1/bucketSize away from
+    * the next integer). */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(n >= 0, s"need n >= 0, got $n")
+    val size = n / k
+    val rem = n % k
+    if (size == 0L) rank.cast(LongType)
+    else {
+      val big = size + 1L
+      when(rank <= lit(rem * big),
+        floor((rank - 1L) / lit(big.toDouble)).cast(LongType) + 1L)
+        .otherwise(lit(rem) +
+          floor((rank - 1L - rem * big) / lit(size.toDouble)).cast(LongType) + 1L)
+    }
+  }
+
+  /** Equi-depth (equal-frequency) binning of `valueCol` into k buckets —
+    * the feature-engineering quantile binning step, exact: bucket = the
+    * NTILE of the row's global (value, tieCol) rank. Composes
+    * [[withGlobalRank]] + [[ntileFromRank]]; same checkpoint note. */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
+      k: Int): DataFrame = {
+    val (ranked, n) = withGlobalRank(df,
+      Seq(col(valueCol), col(tieCol)), "__rank")
+    ranked
+      .withColumn("bucket", ntileFromRank(col("__rank"), n, k))
+      .drop("__rank")
+  }
+}

@@ -736,6 +736,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed global rank and equi-depth bins equal the single-task window forms") {
+    import graft.operators.Ranking
+    val rowsGen: Gen[List[(Long, Int)]] = for {
+      n <- Gen.choose(5, 97) // sizes straddling n % k boundaries
+      vs <- Gen.listOfN(n, Gen.choose(0, 20))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    forAll(rowsGen, n = 8) { rows =>
+      val df = rows.toDF("id", "v").repartition(5)
+      val (ranked, total) = Ranking.withGlobalRank(df,
+        Seq(col("v"), col("id")), "r")
+      assert(total == rows.size)
+      val got = ranked.orderBy("r").collect().map(r => (r.getLong(0), r.getLong(2)))
+      val expect = rows.sortBy { case (id, v) => (v, id) }
+        .zipWithIndex.map { case ((id, _), i) => (id, i + 1L) }
+      assert(got.toSeq == expect, s"rows=$rows")
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(ranked)
+      // bins match Spark's own (single-task) ntile window exactly
+      val bins = Ranking.equiDepthBins(df, "v", "id", k = 7)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+      val ref = rows.toDF("id", "v")
+        .withColumn("b", ntile(7).over(w).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(bins == ref, s"rows=$rows")
+    }
+    // degenerate: fewer rows than buckets -> one bucket per row
+    val tiny = Seq((1L, 9), (2L, 3)).toDF("id", "v")
+    val b = Ranking.equiDepthBins(tiny, "v", "id", k = 10)
+      .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == Map(2L -> 1L, 1L -> 2L))
+  }
+
   test("bucketed id-gap report equals the flat scan on random sparse key sets") {
     import graft.operators.Quality
     val keysGen: Gen[List[Long]] =
