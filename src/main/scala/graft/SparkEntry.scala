@@ -1349,6 +1349,38 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** Deterministic contrastive negative sampling — k pseudo-random
+    * non-matching documents per anchor for embedding/ranker training,
+    * with NO rand(): each (anchor, slot) draws an md5-prefix index into
+    * the corpus's dense global rank ([[graft.operators.Ranking
+    * .withGlobalRank]] — the distributed form, no single-task window),
+    * remapped by one step if it lands on the anchor itself. Re-runs and
+    * engines agree (oracle = the identical arithmetic over a DuckDB
+    * row_number index). Shape: anchors×k candidate rows join the ranked
+    * corpus on the index — ONE keyed shuffle join; at 100 TB the ranked
+    * index is a build-once artifact shared across training runs. */
+  private def negativeSamples(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select("doc_id")
+    val (ranked, n) = graft.operators.Ranking.withGlobalRank(
+      docs, Seq(col("doc_id")), "idx")
+    val anchors = ranked.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("anchor_id"), col("idx").as("__ai"))
+    val cand = anchors
+      .select(col("anchor_id"), col("__ai"),
+        explode(sequence(lit(1), lit(4))).as("slot"))
+      .withColumn("__draw",
+        conv(substring(md5(concat(col("anchor_id").cast(StringType), lit(":"),
+          col("slot").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType) % n + 1L)
+      .withColumn("idx",
+        when(col("__draw") === col("__ai"), col("__draw") % n + 1L)
+          .otherwise(col("__draw")))
+    cand
+      .join(ranked.select(col("idx"), col("doc_id").as("neg_id")), Seq("idx"))
+      .select("anchor_id", "slot", "neg_id")
+      .orderBy("anchor_id", "slot")
+  }
+
   /** The weights [[weightedSample]] and its oracle both derive from —
     * one source, two engines (the zvalueSql pattern). */
   private val weightedSampleWeights =
@@ -1955,6 +1987,7 @@ object SparkEntry {
     "q7_nation_trade" -> (q7NationTrade _),
     "order_pivot" -> (orderPivot _),
     "weighted_sample" -> (weightedSample _),
+    "negative_samples" -> (negativeSamples _),
     "pareto_front" -> (paretoFront _),
     "feature_ntile" -> (featureNtile _),
     "pagerank" -> (pagerankQ _),
@@ -2281,6 +2314,21 @@ object SparkEntry {
         |  WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
         |    AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice))
         |ORDER BY p_size DESC, p_retailprice, p_partkey""".stripMargin,
+    "negative_samples" ->
+      """WITH idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS i
+        |             FROM documents),
+        |n AS (SELECT COUNT(*) AS c FROM documents),
+        |anchors AS (SELECT doc_id AS a, i AS ai FROM idx WHERE doc_id % 10 = 0),
+        |cand AS (SELECT a, s.s AS slot, ai,
+        |    CAST(concat('0x', substr(md5(concat(CAST(a AS VARCHAR), ':',
+        |      CAST(s.s AS VARCHAR))), 1, 8)) AS BIGINT) % n.c + 1 AS draw, n.c AS c
+        |  FROM anchors, n, unnest(generate_series(1, 4)) s(s)),
+        |fixed AS (SELECT a, slot,
+        |    CASE WHEN draw = ai THEN draw % c + 1 ELSE draw END AS ci FROM cand)
+        |SELECT f.a AS anchor_id, CAST(f.slot AS INTEGER) AS slot,
+        | idx.doc_id AS neg_id
+        |FROM fixed f JOIN idx ON idx.i = f.ci
+        |ORDER BY anchor_id, slot""".stripMargin,
     // slot weight recomputed arithmetically from TextAnalysis.knuthWeights'
     // closed form: ((slot * 2654435761) % 21) - 10, slot = md5-prefix % 64
     "quality_classifier" ->

@@ -486,6 +486,68 @@ object Stress {
         unix_micros(col("ts")).as("age"))
       graft.operators.Frontier.skyline2D(pts, "sz", "age").count()
     }
+    time("hop_distance") {
+      // BFS over the same user↔hour graph pagerank stresses, seeded by
+      // 100 users — frontier work scales with the replica factor
+      val pairs = ev.select(col("user_id").as("a"),
+          (lit(1000000000L) +
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = ev.select(col("user_id").as("node")).distinct().limit(100)
+      val res = graft.operators.Graph.hopDistance(edges, "src", "dst",
+        seeds, "node", maxHops = 4)
+      val n = res.count()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(res)
+      n
+    }
+    time("embedding_pca") {
+      val (mu, v, _) = Similarity.principalComponent(emb, "embedding", iters = 8)
+      Similarity.pcaProject(emb, "vec_id", "embedding", mu, v)
+        .agg(bit_xor(xxhash64(col("vec_id"), col("pc1_score"))), count(lit(1)))
+        .head().getLong(1)
+    }
+    // basket/binning family over a replicated lineitem (orderkey offset
+    // per replica: factor-many more baskets, same basket-size profile)
+    val li0 = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice")
+    val nOrd = 1500000L
+    val li = li0.crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("l_orderkey") + col("rep") * nOrd).as("l_orderkey"),
+        col("l_partkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartition(64)
+      .localCheckpoint(true)
+    println(s"[stress] lineitem: ${li.count()} (x$factor)")
+    time("basket_pairs") {
+      val items = li
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o")).distinct()
+      val total = items.agg(countDistinct(col("o")).as("n_orders"))
+      val freq = items.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+      val pairs = items.as("a")
+        .join(items.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 3)
+      pairs
+        .join(freq.select(col("p").as("p1"), col("n_p").as("n1")), Seq("p1"))
+        .join(freq.select(col("p").as("p2"), col("n_p").as("n2")), Seq("p2"))
+        .crossJoin(broadcast(total))
+        .count()
+    }
+    time("feature_ntile") {
+      val keyed = li.withColumn("uid",
+        col("l_orderkey") * 10L + col("l_linenumber"))
+      val binned = graft.operators.Ranking.equiDepthBins(
+        keyed, "l_extendedprice", "uid", k = 100)
+      val out = binned.groupBy("bucket")
+        .agg(count(lit(1)), min("l_extendedprice"), max("l_extendedprice"))
+        .count()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(binned)
+      out
+    }
     spark.stop()
   }
 }

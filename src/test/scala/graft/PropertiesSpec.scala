@@ -736,6 +736,29 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("negative sampling never returns the anchor and fills every slot") {
+    // the registered query's construction over a synthetic corpus
+    import graft.operators.Ranking
+    val docs = spark.range(0, 200).select(col("id").as("doc_id"))
+    val (ranked, n) = Ranking.withGlobalRank(docs, Seq(col("doc_id")), "idx")
+    val anchors = ranked.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("a"), col("idx").as("ai"))
+    val cand = anchors
+      .select(col("a"), col("ai"), explode(sequence(lit(1), lit(4))).as("slot"))
+      .withColumn("draw",
+        conv(substring(md5(concat(col("a").cast("string"), lit(":"),
+          col("slot").cast("string"))), 1, 8), 16, 10).cast("long") % n + 1L)
+      .withColumn("idx", when(col("draw") === col("ai"), col("draw") % n + 1L)
+        .otherwise(col("draw")))
+    val out = cand.join(ranked.select(col("idx"), col("doc_id").as("neg")), Seq("idx"))
+      .select("a", "slot", "neg")
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 20 * 4) // every (anchor, slot) resolved exactly once
+    assert(rows.forall { case (a, _, neg) => a != neg }, "anchor sampled as its own negative")
+    assert(rows.forall { case (_, _, neg) => neg >= 0 && neg < 200 })
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(ranked)
+  }
+
   test("distributed global rank and equi-depth bins equal the single-task window forms") {
     import graft.operators.Ranking
     val rowsGen: Gen[List[(Long, Int)]] = for {
