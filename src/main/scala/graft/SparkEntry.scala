@@ -1005,7 +1005,7 @@ object SparkEntry {
     * decimal-exact projection with unique tie-breaks. */
   private def embeddingPca(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
-    val (mu, v, _) = Similarity.principalComponent(e, "embedding", iters = 12)
+    val (mu, v, _) = Similarity.principalComponent(e, "embedding", iters = 8)
     Similarity.pcaProject(e, "vec_id", "embedding", mu, v)
       .orderBy(abs(col("pc1_score")).desc, col("vec_id"))
       .limit(20)
