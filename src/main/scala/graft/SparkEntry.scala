@@ -1190,6 +1190,31 @@ object SparkEntry {
     TextAnalysis.lzComplexityStats(documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Ensemble quality gate — the production posture: no single signal
+    * decides; a document survives on a 2-of-3 vote across the heuristic
+    * quality score, the quantized linear classifier and the repetition
+    * signal. All three are per-row projections, so the WHOLE ensemble
+    * is ONE scan with zero joins and zero shuffles (plan-guarded) —
+    * this is the payoff of exposing scorers as Column builders. Each
+    * sub-signal is individually oracle-proven (rows 32/136/68); the
+    * ensemble oracle chains those fragments verbatim and votes with the
+    * identical comparisons. */
+  private def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(documents(s, d), "text")
+    val rep = repetitionStats(wsTokens(col("text")))
+    q.select(col("doc_id"), col("quality_score"),
+        TextAnalysis.hashedLinearScoreCol(col("text"),
+          TextAnalysis.knuthWeights(64)).as("clf_score"),
+        rep.getField("dup_token_frac").as("dup_frac"))
+      .withColumn("votes",
+        ((col("quality_score") >= 0.5).cast(IntegerType) +
+          (col("clf_score") >= 0L).cast(IntegerType) +
+          coalesce(col("dup_frac") <= 0.2, lit(false)).cast(IntegerType))
+          .cast(LongType))
+      .withColumn("keep", col("votes") >= 2L)
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace / distinct / BPE-ish regex. */
   private def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenStats(documents(s, d), "text")
@@ -2034,6 +2059,7 @@ object SparkEntry {
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "quality_classifier" -> (qualityClassifier _),
+    "quality_ensemble" -> (qualityEnsemble _),
     "text_lz_complexity" -> (textLzComplexity _),
     "text_tokens" -> (textTokens _),
     "text_subwords" -> (textSubwords _),
@@ -2329,6 +2355,39 @@ object SparkEntry {
         | idx.doc_id AS neg_id
         |FROM fixed f JOIN idx ON idx.i = f.ci
         |ORDER BY anchor_id, slot""".stripMargin,
+    // every fragment below is copied verbatim from an already-green
+    // oracle row (text_quality / quality_classifier / text_repetition) —
+    // the curation_pipeline compose-from-proven-fragments rule
+    "quality_ensemble" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) AS n_stopwords
+        | FROM documents),
+        |q AS (SELECT doc_id,
+        |  least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+        |    + CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 AS quality_score
+        | FROM s),
+        |ct AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |         x -> x <> '')) AS tok FROM documents),
+        |sc AS (SELECT doc_id,
+        |   SUM(((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+        |        * 2654435761) % 21 - 10) AS s
+        | FROM ct GROUP BY doc_id),
+        |clf AS (SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS clf_score
+        |        FROM documents d LEFT JOIN sc USING (doc_id)),
+        |rp AS (SELECT doc_id,
+        |   CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / NULLIF(CAST(len(w) AS DOUBLE), 0) AS dup_frac
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents)),
+        |v AS (SELECT q.doc_id, q.quality_score, clf.clf_score, rp.dup_frac,
+        |   CAST(CASE WHEN q.quality_score >= 0.5 THEN 1 ELSE 0 END
+        |     + CASE WHEN clf.clf_score >= 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN rp.dup_frac <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS votes
+        | FROM q JOIN clf USING (doc_id) JOIN rp USING (doc_id))
+        |SELECT doc_id, quality_score, clf_score, dup_frac, votes,
+        | votes >= 2 AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
     // slot weight recomputed arithmetically from TextAnalysis.knuthWeights'
     // closed form: ((slot * 2654435761) % 21) - 10, slot = md5-prefix % 64
     "quality_classifier" ->

@@ -921,23 +921,29 @@ object TextAnalysis {
     * per-token md5 fold is an interpreted HOF — fine at per-row token
     * counts (the CLAUDE.md HOF rule); a codegen kernel is the upgrade
     * path if a corpus is pathological. */
-  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
-      weights: Seq[Long], thresholdNum: Long = 0L,
-      thresholdDen: Long = 1L): DataFrame = {
+  /** The classifier's score as a bare Column (the per-row fold) — for
+    * composing into wider single-scan gates ([[hashedLinearScore]] and
+    * quality_ensemble both build on it). */
+  def hashedLinearScoreCol(textCol: Column, weights: Seq[Long]): Column = {
     require(weights.nonEmpty, "need a non-empty weight vector")
-    require(thresholdDen >= 1L, s"need thresholdDen >= 1, got $thresholdDen")
     val b = weights.size
     val wArr = array(weights.map(lit): _*)
     val slot = (t: Column) =>
       (conv(substring(md5(t), 1, 8), 16, 10).cast(LongType) % b)
         .cast(IntegerType)
+    aggregate(array_remove(wsTokens(lower(textCol)), ""), lit(0L),
+      (acc, t) => acc + element_at(wArr, slot(t) + 1))
+  }
+
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], thresholdNum: Long = 0L,
+      thresholdDen: Long = 1L): DataFrame = {
+    require(thresholdDen >= 1L, s"need thresholdDen >= 1, got $thresholdDen")
     docs
       .select(col(idCol),
-        array_remove(wsTokens(lower(col(textCol))), "").as("__toks"))
-      .select(col(idCol),
-        size(col("__toks")).cast(LongType).as("n_tokens"),
-        aggregate(col("__toks"), lit(0L),
-          (acc, t) => acc + element_at(wArr, slot(t) + 1)).as("score"))
+        size(array_remove(wsTokens(lower(col(textCol))), ""))
+          .cast(LongType).as("n_tokens"),
+        hashedLinearScoreCol(col(textCol), weights).as("score"))
       .withColumn("keep",
         col("score") * thresholdDen >= lit(thresholdNum) * col("n_tokens"))
   }

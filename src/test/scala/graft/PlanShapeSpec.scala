@@ -481,6 +481,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("lz_complexity"), p)
   }
 
+  test("quality_ensemble: three scorers, ONE scan, zero joins and shuffles") {
+    val p = plan("quality_ensemble")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("quality_classifier scores as a zero-shuffle per-row fold") {
     val p = plan("quality_classifier")
     assert(!p.contains("Exchange hashpartitioning"), p)
