@@ -1199,21 +1199,10 @@ object SparkEntry {
     * sub-signal is individually oracle-proven (rows 32/136/68); the
     * ensemble oracle chains those fragments verbatim and votes with the
     * identical comparisons. */
-  private def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
-    val q = TextAnalysis.quality(documents(s, d), "text")
-    val rep = repetitionStats(wsTokens(col("text")))
-    q.select(col("doc_id"), col("quality_score"),
-        TextAnalysis.hashedLinearScoreCol(col("text"),
-          TextAnalysis.knuthWeights(64)).as("clf_score"),
-        rep.getField("dup_token_frac").as("dup_frac"))
-      .withColumn("votes",
-        ((col("quality_score") >= 0.5).cast(IntegerType) +
-          (col("clf_score") >= 0L).cast(IntegerType) +
-          coalesce(col("dup_frac") <= 0.2, lit(false)).cast(IntegerType))
-          .cast(LongType))
-      .withColumn("keep", col("votes") >= 2L)
+  private def qualityEnsemble(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ensembleGate(documents(s, d), "doc_id", "text",
+        TextAnalysis.knuthWeights(64))
       .orderBy("doc_id")
-  }
 
   /** Token counting: whitespace / distinct / BPE-ish regex. */
   private def textTokens(s: SparkSession, d: String): DataFrame =

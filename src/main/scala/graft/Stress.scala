@@ -449,6 +449,13 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    time("quality_ensemble") {
+      // three scorers fused into one scan — cost ~= the classifier alone
+      val out = TextAnalysis.ensembleGate(docs, "doc_id", "text",
+        TextAnalysis.knuthWeights(64))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     time("rolling_active_users") {
       val out = graft.operators.Temporal.rollingDistinct(ev,
         to_date(col("ts")), col("user_id"), windowDays = 7)

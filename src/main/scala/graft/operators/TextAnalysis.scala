@@ -75,7 +75,11 @@ object TextAnalysis {
       .withColumn("stopword_ratio",
         col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType))
       .withColumn("punct_ratio",
-        col("n_punct").cast(DoubleType) / col("n_chars_q").cast(DoubleType))
+        // total on EMPTY text (n_chars 0): ANSI mode errors on x/0 even
+        // for doubles — an empty document must score, not kill the job
+        when(col("n_chars_q") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("n_punct").cast(DoubleType) /
+            col("n_chars_q").cast(DoubleType)))
       .withColumn("quality_score",
         least(col("n_tokens").cast(DoubleType) / lit(50.0), lit(1.0)) * lit(0.5)
           + col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType) * lit(0.5))
@@ -933,6 +937,29 @@ object TextAnalysis {
         .cast(IntegerType)
     aggregate(array_remove(wsTokens(lower(textCol)), ""), lit(0L),
       (acc, t) => acc + element_at(wArr, slot(t) + 1))
+  }
+
+  /** 2-of-3 ensemble quality gate — heuristic quality score, quantized
+    * linear classifier, repetition signal, voting per document. All
+    * three scorers are per-row projections (Column builders), so the
+    * ensemble compiles to ONE scan with zero joins/shuffles — and being
+    * STATELESS it runs unchanged on a streaming frame
+    * (StreamingSpec-pinned streaming == batch). */
+  def ensembleGate(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], qualityThr: Double = 0.5,
+      dupThr: Double = 0.2): DataFrame = {
+    val q = quality(docs, textCol)
+    val rep = graft.functions.repetitionStats(
+      graft.functions.wsTokens(col(textCol)))
+    q.select(col(idCol), col("quality_score"),
+        hashedLinearScoreCol(col(textCol), weights).as("clf_score"),
+        rep.getField("dup_token_frac").as("dup_frac"))
+      .withColumn("votes",
+        ((col("quality_score") >= qualityThr).cast(IntegerType) +
+          (col("clf_score") >= 0L).cast(IntegerType) +
+          coalesce(col("dup_frac") <= dupThr, lit(false)).cast(IntegerType))
+          .cast(LongType))
+      .withColumn("keep", col("votes") >= 2L)
   }
 
   def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,

@@ -570,6 +570,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ensemble quality gate runs unchanged on a stream (stateless parity)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val w = graft.operators.TextAnalysis.knuthWeights(64)
+    val q = graft.operators.TextAnalysis
+      .ensembleGate(input.toDF().toDF("doc_id", "text"), "doc_id", "text", w)
+      .writeStream.format("memory").queryName("ensemble_out")
+      .outputMode("append").start()
+    try {
+      val feed = Seq(
+        (1L, "the quick brown fox and the lazy dog was on a hill of grass"),
+        (2L, "spam spam spam spam spam spam spam spam"),
+        (3L, ""))
+      input.addData(feed.take(2): _*); q.processAllAvailable()
+      input.addData(feed.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("ensemble_out").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5))).toSet
+      val batch = graft.operators.TextAnalysis
+        .ensembleGate(feed.toDF("doc_id", "text"), "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming freshness equals batch over accumulated per-batch maxima") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
