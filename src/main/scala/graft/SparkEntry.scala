@@ -1593,6 +1593,39 @@ object SparkEntry {
       .orderBy("t_id", "b_id")
   }
 
+  /** Ensemble contamination report — decontamination's production
+    * posture mirrors quality's: run SEVERAL detectors and report
+    * per-document agreement. One bench split (every 10th doc) drives
+    * the exact-fingerprint, cross-Jaccard and winnowing detectors
+    * (rows 36/85/99, each individually oracle-proven); the report is
+    * their per-doc flag union with a method count — the triage list a
+    * curation team actually reviews (methods disagreeing is the signal:
+    * fingerprint-only hits are usually boilerplate, all-three hits are
+    * true leaks). Flag frames are contaminated-subset-sized, so the
+    * full-outer joins cost nothing next to the detectors. */
+  private def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val ex = Dedup.decontaminate(train, bench, "doc_id", "text")
+      .filter(col("contaminated"))
+      .select(col("doc_id"), lit(1L).as("f_exact"))
+    val ja = Dedup.crossJaccardPairs(train, bench, "doc_id", "text")
+      .select(col("t_id").as("doc_id")).distinct()
+      .withColumn("f_jaccard", lit(1L))
+    val wi = Dedup.crossWinnowPairs(train, bench, "doc_id", "text")
+      .select(col("t_id").as("doc_id")).distinct()
+      .withColumn("f_winnow", lit(1L))
+    ex.join(ja, Seq("doc_id"), "full").join(wi, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        coalesce(col("f_exact"), lit(0L)).as("f_exact"),
+        coalesce(col("f_jaccard"), lit(0L)).as("f_jaccard"),
+        coalesce(col("f_winnow"), lit(0L)).as("f_winnow"))
+      .withColumn("n_methods",
+        col("f_exact") + col("f_jaccard") + col("f_winnow"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-frequency passage dedup: drop 3-token passages shared by > 3
     * documents, reassemble the survivors. (Real corpora use ~50-token
     * windows; this corpus's cross-document repetition lives at the
@@ -2091,6 +2124,7 @@ object SparkEntry {
     "dsir_weights" -> (dsirWeightsQ _),
     "decontaminate_jaccard" -> (decontaminateJaccard _),
     "decontaminate_winnow" -> (decontaminateWinnow _),
+    "contamination_report" -> (contaminationReport _),
     "decontaminate_minhash" -> (decontaminateMinhash _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
@@ -2344,6 +2378,61 @@ object SparkEntry {
         | idx.doc_id AS neg_id
         |FROM fixed f JOIN idx ON idx.i = f.ci
         |ORDER BY anchor_id, slot""".stripMargin,
+    // three proven detector fragments (decontaminate %50→%10 adapted,
+    // decontaminate_jaccard, decontaminate_winnow) reduced to flag SETS
+    // and full-outer-joined — the compose-from-proven-fragments rule
+    "contamination_report" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |esh AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i.i:i.i+2], ' ')) AS h
+        |        FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |efp AS (SELECT doc_id, h FROM esh
+        |        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h) <= 8),
+        |ebench AS (SELECT DISTINCT h FROM efp WHERE doc_id % 10 = 0),
+        |ex AS (SELECT DISTINCT t.doc_id FROM efp t JOIN ebench b ON t.h = b.h
+        |       WHERE t.doc_id % 10 != 0),
+        |jsh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |        FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |jsz AS (SELECT doc_id, COUNT(*) AS n FROM jsh GROUP BY doc_id),
+        |jc AS (SELECT t.doc_id AS t_id, b.doc_id AS b_id, COUNT(*) AS common
+        |       FROM jsh t JOIN jsh b ON t.sh = b.sh
+        |       WHERE t.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+        |       GROUP BY 1, 2),
+        |ja AS (SELECT DISTINCT jc.t_id AS doc_id
+        |       FROM jc JOIN jsz st ON jc.t_id = st.doc_id
+        |            JOIN jsz sb ON jc.b_id = sb.doc_id
+        |       WHERE CAST(jc.common AS DOUBLE) / (st.n + sb.n - jc.common) >= 0.5),
+        |g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |        CAST(concat('0x', substr(md5(array_to_string(w[i.i:i.i+3], ' ')), 1, 8)) AS BIGINT) AS h
+        |      FROM toks, unnest(generate_series(1, len(w)-3)) i(i) WHERE len(w) >= 4),
+        |x AS (SELECT doc_id, pos, h,
+        |  (CASE WHEN LAG(h,1) OVER dw >= h THEN 1 ELSE 0 END
+        |   + CASE WHEN LAG(h,1) OVER dw >= h AND LAG(h,2) OVER dw >= h THEN 1 ELSE 0 END
+        |   + CASE WHEN LAG(h,1) OVER dw >= h AND LAG(h,2) OVER dw >= h
+        |          AND LAG(h,3) OVER dw >= h THEN 1 ELSE 0 END) AS llen,
+        |  (CASE WHEN LEAD(h,1) OVER dw > h THEN 1 ELSE 0 END
+        |   + CASE WHEN LEAD(h,1) OVER dw > h AND LEAD(h,2) OVER dw > h THEN 1 ELSE 0 END
+        |   + CASE WHEN LEAD(h,1) OVER dw > h AND LEAD(h,2) OVER dw > h
+        |          AND LEAD(h,3) OVER dw > h THEN 1 ELSE 0 END) AS rlen,
+        |  MAX(pos) OVER (PARTITION BY doc_id) AS m
+        |  FROM g WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)),
+        |wf AS (SELECT DISTINCT doc_id, h FROM x
+        |       WHERE GREATEST(1, pos - 3, pos - llen) <= LEAST(pos + rlen, m) - 3),
+        |wp AS (SELECT t.doc_id AS t_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |       FROM (SELECT doc_id, h FROM wf WHERE doc_id % 10 != 0) t
+        |       JOIN (SELECT doc_id, h FROM wf WHERE doc_id % 10 = 0) b USING (h)
+        |       GROUP BY 1, 2),
+        |wi AS (SELECT DISTINCT t_id AS doc_id FROM wp WHERE shared >= 2),
+        |f AS (SELECT COALESCE(ex.doc_id, ja.doc_id, wi.doc_id) AS doc_id,
+        |  CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS f_exact,
+        |  CASE WHEN ja.doc_id IS NULL THEN 0 ELSE 1 END AS f_jaccard,
+        |  CASE WHEN wi.doc_id IS NULL THEN 0 ELSE 1 END AS f_winnow
+        | FROM ex FULL OUTER JOIN ja ON ex.doc_id = ja.doc_id
+        |      FULL OUTER JOIN wi ON COALESCE(ex.doc_id, ja.doc_id) = wi.doc_id)
+        |SELECT doc_id, CAST(f_exact AS BIGINT) AS f_exact,
+        | CAST(f_jaccard AS BIGINT) AS f_jaccard,
+        | CAST(f_winnow AS BIGINT) AS f_winnow,
+        | CAST(f_exact + f_jaccard + f_winnow AS BIGINT) AS n_methods
+        |FROM f ORDER BY doc_id""".stripMargin,
     // every fragment below is copied verbatim from an already-green
     // oracle row (text_quality / quality_classifier / text_repetition) —
     // the curation_pipeline compose-from-proven-fragments rule
