@@ -1411,6 +1411,15 @@ object SparkEntry {
         weights = weightedSampleWeights, defaultWeight = 1L, k = 150)
       .select("doc_id", "source", "weight", "priority")
 
+  /** Token-budget epoch plan ([[Curation.epochPlan]]) over the corpus
+    * sources with the weighted_sample weights and a 1M-token budget —
+    * target tokens and implied epochs per source, all-BIGINT. */
+  private def epochPlanQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.epochPlan(documents(s, d), "source", "text",
+        weights = weightedSampleWeights, defaultWeight = 1L,
+        budget = 1000000L)
+      .orderBy("source")
+
   /** Greedy fixed-budget sequence packing over the 32/24 token chunks:
     * one keyed window per source assigns each chunk its training-sequence
     * id by running token count. */
@@ -2098,6 +2107,7 @@ object SparkEntry {
     "pii_scrub" -> (piiScrubQ _),
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
+    "epoch_plan" -> (epochPlanQ _),
     "pack_sequences" -> (packSequencesQ _),
     "pack_sequences_sharded" -> (packSequencesShardedQ _),
     "kmeans_centroids" -> (kmeansCentroidsQ _),
@@ -2468,6 +2478,18 @@ object SparkEntry {
         |FROM v ORDER BY doc_id""".stripMargin,
     // slot weight recomputed arithmetically from TextAnalysis.knuthWeights'
     // closed form: ((slot * 2654435761) % 21) - 10, slot = md5-prefix % 64
+    "epoch_plan" ->
+      s"""WITH t AS (SELECT source,
+        |   CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |   CAST(${graft.operators.Curation.weightCaseSql("source", weightedSampleWeights, 1L)} AS BIGINT) AS weight
+        | FROM t),
+        |s AS (SELECT SUM(weight) AS sw FROM w)
+        |SELECT source, n_tokens, weight,
+        | CAST((1000000 * weight) // s.sw AS BIGINT) AS target_tokens,
+        | CAST(((1000000 * weight) // s.sw + n_tokens - 1) // n_tokens AS BIGINT) AS epochs
+        |FROM w, s ORDER BY source""".stripMargin,
     "quality_classifier" ->
       """WITH toks AS (SELECT doc_id,
         |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w

@@ -82,6 +82,36 @@ object Curation {
     s"CASE $arms ELSE $defaultWeight END"
   }
 
+  /** Token-budget epoch planning — the "data recipe" calculator run
+    * before a training job: given per-source natural token mass, target
+    * mixture weights and a total token budget, how many tokens each
+    * source contributes and how many EPOCHS (repeats) of it that
+    * implies. All-BIGINT arithmetic (`div`, ceil via the add-then-div
+    * identity) so the plan is engine-portable; the weight sum rides a
+    * window over the source-level frame (sources are few — the
+    * segment_distribution share pattern). The corpus-sized work is ONE
+    * map-side-combined per-source token rollup. */
+  def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
+      weights: Map[String, Long], defaultWeight: Long,
+      budget: Long): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 1L),
+      "weights must be positive integers")
+    require(budget >= 1L, s"need budget >= 1, got $budget")
+    val weight = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight): Column) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(wsTokens(col(textCol))).cast(LongType)).as("n_tokens"))
+      .withColumn("weight", weight.cast(LongType))
+      .withColumn("__sw",
+        sum(col("weight")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("target_tokens", expr(s"($budget * weight) div __sw"))
+      .withColumn("epochs",
+        expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .drop("__sw")
+  }
+
   /** Greedy sequence packing: chunks are ordered deterministically within
     * each group and assigned to fixed-token-budget training sequences by
     * running token count — seq_id = tokens_before / budget. This is the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatCosine, FloatDotProduct, MinHashBands, SimHash64}
+import graft.functions.{FloatCosine, FloatDotProduct, LzComplexity, MinHashBands, RepetitionStats, ShingleStrings, SimHash64}
 
 /** Session extension point for the engine's native expressions — the
   * idiomatic way to ship custom Catalyst code: users add
@@ -22,7 +22,13 @@ import graft.functions.{FloatCosine, FloatDotProduct, MinHashBands, SimHash64}
   *    (see [[graft.functions.SimHash64]]);
   *  - `minhash_bands(shingles, numPerm, bands)` — one-pass MinHash
   *    signature + LSH band hashes (see [[graft.functions.MinHashBands]];
-  *    numPerm/bands must be integer literals — they shape the kernel).
+  *    numPerm/bands must be integer literals — they shape the kernel);
+  *  - `lz_complexity(text)` — LZ78 compressibility quality signal
+  *    (see [[graft.functions.LzComplexity]]);
+  *  - `repetition_stats(tokens)` — one-pass duplicated token/2-gram/
+  *    3-gram fractions (see [[graft.functions.RepetitionStats]]);
+  *  - `word_shingles(tokens, n, distinct)` — codegen'd n-gram shingles
+  *    (see [[graft.functions.ShingleStrings]]; n/distinct literal).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -51,6 +57,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.requireIntLiteral(children(1)),
         GraftExtensions.requireIntLiteral(children(2)))
     }))
+    ext.injectFunction(fn("lz_complexity", { children =>
+      require(children.size == 1, "lz_complexity takes exactly 1 argument")
+      LzComplexity(children.head)
+    }))
+    ext.injectFunction(fn("repetition_stats", { children =>
+      require(children.size == 1, "repetition_stats takes exactly 1 argument")
+      RepetitionStats(children.head)
+    }))
+    ext.injectFunction(fn("word_shingles", { children =>
+      require(children.size == 3,
+        "word_shingles takes (tokens, n, distinct)")
+      ShingleStrings(children.head,
+        GraftExtensions.requireIntLiteral(children(1)),
+        GraftExtensions.requireBoolLiteral(children(2)))
+    }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
@@ -62,5 +83,11 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"expected an integer literal, got $other")
+  }
+
+  private[graft] def requireBoolLiteral(e: Expression): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected a boolean literal, got $other")
   }
 }

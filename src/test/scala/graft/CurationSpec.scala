@@ -304,6 +304,25 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("epoch plan: integer targets and ceil epochs from weights and budget") {
+    val docs = Seq(
+      (1L, "a b c d e", "wiki"), (2L, "a b c d e", "wiki"), // 10 tokens
+      (3L, "x y z w v", "web")                              // 5 tokens
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.epochPlan(docs, "source", "text",
+        Map("wiki" -> 3L), defaultWeight = 1L, budget = 100L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // web: weight 1/4 -> 25 target over 5 natural = 5 epochs
+    // wiki: weight 3/4 -> 75 target over 10 natural = ceil(7.5) = 8 epochs
+    assert(out.toSeq == Seq(
+      ("web", 5L, 1L, 25L, 5L),
+      ("wiki", 10L, 3L, 75L, 8L)))
+    intercept[IllegalArgumentException] {
+      Curation.epochPlan(docs, "source", "text", Map("wiki" -> 0L), 1L, 100L)
+    }
+  }
+
   // ------------------------------------------------------------------
   // principal component (matrix-free power iteration)
   // ------------------------------------------------------------------

@@ -45,6 +45,39 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("lz_complexity, repetition_stats and word_shingles run from SQL") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lz_complexity",
+      exprs => graft.functions.LzComplexity(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_stats",
+      exprs => graft.functions.RepetitionStats(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => graft.functions.ShingleStrings(exprs.head,
+        GraftExtensions.requireIntLiteral(exprs(1)),
+        GraftExtensions.requireBoolLiteral(exprs(2))),
+      "built-in")
+    val lz = spark.sql("SELECT lz_complexity('aaaaaaaaaa').n_phrases AS p")
+      .head().getLong(0)
+    assert(lz == 4L) // a|aa|aaa|aaaa
+    val rep = spark.sql(
+      "SELECT repetition_stats(array('a','a','b')).dup_token_frac AS f")
+      .head().getDouble(0)
+    assert(rep == 1.0 / 3.0)
+    val sh = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2, false) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c"))
+    intercept[IllegalArgumentException] {
+      GraftExtensions.requireBoolLiteral(
+        org.apache.spark.sql.catalyst.expressions.Literal(1))
+    }
+  }
+
   test("float_dot stays inside whole-stage codegen") {
     // arrays derived from range's id so ConstantFolding can't evaluate the
     // expression at optimize time — it must survive into codegen
