@@ -322,6 +322,19 @@ object SparkEntry {
       .orderBy("l_partkey")
   }
 
+  /** The (column, isNumeric) list the profile query AND its generated
+    * oracle derive from — one source, two engines. */
+  private val orderProfileCols = Seq(
+    "o_orderkey" -> true, "o_custkey" -> true, "o_orderstatus" -> false,
+    "o_totalprice" -> true, "o_orderdate" -> false, "o_orderpriority" -> false)
+
+  /** Deequ-style one-pass column profile of `orders`
+    * ([[Quality.tableProfile]]): rows/nulls/exact-distinct per column
+    * plus numeric min/max. */
+  private def tableProfileQ(s: SparkSession, d: String): DataFrame =
+    Quality.tableProfile(orders(s, d), orderProfileCols.map(_._1))
+      .orderBy("col_name")
+
   /** Freshness gate ([[Quality.freshness]]) — the arrival-latency leg of
     * the monitoring family: per event type, newest timestamp and its age
     * in whole minutes against a FIXED reference instant (never now():
@@ -2053,6 +2066,7 @@ object SparkEntry {
     "min_cost_supplier" -> (minCostSupplier _),
     "basket_pairs" -> (basketPairs _),
     "dq_freshness" -> (dqFreshness _),
+    "table_profile" -> (tableProfileQ _),
     "id_gaps" -> (idGapsQ _),
     "clean_pipeline" -> (cleanPipeline _),
     "dedup_keep_first" -> (dedupKeepFirstQ _),
@@ -2198,7 +2212,8 @@ object SparkEntry {
       ("hop_distance" -> graft.operators.Graph.hopDistanceSql(
         pagerankEdgesCte,
         "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 10",
-        maxHops = 4))
+        maxHops = 4)) +
+      ("table_profile" -> Quality.tableProfileSql("orders", orderProfileCols))
 
   /** UNTIMED per-query preparation Bench runs before starting the clock —
     * for queries whose real-world cost excludes an input another pipeline

@@ -335,6 +335,61 @@ object Quality {
   case class SchemaDriftRow(column: String, status: String,
       before: Option[String], after: Option[String])
 
+  /** Deequ-style column profile — one row per column: row count, null
+    * count, EXACT distinct count, and numeric min/max (emitted as
+    * DOUBLE straight from the data — no arithmetic, so values are
+    * engine-exact; non-numeric columns profile null min/max). ONE pass:
+    * a single aggregate computes every measure (Spark plans the
+    * multi-distinct via Expand — rows × columns before the partial
+    * aggregate collapses them, the standard exact-profiler cost; swap
+    * `approx_count_distinct` in at 100 TB if exactness isn't owed) and
+    * an array-of-structs explode unpivots the one result row. The
+    * column list with numeric flags comes from the SCHEMA, and
+    * [[tableProfileSql]] generates the DuckDB oracle from the SAME
+    * list — one source, two engines. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val schema = df.schema
+    def isNum(c: String): Boolean =
+      schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs =
+      count(lit(1)).as("__nrows") +:
+        cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+            countDistinct(col(c)).as(s"__nd_$c")) ++
+            (if (isNum(c)) Seq(
+              min(col(c)).cast("double").as(s"__mn_$c"),
+              max(col(c)).cast("double").as(s"__mx_$c"))
+            else Seq.empty)
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__nrows").as("n_rows"),
+        col(s"__null_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (isNum(c)) col(s"__mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (isNum(c)) col(s"__mx_$c") else lit(null).cast("double")).as("max_num"))
+    }
+    one.select(explode(array(entries: _*)).as("e")).select("e.*")
+  }
+
+  /** The DuckDB oracle for [[tableProfile]], generated from the same
+    * (column, isNumeric) list. */
+  def tableProfileSql(table: String, cols: Seq[(String, Boolean)]): String = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { case (c, isNum) =>
+      val mn = if (isNum) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (isNum) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         | $mn AS min_num, $mx AS max_num FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
   /** Freshness gate — the arrival-latency leg of the monitoring family
     * (volume spike / value drift / corpus drift / schema drift /
     * freshness): per group, the newest event timestamp and its age in

@@ -816,6 +816,27 @@ class PropertiesSpec extends AnyFunSuite {
     assert(strided == Seq((10L, 15L, 2L))) // 10 and 15 missing on the 5-grid
   }
 
+  test("table profile counts rows/nulls/distinct and numeric bounds exactly") {
+    import graft.operators.Quality
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("a")),
+      (Some(1L), None, Some("b")),
+      (None, Some(7.5), Some("a"))
+    ).toDF("k", "v", "s")
+    val out = Quality.tableProfile(df, Seq("k", "v", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(out.toSeq == Seq(
+      ("k", 3L, 1L, 1L, Some(1.0), Some(1.0)),
+      ("s", 3L, 0L, 2L, None, None),
+      ("v", 3L, 1L, 2L, Some(2.5), Some(7.5))))
+    intercept[IllegalArgumentException] {
+      Quality.tableProfile(df, Seq.empty)
+    }
+  }
+
   test("freshness lags are exact truncated minutes against the fixed reference") {
     import graft.operators.Quality
     val ev = Seq(
