@@ -280,6 +280,17 @@ object SparkEntry {
         col("n_distinct").as("n_users"))
       .orderBy("day")
 
+  /** The HLL-sketch twin ([[Temporal.rollingDistinctApprox]]): corpus
+    * aggregated ONCE into daily sketches, window merge touches only
+    * days × 7 sketches — rows-only (sketch estimates have no DuckDB
+    * twin), ±5% + invariance property-pinned against the exact form. */
+  private def rollingActiveUsersApprox(s: SparkSession, d: String): DataFrame =
+    Temporal.rollingDistinctApprox(events(s, d),
+        to_date(col("ts")), col("user_id"), windowDays = 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_distinct_est").cast(LongType).as("n_users_est"))
+      .orderBy("day")
+
   /** First-order event-type transition matrix (Markov counts): per user,
     * consecutive event pairs via ONE lag over the user-keyed window,
     * rolled up to (prev, next) counts with the row-conditional
@@ -2062,6 +2073,7 @@ object SparkEntry {
     "pagerank" -> (pagerankQ _),
     "hop_distance" -> (hopDistanceQ _),
     "rolling_active_users" -> (rollingActiveUsers _),
+    "rolling_active_users_approx" -> (rollingActiveUsersApprox _),
     "event_transitions" -> (eventTransitions _),
     "min_cost_supplier" -> (minCostSupplier _),
     "basket_pairs" -> (basketPairs _),

@@ -187,4 +187,32 @@ object Temporal {
       .distinct()
       .groupBy("day").agg(count(lit(1)).as("n_distinct"))
   }
+
+  /** The SKETCH form of [[rollingDistinct]] — the true 100 TB shape:
+    * the corpus aggregates ONCE into per-day HLL sketches (Spark's
+    * DataSketches `hll_sketch_agg`, map-side partial), and the sliding
+    * window is a DAY-LEVEL sketch fan-out + `hll_union_agg` — the merge
+    * stage touches days × windowDays SKETCHES (kilobytes each), never
+    * keys. Where the exact form's fan-out multiplies (key, day) pairs
+    * by the window length, this multiplies only daily sketches; the
+    * trade is the HLL estimate error (~1.6% at lgK=12). Deterministic:
+    * DataSketches HLL is hash-based, no randomness — estimates are
+    * repartition-invariant (spec-pinned, plus a ±5% accuracy pin
+    * against the exact twin). */
+  def rollingDistinctApprox(events: DataFrame, dayCol: Column,
+      keyCol: Column, windowDays: Int, lgK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"need windowDays >= 1, got $windowDays")
+    val daily = events.select(dayCol.as("day"), keyCol.as("key"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("key"), lit(lgK)).as("sk"))
+    val days = daily.select(col("day")).distinct()
+    daily
+      .select(explode(
+          sequence(col("day"), date_add(col("day"), windowDays - 1))).as("day"),
+        col("sk"))
+      .join(broadcast(days), Seq("day"), "leftsemi")
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("n_distinct_est"))
+  }
 }

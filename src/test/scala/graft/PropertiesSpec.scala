@@ -816,6 +816,25 @@ class PropertiesSpec extends AnyFunSuite {
     assert(strided == Seq((10L, 15L, 2L))) // 10 and 15 missing on the 5-grid
   }
 
+  test("sketch rolling distinct tracks the exact window counts and is layout-invariant") {
+    import graft.operators.Temporal
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val exact = Temporal.rollingDistinct(ev, to_date(col("ts")), col("user_id"), 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = Temporal.rollingDistinctApprox(ev, to_date(col("ts")), col("user_id"), 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, n) =>
+      val e = approx(day)
+      assert(math.abs(e.toDouble - n) <= math.max(2.0, 0.05 * n),
+        s"day=$day exact=$n est=$e")
+    }
+    val shuffled = Temporal.rollingDistinctApprox(ev.repartition(7),
+        to_date(col("ts")), col("user_id"), 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(shuffled == approx) // hash-based sketches: no layout dependence
+  }
+
   test("table profile counts rows/nulls/distinct and numeric bounds exactly") {
     import graft.operators.Quality
     val df = Seq(
