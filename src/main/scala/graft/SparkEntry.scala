@@ -1181,6 +1181,17 @@ object SparkEntry {
       .orderBy("q_id", "rk")
   }
 
+  /** Margin-based mining ([[Similarity.marginMine]]): even-label
+    * vectors with vec_id < 32 act as the source batch, odd-label
+    * vectors as the target corpus — top-50 pairs by ratio margin. */
+  private def bitextMine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.marginMine(
+      emb.filter(col("label") % 2 === 0 && col("vec_id") < 32),
+      emb.filter(col("label") % 2 === 1),
+      "vec_id", "embedding", k = 4, topN = 50)
+  }
+
   /** Language-ID heuristic over stopword hits. */
   private def textLangId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langId(documents(s, d), "text")
@@ -2113,6 +2124,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk" -> (simTopK _),
     "sim_lsh_topk" -> (simLshTopK _),
+    "bitext_mine" -> (bitextMine _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "quality_classifier" -> (qualityClassifier _),
@@ -2771,6 +2783,41 @@ object SparkEntry {
         |       FROM unnest(list_zip(a.embedding, b.embedding)) z(z)) AS DOUBLE)
         |   / (a.nrm * b.nrm) >= 0.35
         |ORDER BY v1, v2""".stripMargin,
+    // cosine construction copied from sim_topk; top-k means take the
+    // VARCHAR-mediated double->DECIMAL route (the embedding_centroids
+    // parity rule) so both engines accumulate identical decimals
+    "bitext_mine" ->
+      """WITH nr AS (
+        | SELECT vec_id, label, embedding,
+        |  sqrt(CAST((SELECT SUM(CAST(CAST(u.x AS DOUBLE) * CAST(u.x AS DOUBLE) AS DECIMAL(28,12)))
+        |             FROM unnest(embedding) u(x)) AS DOUBLE)) AS nrm
+        | FROM embeddings),
+        |c AS (
+        | SELECT q.vec_id AS src_id, t.vec_id AS tgt_id,
+        |  CAST((SELECT SUM(CAST(CAST(z.z[1] AS DOUBLE) * CAST(z.z[2] AS DOUBLE) AS DECIMAL(28,12)))
+        |        FROM unnest(list_zip(q.embedding, t.embedding)) z(z)) AS DOUBLE)
+        |    / (q.nrm * t.nrm) AS cosine
+        | FROM nr q JOIN nr t
+        |   ON q.label % 2 = 0 AND q.vec_id < 32 AND t.label % 2 = 1
+        |      AND q.vec_id != t.vec_id),
+        |ax AS (SELECT src_id,
+        |   CAST(SUM(CAST(CAST(cosine AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / 4 AS a_src
+        | FROM (SELECT src_id, cosine,
+        |         row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS rn
+        |       FROM c)
+        | WHERE rn <= 4 GROUP BY src_id),
+        |ay AS (SELECT tgt_id,
+        |   CAST(SUM(CAST(CAST(cosine AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / 4 AS a_tgt
+        | FROM (SELECT tgt_id, cosine,
+        |         row_number() OVER (PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS rn
+        |       FROM c)
+        | WHERE rn <= 4 GROUP BY tgt_id),
+        |m AS (SELECT c.src_id, c.tgt_id, c.cosine,
+        |        c.cosine / ((ax.a_src + ay.a_tgt) / 2.0) AS margin
+        |      FROM c JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        |      WHERE (ax.a_src + ay.a_tgt) / 2.0 <> 0)
+        |SELECT src_id, tgt_id, cosine, margin FROM m
+        |ORDER BY margin DESC, src_id, tgt_id LIMIT 50""".stripMargin,
     "sim_topk" ->
       """WITH nr AS (
         | SELECT vec_id, embedding,

@@ -56,6 +56,52 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Margin-based bitext/candidate mining (the Artetxe–Schwenk ratio
+    * margin): for a QUERY BATCH of source vectors against the target
+    * corpus, margin(x,y) = cos(x,y) / ((a_x + a_y) / 2) where a_x is the
+    * mean of x's top-k target cosines and a_y the mean of y's top-k
+    * cosines over the batch — pairs mutually much closer than their
+    * neighborhoods, the standard parallel-corpus miner. Production
+    * batches sources; at 100 TB the dense cosine matrix swaps for ANN
+    * shortlists (the IVF/LSH rows) feeding the SAME margin rescore —
+    * this is the exact small-batch contract those compose against.
+    * Engine-exact: cosines via decimal-exact dot/norms, top-k means as
+    * decimal sums over tie-broken row_number windows, margin one
+    * fixed-order IEEE division (exact-zero denominators filtered —
+    * cosines can be negative and ANSI errors on x/0). */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, topN: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"),
+      normExact(col(vecCol)).as("__tnrm"))
+    val s = broadcast(src.select(col(idCol).as("src_id"),
+      col(vecCol).as("__sv"), normExact(col(vecCol)).as("__snrm")))
+    val c = t.join(s, col("src_id") =!= col("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        cosineWithNorms(col("__sv"), col("__snrm"), col("__tv"), col("__tnrm"))
+          .as("cosine"))
+    def topMean(part: String, tie: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("cosine").desc, col(tie))
+      c.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(col(part))
+        .agg((sum(col("cosine").cast(DecimalType(28, 12))).cast(DoubleType) /
+          lit(k)).as(out))
+    }
+    val ax = topMean("src_id", "tgt_id", "a_src")
+    val ay = topMean("tgt_id", "src_id", "a_tgt")
+    c.join(broadcast(ax), Seq("src_id"))
+      .join(ay, Seq("tgt_id"))
+      .withColumn("__den", (col("a_src") + col("a_tgt")) / lit(2.0))
+      .filter(col("__den") =!= 0.0)
+      .withColumn("margin", col("cosine") / col("__den"))
+      .select("src_id", "tgt_id", "cosine", "margin")
+      .orderBy(col("margin").desc, col("src_id"), col("tgt_id"))
+      .limit(topN)
+  }
+
   /** Per-group centroids of an embedding column — the IVF coarse-quantizer
     * build step (each group's mean vector seeds a cell; queries then probe
     * only the nearest cells). Emitted as (group, dim position, value) rows

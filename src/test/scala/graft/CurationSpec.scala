@@ -359,6 +359,29 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(scores(0)) > math.abs(scores(20)))
   }
 
+  test("margin mining ranks a planted translation pair first, invariantly") {
+    // src 100 points at e1-ish directions; tgt contains ONE aligned copy
+    // of src 0 (cosine 1) among rotated distractors
+    def v(a: Float, b: Float, c: Float): Array[Float] = Array(a, b, c)
+    val src = Seq(
+      (0L, v(1f, 0f, 0f)), (1L, v(0.9f, 0.1f, 0f)), (2L, v(0.8f, 0.2f, 0f)),
+      (3L, v(0f, 1f, 0f)), (4L, v(0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (100L, v(2f, 0f, 0f)),      // aligned with src 0 (cosine 1)
+      (101L, v(0f, 0f, 1f)), (102L, v(0.1f, 0f, 1f)),
+      (103L, v(0f, 0.1f, 1f)), (104L, v(0.3f, 0.3f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+      k = 3, topN = 5)
+    val top = out.head()
+    assert((top.getLong(0), top.getLong(1)) == (0L, 100L),
+      out.collect().mkString(";"))
+    val again = Similarity.marginMine(src.repartition(3), tgt.repartition(4),
+      "vec_id", "embedding", k = 3, topN = 5)
+    assert(out.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
+  }
+
   // ------------------------------------------------------------------
   // weightedSampleK
   // ------------------------------------------------------------------

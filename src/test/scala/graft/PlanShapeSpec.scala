@@ -481,6 +481,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("lz_complexity"), p)
   }
 
+  test("epoch_plan: one corpus rollup; weight sum rides the tiny source frame") {
+    val p = plan("epoch_plan")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_sum"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("table_profile: every measure in ONE multi-distinct pass, no joins") {
+    val p = plan("table_profile")
+    assert(!p.contains("Join"), p)
+    assert("(?m)^\\s*[+:*| -]*Expand".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
+
   test("quality_ensemble: three scorers, ONE scan, zero joins and shuffles") {
     val p = plan("quality_ensemble")
     assert(!p.contains("Exchange hashpartitioning"), p)
