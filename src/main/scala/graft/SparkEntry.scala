@@ -187,6 +187,31 @@ object SparkEntry {
       .orderBy("supp_nation", "cust_nation", "ship_year")
   }
 
+  /** TPC-H Q4-style order-priority check: how many orders per priority
+    * had at least one line item shipped more than 90 days after the
+    * order date (this dataset carries no commit/receipt dates, so "late"
+    * is defined against the order date). The EXISTS is a LEFT SEMI join
+    * — the probe side emits each order at most once regardless of how
+    * many line items match, so no post-join distinct is ever needed and
+    * the join output is bounded by the orders side. The date-range
+    * filter pushes to the orders scan; the only fact-sized work is the
+    * semi-join's equi-shuffle on the order key (the non-equi shipdate
+    * condition rides along as the join residual). */
+  private def q4PriorityLate(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** CUBE aggregate over order status × priority with grouping flags —
     * the OLAP subtotal surface (GROUPING SETS / ROLLUP / CUBE) dashboard
     * queries imply. Spark plans ONE Expand (4 grouping-set replicas per
@@ -310,6 +335,53 @@ object SparkEntry {
       .withColumn("p", col("n").cast(DoubleType) /
         sum(col("n")).over(Window.partitionBy("prev_type")).cast(DoubleType))
       .orderBy("prev_type", "next_type")
+  }
+
+  /** Last-touch marketing attribution: every purchase is credited to the
+    * most recent preceding click/view by the same user (or "(none)").
+    * ONE user-keyed shuffle; the conditional `last(..., ignoreNulls)`
+    * runs in the same Window pass as the event ordering, and the final
+    * rollup is touch-type-bounded (≤3 groups) so it combines map-side
+    * and shuffles nothing event-sized. Revenue accumulates in DECIMAL
+    * on both engines (the q1 parity rule). At 100 TB this is the
+    * cheapest attribution shape possible: no purchase×touch join, no
+    * per-purchase backward scan — the running carry IS the window. */
+  private def attributionLastTouch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .select(col("event_type"), col("value"),
+        last(touch, ignoreNulls = true).over(w).as("touch_type"))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sumExact(col("value"), 18, 2).as("revenue"))
+      .orderBy("touch_type")
+  }
+
+  /** Top-k 3-step behavioral paths (A>B>C) across all users — funnel
+    * discovery, the inverse of checking a KNOWN funnel (row 59). Both
+    * lags ride ONE fused Window pass on the single user-keyed shuffle
+    * (they share the spec and are emitted in one select — the round-9
+    * fusion rule); the path rollup is |event_types|³-bounded so it
+    * combines map-side, and the top-k is a TakeOrdered, never a global
+    * sort. */
+  private def topPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev1"),
+        lag(col("event_type"), 2).over(w).as("prev2"))
+      .filter(col("prev2").isNotNull)
+      .groupBy(concat_ws(">", col("prev2"), col("prev1"), col("event_type")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
   }
 
   /** Cheapest supplier per part — the TPC-H Q2 argmin-per-group pattern
@@ -2076,6 +2148,7 @@ object SparkEntry {
     "segment_distribution" -> (segmentDistribution _),
     "sales_cube" -> (salesCube _),
     "q7_nation_trade" -> (q7NationTrade _),
+    "q4_priority_late" -> (q4PriorityLate _),
     "order_pivot" -> (orderPivot _),
     "weighted_sample" -> (weightedSample _),
     "negative_samples" -> (negativeSamples _),
@@ -2086,6 +2159,8 @@ object SparkEntry {
     "rolling_active_users" -> (rollingActiveUsers _),
     "rolling_active_users_approx" -> (rollingActiveUsersApprox _),
     "event_transitions" -> (eventTransitions _),
+    "attribution_last_touch" -> (attributionLastTouch _),
+    "top_paths" -> (topPaths _),
     "min_cost_supplier" -> (minCostSupplier _),
     "basket_pairs" -> (basketPairs _),
     "dq_freshness" -> (dqFreshness _),
@@ -2321,6 +2396,14 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND supp_nation <> cust_nation
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sales_cube" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
         | COALESCE(o_orderpriority, '(all)') AS priority,
@@ -2365,6 +2448,27 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH attr AS (
+        | SELECT event_type, value,
+        |   last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+        | FROM events)
+        |SELECT COALESCE(touch_type, '(none)') AS touch_type, COUNT(*) AS n_purchases,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_paths" ->
+      """WITH seq AS (
+        | SELECT event_type,
+        |   lag(event_type, 1) OVER w AS prev1,
+        |   lag(event_type, 2) OVER w AS prev2
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev2 || '>' || prev1 || '>' || event_type AS path, COUNT(*) AS n
+        |FROM seq WHERE prev2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "dq_freshness" ->
       """SELECT event_type,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,

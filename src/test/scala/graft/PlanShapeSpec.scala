@@ -24,6 +24,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
   }
 
+  test("q4 plans the EXISTS as a left-semi join with the date range pushed down") {
+    val p = plan("q4_priority_late")
+    // semi-join: orders emit at most once, no post-join distinct needed
+    assert(p.contains("LeftSemi"), p)
+    // quarter filter reaches the orders scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+    // lineitem pruned to the two referenced columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q5 broadcasts the dimension chain") {
     val p = plan("q5_nation_revenue")
     assert(p.contains("BroadcastHashJoin"), p)
@@ -256,6 +267,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert("Window ".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("attribution: one user shuffle + one Window carry, no purchase x touch join") {
+    // last-touch attribution must be the running-carry window, never the
+    // per-purchase backward join; the touch-type rollup combines map-side
+    val p = plan("attribution_last_touch")
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("top_paths: both lags fuse into one Window; top-k is TakeOrdered") {
+    val p = plan("top_paths")
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
   }
 
   test("events_spike: hourly rollup combines map-side before any shuffle") {
