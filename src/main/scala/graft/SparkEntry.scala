@@ -337,6 +337,15 @@ object SparkEntry {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Fuzzy record linkage over customer names ([[Linkage.fuzzyPairs]]):
+    * all edit-distance-≤1 pairs via deletion-neighborhood blocking —
+    * the entity-resolution primitive, never a quadratic name×name cross.
+    * The oracle IS the quadratic form (DuckDB at gate SF), so hash
+    * equality proves the blocked generate-and-verify loses nothing. */
+  private def recordLinkage(s: SparkSession, d: String): DataFrame =
+    graft.operators.Linkage.fuzzyPairs(customer(s, d), "c_custkey", "c_name")
+      .orderBy("id1", "id2")
+
   /** Last-touch marketing attribution: every purchase is credited to the
     * most recent preceding click/view by the same user (or "(none)").
     * ONE user-keyed shuffle; the conditional `last(..., ignoreNulls)`
@@ -2161,6 +2170,7 @@ object SparkEntry {
     "event_transitions" -> (eventTransitions _),
     "attribution_last_touch" -> (attributionLastTouch _),
     "top_paths" -> (topPaths _),
+    "record_linkage" -> (recordLinkage _),
     "min_cost_supplier" -> (minCostSupplier _),
     "basket_pairs" -> (basketPairs _),
     "dq_freshness" -> (dqFreshness _),
@@ -2469,6 +2479,13 @@ object SparkEntry {
         |SELECT prev2 || '>' || prev1 || '>' || event_type AS path, COUNT(*) AS n
         |FROM seq WHERE prev2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "record_linkage" ->
+      """SELECT a.c_custkey AS id1, a.c_name AS name1,
+        |       b.c_custkey AS id2, b.c_name AS name2,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id1, id2""".stripMargin,
     "dq_freshness" ->
       """SELECT event_type,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,

@@ -429,6 +429,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets > 1)
   }
 
+  test("fuzzy linkage: blocked pairs equal the quadratic reference, false sharers rejected") {
+    import graft.operators.Linkage
+    // substitution (cat/cut), deletion (cat/at), insertion (cat/cart),
+    // distance-2 via transposition that SHARES a deletion variant (ab/ba
+    // share "b") — must be generated as a candidate then rejected by the
+    // exact verify — plus an unrelated string
+    val recs = Seq((1L, "cat"), (2L, "cut"), (3L, "at"), (4L, "cart"),
+      (5L, "ab"), (6L, "ba"), (7L, "zzzz")).toDF("id", "name")
+    val got = Linkage.fuzzyPairs(recs, "id", "name")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // quadratic reference via Spark's own levenshtein
+    val ref = recs.as("a").join(recs.as("b"), $"a.id" < $"b.id")
+      .filter(levenshtein($"a.name", $"b.name") <= 1)
+      .select($"a.id", $"b.id").as[(Long, Long)].collect().toSet
+    assert(got == ref, s"got $got vs ref $ref")
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((1L, 4L)))
+    assert(!got.contains((5L, 6L))) // shared-variant distance-2 rejected
+  }
+
   test("every registered query returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
