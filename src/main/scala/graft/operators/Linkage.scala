@@ -39,11 +39,12 @@ object Linkage {
     val dels = transform(sequence(lit(1), length(nm)),
       i => concat(nm.substr(lit(1), i - lit(1)), nm.substr(i + lit(1), length(nm) - i)))
     val vars1 = base
-      .select(col("id"), col("name"),
-        explode(array_union(array(nm), dels)).as("variant"))
-      // join on the 64-bit hash: the self-join shuffles 8-byte keys, not
-      // variant text (collision odds ~2^-64)
-      .select(col("id"), col("name"), xxhash64(col("variant")).as("vh"))
+      .select(col("id"), explode(array_union(array(nm), dels)).as("variant"))
+      // join on the 64-bit hash: the self-join shuffles two 8-byte longs
+      // per row — names rejoin only AFTER the pair distinct, so the
+      // candidate blowup (multi-variant sharers, false sharers) never
+      // carries string payload (collision odds ~2^-64)
+      .select(col("id"), xxhash64(col("variant")).as("vh"))
     val vars = maxVariantFreq match {
       case Some(cap) =>
         // drop degenerate hot variants before the self-join; AQE sizes
@@ -56,10 +57,12 @@ object Linkage {
     vars.as("a")
       .join(vars.as("b"),
         col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("a.name").as("name1"),
-        col("b.id").as("id2"), col("b.name").as("name2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+      .join(base.select(col("id").as("id1"), col("name").as("name1")), "id1")
+      .join(base.select(col("id").as("id2"), col("name").as("name2")), "id2")
       .withColumn("dist", levenshtein(col("name1"), col("name2")).cast(LongType))
       .filter(col("dist") <= 1)
+      .select("id1", "name1", "id2", "name2", "dist")
   }
 }
