@@ -490,6 +490,17 @@ object SparkEntry {
     * part–supplier pairs, both directions; supplier ids offset by 1e6
     * into a disjoint node space). The oracle's 5 chained CTEs are
     * GENERATED from the same parameters. */
+  /** Triangle census + transitivity of the near-dup pair graph
+    * ([[graft.operators.Graph.transitivity]]): the honesty metric behind
+    * single-linkage dedup — low transitivity warns that connected
+    * components over-merge. Edges are the proven row-25 Jaccard pairs;
+    * the oracle chains that fragment verbatim into the shared
+    * `transitivitySql` census body. */
+  private def graphTransitivity(s: SparkSession, d: String): DataFrame =
+    graft.operators.Graph.transitivity(
+      Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
+      "d1", "d2")
+
   private def pagerankQ(s: SparkSession, d: String): DataFrame = {
     val pairs = lineitem(s, d)
       .select(col("l_partkey").as("a"), (col("l_suppkey") + 1000000L).as("b"))
@@ -2164,6 +2175,7 @@ object SparkEntry {
     "pareto_front" -> (paretoFront _),
     "feature_ntile" -> (featureNtile _),
     "pagerank" -> (pagerankQ _),
+    "graph_transitivity" -> (graphTransitivity _),
     "hop_distance" -> (hopDistanceQ _),
     "rolling_active_users" -> (rollingActiveUsers _),
     "rolling_active_users_approx" -> (rollingActiveUsersApprox _),
@@ -2322,7 +2334,19 @@ object SparkEntry {
         pagerankEdgesCte,
         "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 10",
         maxHops = 4)) +
-      ("table_profile" -> Quality.tableProfileSql("orders", orderProfileCols))
+      ("table_profile" -> Quality.tableProfileSql("orders", orderProfileCols)) +
+      // the proven row-25 Jaccard-pair CTEs reduced to an edge list,
+      // chained into the shared census body (one source, two engines)
+      ("graph_transitivity" ->
+        ("""WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+           |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+           |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+           |pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+           |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |edges AS (SELECT d1, d2 FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+           |          WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5),
+           |""".stripMargin + graft.operators.Graph.transitivitySql))
 
   /** UNTIMED per-query preparation Bench runs before starting the clock —
     * for queries whose real-world cost excludes an input another pipeline

@@ -184,4 +184,71 @@ object Graph {
        |$rounds
        |SELECT node, pr FROM r$iters ORDER BY pr DESC, node LIMIT $k""".stripMargin
   }
+
+  /** Exact triangle census + global transitivity over an undirected edge
+    * list: one row `(n_edges, n_wedges, n_triangles, transitivity)` with
+    * transitivity = 3·triangles / wedges (the clustering coefficient).
+    * Over a near-dup pair graph this measures how transitive the
+    * similarity relation actually is — the honesty check behind
+    * single-linkage dedup clustering (Jaccard near-dup is NOT transitive;
+    * low transitivity warns that connected components over-merge).
+    *
+    * Triangle enumeration uses the degree-ordered FORWARD algorithm:
+    * every edge orients from its lower-(degree, id) endpoint, wedges are
+    * ordered out-neighbor pairs, and a wedge closes iff the oriented
+    * edge between its endpoints exists (one semi-join). Each triangle is
+    * found exactly once — at its minimum-order vertex — and the oriented
+    * out-degree is O(√m), so wedge mass is bounded by m^1.5 REGARDLESS
+    * of raw degree skew: a celebrity hub enumerates no wedge pairs at
+    * all because every edge points INTO it. That bound, not the naive
+    * sum of C(deg,2), is what survives a 100 TB graph. All counts are
+    * BIGINT (order-independent sums, engine-portable); the one IEEE
+    * division producing `transitivity` is identical in both engines
+    * (NULL when the graph has no wedges). */
+  def transitivity(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges0.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    // orient each edge from its lower-(degree, id) endpoint
+    val ed = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val srcIsA = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = ed.select(
+      when(srcIsA, col("a")).otherwise(col("b")).as("src"),
+      when(srcIsA, col("b")).otherwise(col("a")).as("dst"),
+      when(srcIsA, col("db")).otherwise(col("da")).as("dd"))
+    // ordered out-neighbor pairs at each source, closed by the oriented
+    // (v, w) edge — v precedes w in the order, so if the undirected edge
+    // exists it is oriented exactly v→w
+    val paths = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("dd").as("dw")), Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val nTri = paths
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "leftsemi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+      .withColumn("transitivity",
+        lit(3.0) * col("n_triangles") / nullif(col("n_wedges").cast(DoubleType), lit(0.0)))
+  }
+
+  /** The DuckDB oracle body for [[transitivity]]: expects a CTE named
+    * `edges(d1, d2)` (canonical d1 < d2, distinct) in scope. */
+  def transitivitySql: String =
+    """deg AS (SELECT v, COUNT(*) d FROM (SELECT d1 v FROM edges UNION ALL SELECT d2 FROM edges) GROUP BY 1),
+      |tri AS (SELECT count(*) t FROM edges e1 JOIN edges e2 ON e1.d2 = e2.d1
+      |        JOIN edges e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+      |census AS (SELECT (SELECT count(*) FROM edges) n_edges,
+      |       (SELECT CAST(COALESCE(SUM(d*(d-1)//2), 0) AS BIGINT) FROM deg) n_wedges,
+      |       (SELECT t FROM tri) n_triangles)
+      |SELECT n_edges, n_wedges, n_triangles,
+      |       3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0) AS transitivity
+      |FROM census""".stripMargin
 }

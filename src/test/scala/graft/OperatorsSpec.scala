@@ -448,6 +448,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains((5L, 6L))) // shared-variant distance-2 rejected
   }
 
+  test("triangle census: hand graphs exact; degree-ordered equals naive on a pseudo-random graph") {
+    import graft.operators.Graph
+    def census(edges: Seq[(Long, Long)]) =
+      Graph.transitivity(edges.toDF("x", "y"), "x", "y")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    // K4: 6 edges, 12 wedges, 4 triangles, transitivity 1.0
+    assert(census(Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L)))
+      == ((6L, 12L, 4L, Some(1.0))))
+    // C4 square: 4 wedges, no triangles
+    assert(census(Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L))) == ((4L, 4L, 0L, Some(0.0))))
+    // triangle + pendant: degrees (2,2,3,1) -> 5 wedges, 1 triangle
+    assert(census(Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L))) == ((4L, 5L, 1L, Some(3.0/5.0))))
+    // no wedges -> NULL transitivity
+    assert(census(Seq((1L, 2L))) == ((1L, 0L, 0L, None)))
+    // pseudo-random 60-node graph (hash-derived, no rng): degree-ordered
+    // forward count equals the naive id-ordered 3-way join
+    val es = (for (a <- 1L to 60L; b <- (a + 1) to 60L
+      if java.lang.Long.hashCode(a * 1000003L + b * 7919L) % 7 == 0) yield (a, b))
+    val got = census(es)
+    val e = es.toDF("a", "b")
+    val naive = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+      .join(e.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .count()
+    assert(got._3 == naive, s"forward ${got._3} vs naive $naive")
+    assert(got._1 == es.size.toLong)
+  }
+
   test("every registered query returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
