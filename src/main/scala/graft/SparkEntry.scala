@@ -490,6 +490,26 @@ object SparkEntry {
     * part–supplier pairs, both directions; supplier ids offset by 1e6
     * into a disjoint node space). The oracle's 5 chained CTEs are
     * GENERATED from the same parameters. */
+  /** Per-source n-gram diversity: trigram instances, distinct types, and
+    * singleton types — the type/token diversity report curation uses to
+    * spot template-generated or over-duplicated sources (low TTR = the
+    * source repeats itself). Two-level aggregate: the corpus-sized
+    * (source, shingle) rollup combines map-side, then the per-source
+    * reduction is vocabulary-sized; nothing ever collects. Counts stay
+    * BIGINT; TTR is the one shared IEEE division. */
+  private def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
+    sh.groupBy("source", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_total"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_total"))
+      .orderBy("source")
+  }
+
   /** Triangle census + transitivity of the near-dup pair graph
     * ([[graft.operators.Graph.transitivity]]): the honesty metric behind
     * single-linkage dedup — low transitivity warns that connected
@@ -2176,6 +2196,7 @@ object SparkEntry {
     "feature_ntile" -> (featureNtile _),
     "pagerank" -> (pagerankQ _),
     "graph_transitivity" -> (graphTransitivity _),
+    "ngram_diversity" -> (ngramDiversity _),
     "hop_distance" -> (hopDistanceQ _),
     "rolling_active_users" -> (rollingActiveUsers _),
     "rolling_active_users_approx" -> (rollingActiveUsersApprox _),
@@ -2503,6 +2524,15 @@ object SparkEntry {
         |SELECT prev2 || '>' || prev1 || '>' || event_type AS path, COUNT(*) AS n
         |FROM seq WHERE prev2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "ngram_diversity" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT source, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |cnt AS (SELECT source, sh, COUNT(*) c FROM sh GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS n_distinct,
+        | CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr
+        |FROM cnt GROUP BY source ORDER BY source""".stripMargin,
     "record_linkage" ->
       """SELECT a.c_custkey AS id1, a.c_name AS name1,
         |       b.c_custkey AS id2, b.c_name AS name2,
