@@ -755,6 +755,23 @@ object SparkEntry {
   private def hourlyRollup(s: SparkSession, d: String): DataFrame =
     hourlyRollupTransform(events(s, d)).orderBy("hour_start", "event_type")
 
+  /** Dense hourly resample over the event stream
+    * ([[graft.operators.Temporal.gapFill]]): every (hour, type) cell of
+    * the range exists — counts zero-filled, the hourly mean carried
+    * forward from the last observed hour. A silent ingest gap is
+    * invisible to a plain GROUP BY (no row ≠ zero row); this emits the
+    * dense frame monitors and charts need. The spine is range-bounded
+    * (hours × types), so the fill costs nothing next to the rollup. */
+  private def hourlyGapfill(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), avgExact(col("value"), 18, 2).as("avg_value"))
+    graft.operators.Temporal.gapFill(hourly, "h", "event_type", "n", "avg_value")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("last_avg_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** Gap-based sessionization (30 min) via lag + running sum — one shuffle
     * on user_id, both windows share the same partitioning. */
   private def sessionize(s: SparkSession, d: String): DataFrame = {
@@ -2224,6 +2241,7 @@ object SparkEntry {
     "upsert_do_update" -> (upsertDoUpdateQ _),
     "json_extract_events" -> (jsonExtractEvents _),
     "hourly_rollup" -> (hourlyRollup _),
+    "hourly_gapfill" -> (hourlyGapfill _),
     "sessionize" -> (sessionize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -2836,6 +2854,22 @@ object SparkEntry {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "hourly_gapfill" ->
+      """WITH hourly AS (
+        | SELECT date_trunc('hour', ts) h, event_type, COUNT(*) n,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        | FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(h) lo, MAX(h) hi FROM hourly),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |grid AS (SELECT s.h, t.event_type
+        |         FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM hourly) t)
+        |SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start, g.event_type,
+        | COALESCE(hh.n, 0) AS n,
+        | last_value(hh.avg_value IGNORE NULLS)
+        |   OVER (PARTITION BY g.event_type ORDER BY g.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_avg_value
+        |FROM grid g LEFT JOIN hourly hh ON g.h = hh.h AND g.event_type = hh.event_type
+        |ORDER BY hour_start, g.event_type""".stripMargin,
     "sessionize" ->
       """WITH x AS (
         | SELECT user_id, event_id, ts,

@@ -215,4 +215,34 @@ object Temporal {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .as("n_distinct_est"))
   }
+
+  /** Dense time-spine resample (gap fill): every (bucket, key) cell of
+    * the [min, max] range exists in the output — counts zero-filled,
+    * `fillCol` carried forward from the last observed bucket per key
+    * (null until first observation). The missing-hour problem: a silent
+    * ingest gap is INVISIBLE to a plain GROUP BY (no row ≠ zero row),
+    * and downstream anomaly detectors / charts need the dense frame.
+    *
+    * `df` must already be bucket-aggregated (one row per (bucket, key)).
+    * SCALE: the spine is time-range-bounded (hours in range × keys),
+    * never data-sized — the cross join multiplies two tiny frames; the
+    * left join and the carry-forward window both run on the spine, so
+    * the whole operator costs nothing next to the rollup that feeds it.
+    * `step` is any interval expression ("interval 1 hour", "... 1 day"). */
+  def gapFill(df: DataFrame, bucketCol: String, keyCol: String,
+      countCol: String, fillCol: String,
+      step: String = "interval 1 hour"): DataFrame = {
+    val bounds = df.agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr(step))).as(bucketCol))
+    val keys = df.select(col(keyCol)).distinct()
+    val grid = spine.crossJoin(keys)
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(df, Seq(bucketCol, keyCol), "left")
+      .select(col(bucketCol), col(keyCol),
+        coalesce(col(countCol), lit(0L)).as(countCol),
+        last(col(fillCol), ignoreNulls = true).over(w).as(s"last_$fillCol"))
+  }
 }

@@ -448,6 +448,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains((5L, 6L))) // shared-variant distance-2 rejected
   }
 
+  test("gap fill: planted gap zero-filled and carries the prior value; leading cells null") {
+    import graft.operators.Temporal
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // type a observed at hours 0 and 3 (gap at 1-2); type b first seen hour 2
+    val hourly = Seq(
+      (ts(0), "a", 5L, 10.0), (ts(3), "a", 2L, 30.0),
+      (ts(2), "b", 1L, 7.0)
+    ).toDF("h", "k", "n", "v")
+    val out = Temporal.gapFill(hourly, "h", "k", "n", "v")
+      .orderBy("k", "h")
+      .as[(Timestamp, String, Long, Option[Double])].collect()
+    assert(out.length == 8) // 4 hours x 2 keys
+    val a = out.filter(_._2 == "a").map(r => (r._3, r._4))
+    assert(a.toSeq == Seq((5L, Some(10.0)), (0L, Some(10.0)), (0L, Some(10.0)), (2L, Some(30.0))))
+    val b = out.filter(_._2 == "b").map(r => (r._3, r._4))
+    assert(b.toSeq == Seq((0L, None), (0L, None), (1L, Some(7.0)), (0L, Some(7.0))))
+  }
+
   test("triangle census: hand graphs exact; degree-ordered equals naive on a pseudo-random graph") {
     import graft.operators.Graph
     def census(edges: Seq[(Long, Long)]) =
