@@ -755,6 +755,27 @@ object SparkEntry {
   private def hourlyRollup(s: SparkSession, d: String): DataFrame =
     hourlyRollupTransform(events(s, d)).orderBy("hour_start", "event_type")
 
+  /** Audience overlap matrix: for every event-type pair (t1 <= t2), how
+    * many users did BOTH — segment intersection sizes without a
+    * user-level self-join. ONE user-keyed shuffle builds each user's
+    * distinct type set map-side (collect_set partials, sets bounded by
+    * the type vocabulary); the pair fan-out explodes ≤|types|² rows per
+    * user and the final rollup is |types|²-bounded. The diagonal is the
+    * plain audience size. The oracle IS the self-join form — hash
+    * equality proves the set fan-out equivalent. */
+  private def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sets = events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    sets
+      .select(explode(col("ts")).as("t1"), col("ts"))
+      .select(col("t1"), explode(col("ts")).as("t2"))
+      .filter(col("t1") <= col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("t1", "t2")
+  }
+
   /** Dense hourly resample over the event stream
     * ([[graft.operators.Temporal.gapFill]]): every (hour, type) cell of
     * the range exists — counts zero-filled, the hourly mean carried
@@ -1129,6 +1150,11 @@ object SparkEntry {
     * multi-word-expression pass of a tokenizer/corpus build. */
   private def collocationsPmi(s: SparkSession, d: String): DataFrame =
     TextAnalysis.collocations(documents(s, d), "text", minCount = 5L, k = 50)
+
+  /** Windowed skip-gram co-occurrence ([[TextAnalysis.skipgramPairs]]):
+    * top-30 word pairs within 3 positions — zero joins, one explode. */
+  private def skipgramPairsQ(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.skipgramPairs(documents(s, d), "text", window = 3, k = 30)
 
   /** Keyed snapshot CDC diff ([[Staging.snapshotDiff]]): base = corpus
     * minus every 7th doc, current = corpus minus every 5th with every 3rd
@@ -2242,6 +2268,7 @@ object SparkEntry {
     "json_extract_events" -> (jsonExtractEvents _),
     "hourly_rollup" -> (hourlyRollup _),
     "hourly_gapfill" -> (hourlyGapfill _),
+    "audience_overlap" -> (audienceOverlap _),
     "sessionize" -> (sessionize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -2330,6 +2357,7 @@ object SparkEntry {
     "zorder_scan" -> (zorderScan _),
     "embedding_quantize" -> (embeddingQuantize _),
     "collocations_pmi" -> (collocationsPmi _),
+    "skipgram_pairs" -> (skipgramPairsQ _),
     "snapshot_diff" -> (snapshotDiffQ _),
     "length_buckets" -> (lengthBucketsQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
@@ -2870,6 +2898,11 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_avg_value
         |FROM grid g LEFT JOIN hourly hh ON g.h = hh.h AND g.event_type = hh.event_type
         |ORDER BY hour_start, g.event_type""".stripMargin,
+    "audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sessionize" ->
       """WITH x AS (
         | SELECT user_id, event_id, ts,
@@ -3790,6 +3823,15 @@ object SparkEntry {
         |FROM bg JOIN uni u1 ON bg.w1 = u1.tok JOIN uni u2 ON bg.w2 = u2.tok
         |CROSS JOIN tot
         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+    "skipgram_pairs" ->
+      """WITH t AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |             x -> x <> '') AS w FROM documents),
+        |pairs AS (SELECT w[i.i] AS w1, w[i.i + d.d] AS w2
+        |          FROM t, unnest(generate_series(1, 3)) d(d),
+        |               unnest(generate_series(1, len(w) - d.d)) i(i)
+        |          WHERE len(w) > d.d)
+        |SELECT w1, w2, COUNT(*) AS n FROM pairs
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 30""".stripMargin,
 
     "snapshot_diff" ->
       """WITH base AS (SELECT doc_id, md5(concat_ws(chr(1), text, source)) AS fp

@@ -882,6 +882,34 @@ object TextAnalysis {
     scored.orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
   }
 
+  /** Windowed skip-gram co-occurrence: top-k ordered word pairs within
+    * `window` positions of each other — the word2vec-style context
+    * statistic generalizing adjacent-bigram [[collocations]] (offset 1)
+    * to gapped contexts. ZERO joins: for each offset d the pair stream
+    * is `arrays_zip(w[1..len-d], w[d+1..len])` — slice/zip/concat are
+    * all codegen'd regular expressions built per row — so the corpus
+    * makes ONE explode into the map-side-combined pair rollup and the
+    * top-k is a TakeOrdered. At 100 TB this is scan-shaped: no
+    * positional self-join, no per-offset corpus passes. */
+  def skipgramPairs(docs: DataFrame, textCol: String, window: Int = 3,
+      k: Int = 30): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    require(k >= 1, s"need k >= 1, got $k")
+    val toks = docs.select(
+      array_remove(wsTokens(lower(col(textCol))), "").as("w"))
+    val byOffset = (1 to window).map { d =>
+      val n = greatest(size(col("w")) - d, lit(0))
+      arrays_zip(
+        slice(col("w"), lit(1), n).as("w1"),
+        slice(col("w"), lit(d + 1), n).as("w2"))
+    }
+    toks.select(explode(concat(byOffset: _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Compressibility quality signal: LZ78 complexity per document via
     * the codegen'd [[graft.functions.LzComplexity]] kernel — boilerplate
     * and template spam parse into far fewer phrases per byte than

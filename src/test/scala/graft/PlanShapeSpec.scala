@@ -285,6 +285,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("audience_overlap: set fan-out, no user-level self-join") {
+    val p = plan("audience_overlap")
+    assert(p.contains("partial_collect_set") || p.contains("collect_set"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("skipgram_pairs: zero joins, one explode, TakeOrdered top-k") {
+    val p = plan("skipgram_pairs")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+  }
+
   test("events_spike: hourly rollup combines map-side before any shuffle") {
     // both Exchanges must carry hourly rows, never raw events: the
     // partial_count sits below the first Exchange, and the three trailing
