@@ -2105,6 +2105,32 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** Time-bounded 3-stage funnel (the windowFunnel semantic): first view,
+    * then first click within 1 h of it, then first purchase within 1 h of
+    * THAT — per-stage user counts. Unlike row 59's unbounded conversion,
+    * each step must land in the prior step's window (dashboard funnels
+    * are always time-bounded). Each stage shuffles only ITS event type's
+    * slice (the type filters push to the scans), stage joins run against
+    * the already-reduced per-user frames (broadcast-sized until the user
+    * count itself is huge, then co-partitioned equi-joins), and the
+    * final counts are three one-row aggregates. */
+  private def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select("user_id", "ts", "event_type")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") >= col("v_ts") &&
+        col("ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("c_ts") &&
+        col("ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_1h")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_1h")))
+  }
+
   /** Cohort retention: users grouped by first-seen day, activity counted
     * at each day offset — the engagement rollup behind every retention
     * dashboard. Shape: ONE per-user aggregation computes the cohort day
@@ -2273,6 +2299,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "funnel_conversion" -> (funnelConversion _),
+    "funnel_windowed" -> (funnelWindowed _),
     "cohort_retention" -> (cohortRetention _),
     "quality_filter" -> (qualityFilter _),
     "quality_filter_approx" -> (qualityFilterApprox _),
@@ -2953,6 +2980,22 @@ object SparkEntry {
         | CAST(MAX(CASE WHEN p.ts >= fc.first_click THEN 1 ELSE 0 END) AS BIGINT) AS converted
         |FROM fc LEFT JOIN p ON p.user_id = fc.user_id
         |GROUP BY fc.user_id, fc.first_click ORDER BY fc.user_id""".stripMargin,
+    "funnel_windowed" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click'
+        |        AND e.ts >= v.v_ts AND e.ts <= v.v_ts + INTERVAL 1 HOUR
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase'
+        |        AND e.ts >= c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+        |      GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click_1h,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase_1h""".stripMargin,
     "cohort_retention" ->
       """WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
         |            FROM events GROUP BY 1),

@@ -555,6 +555,121 @@ object Stress {
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(binned)
       out
     }
+
+    // ---- round-10 session-4 additions ----
+    // fuzzy linkage on replicated customers: an 8-hex md5(rep) prefix
+    // keeps cross-replica name distances far above 1, so true pair mass
+    // grows LINEARLY in the factor (each replica is its own namespace) —
+    // the realistic shape; a 1-char replica tag would mint factor^2
+    // cross-replica distance-1 pairs instead
+    val cust0 = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val nCust = cust0.count()
+    val cust = cust0.crossJoin(spark.range(factor).toDF("rep"))
+      .select(
+        (col("c_custkey") + col("rep") * nCust).as("c_custkey"),
+        concat(substring(md5(col("rep").cast("string")), 1, 8), lit(" "),
+          col("c_name")).as("c_name"))
+      .repartition(64)
+      .localCheckpoint(true)
+    println(s"[stress] customers: ${cust.count()} (x$factor)")
+    time("record_linkage") {
+      forced(graft.operators.Linkage.fuzzyPairs(cust, "c_custkey", "c_name"),
+        bit_xor(xxhash64(col("id1"), col("id2"), col("dist"))))
+    }
+    // census over the LSH pair graph — the scale path for pair
+    // generation (the exact-Jaccard path shares dedup_clusters'
+    // measured pair-mass boundary on this dense corpus; the census
+    // itself is edge-bounded either way)
+    time("graph_transitivity") {
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text").select("d1", "d2")
+      forced(graft.operators.Graph.transitivity(pairs, "d1", "d2"),
+        bit_xor(xxhash64(col("n_edges"), col("n_wedges"), col("n_triangles"))))
+    }
+    time("ngram_diversity") {
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20))))
+      val d = src
+        .select(col("source"),
+          explode(graft.functions.wordShingles(col("text"), 3)).as("sh"))
+        .groupBy("source", "sh").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      forced(d, bit_xor(xxhash64(col("source"), col("n_total"),
+        col("n_distinct"), col("n_singletons"))))
+    }
+    time("skipgram_pairs") {
+      forced(TextAnalysis.skipgramPairs(docs, "text", window = 3, k = 30),
+        bit_xor(xxhash64(col("w1"), col("w2"), col("n"))))
+    }
+    // event-stream additions over the replicated stream (value synthesized
+    // per event — ev carries no value column)
+    val evv = ev.withColumn("value",
+      (pmod(col("event_id"), lit(10000L))).cast("double") / 10.0)
+    time("attribution") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+      val d = evv
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .select(col("event_type"), col("value"),
+          last(touch, ignoreNulls = true).over(w).as("touch_type"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+      forced(d, bit_xor(xxhash64(col("touch_type"), col("n_purchases"), col("revenue"))))
+    }
+    time("top_paths") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val d = ev
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev1"),
+          lag(col("event_type"), 2).over(w).as("prev2"))
+        .filter(col("prev2").isNotNull)
+        .groupBy(concat_ws(">", col("prev2"), col("prev1"), col("event_type")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+      forced(d, bit_xor(xxhash64(col("path"), col("n"))))
+    }
+    time("audience_overlap") {
+      val d = ev.groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .select(explode(col("ts")).as("t1"), col("ts"))
+        .select(col("t1"), explode(col("ts")).as("t2"))
+        .filter(col("t1") <= col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_users"))
+      forced(d, bit_xor(xxhash64(col("t1"), col("t2"), col("n_users"))))
+    }
+    // Q4 semi-join over replicated orders + (orderkey, shipdate) lineitem
+    val ord0 = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val ordR = ord0.crossJoin(spark.range(factor).toDF("rep"))
+      .select((col("o_orderkey") + col("rep") * nOrd).as("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(64).localCheckpoint(true)
+    val liSd0 = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    val liSd = liSd0.crossJoin(spark.range(factor).toDF("rep"))
+      .select((col("l_orderkey") + col("rep") * nOrd).as("l_orderkey"),
+        col("l_shipdate"))
+      .repartition(64).localCheckpoint(true)
+    println(s"[stress] orders: ${ordR.count()}, lineitem-sd: ${liSd.count()} (x$factor)")
+    time("q4_priority_late") {
+      val d = ordR
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .join(liSd,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      forced(d, bit_xor(xxhash64(col("o_orderpriority"), col("n_orders"))))
+    }
     spark.stop()
   }
 }

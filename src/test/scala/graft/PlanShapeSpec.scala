@@ -285,6 +285,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("funnel_windowed: type filters reach the scans; no cartesian stage join") {
+    val p = plan("funnel_windowed")
+    // each stage shuffles only its own type's slice
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loops are the final one-row count cross joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("audience_overlap: set fan-out, no user-level self-join") {
     val p = plan("audience_overlap")
     assert(p.contains("partial_collect_set") || p.contains("collect_set"), p)
