@@ -1229,6 +1229,51 @@ object SparkEntry {
       .orderBy("q_id", "rank")
   }
 
+  /** Ranker-agreement evaluation: exact Kendall tau between the BM25 and
+    * 3-gram-Jaccard top-10 rankings per query — the metric that tells a
+    * retrieval stack whether two rankers disagree enough for fusion to
+    * matter (tau ≈ 1 makes rrf pointless; tau ≈ 0 makes it pay). Both
+    * rankings are the oracle-proven hybrid_topk sub-rankings; pair
+    * comparison runs only among each query's COMMON docs (≤ C(10,2) = 45
+    * pairs per query — bounded regardless of corpus size). Concordant/
+    * discordant counts are BIGINT; tau is the one shared IEEE division
+    * (null when fewer than 2 common docs). */
+  private def rankingAgreement(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val queries = docs.filter(col("doc_id") < 8)
+    val byScore = Window.partitionBy(col("q_id"))
+    val bm = TextAnalysis.bm25TopK(docs, queries, "doc_id", "text", k = 10)
+      .withColumn("r_bm", row_number().over(
+        byScore.orderBy(col("score").desc, col("doc_id"))))
+      .select("q_id", "doc_id", "r_bm")
+    val jc = Dedup.crossJaccardPairs(docs, queries, "doc_id", "text",
+        n = 3, tau = 0.1)
+      .select(col("b_id").as("q_id"), col("t_id").as("doc_id"), col("jaccard"))
+      .withColumn("r_jc", row_number().over(
+        byScore.orderBy(col("jaccard").desc, col("doc_id"))))
+      .filter(col("r_jc") <= 10)
+      .select("q_id", "doc_id", "r_jc")
+    val common = bm.join(jc, Seq("q_id", "doc_id"))
+    val nC = common.groupBy("q_id").agg(count(lit(1)).as("n_common"))
+    val cd = common.as("a")
+      .join(common.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.q_id").as("q_id"),
+        when((col("a.r_bm") - col("b.r_bm")) *
+          (col("a.r_jc") - col("b.r_jc")) > 0, 1L).otherwise(0L).as("conc"))
+      .groupBy("q_id")
+      .agg(sum(col("conc")).as("n_conc"),
+        (count(lit(1)) - sum(col("conc"))).as("n_disc"))
+    nC.join(cd, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_common"),
+        coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+        coalesce(col("n_disc"), lit(0L)).as("n_disc"))
+      .withColumn("tau",
+        (col("n_conc") - col("n_disc")).cast(DoubleType) /
+          nullif(expr("n_common * (n_common - 1) div 2").cast(DoubleType), lit(0.0)))
+      .orderBy("q_id")
+  }
+
   /** The END-TO-END curation pipeline as ONE declarative plan — every
     * stage is an already-oracle-proven operator, chained in deployment
     * order: normalize -> exact dedup (keep-first per normalized hash) ->
@@ -2396,6 +2441,7 @@ object SparkEntry {
     "subword_coverage" -> (subwordCoverage _),
     "fact_scd2_lookup" -> (factScd2Lookup _),
     "hybrid_topk" -> (hybridTopK _),
+    "ranking_agreement" -> (rankingAgreement _),
     "curation_pipeline" -> (curationPipeline _),
     "sessionize_native" -> (sessionizeNative _)
   )
@@ -3574,6 +3620,57 @@ object SparkEntry {
         |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
         | FROM f) WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin,
+    // the hybrid_topk chain's two proven sub-ranking CTEs (bm / jf),
+    // reduced to a Kendall-tau tail over each query's common docs
+    "ranking_agreement" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') w FROM documents),
+        |tok AS (SELECT doc_id, u.g AS term FROM toks, unnest(w) u(g)),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS toks FROM dl),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tok WHERE doc_id < 8),
+        |sc AS (SELECT q.q_id, tf.doc_id,
+        |        ROUND((ln((CAST(s.n AS DOUBLE) - CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |              / (CAST(dfq.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |           * (CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))))
+        |          / (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |             * ((CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE)
+        |                * (CAST(dl.dl AS DOUBLE) / (CAST(s.toks AS DOUBLE) / CAST(s.n AS DOUBLE))))), 6) AS sv
+        |       FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+        |        JOIN dfq ON tf.term = dfq.term, s),
+        |agg AS (SELECT q_id, doc_id, CAST(SUM(CAST(sv AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |        FROM sc GROUP BY q_id, doc_id),
+        |bm AS (SELECT q_id, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r_bm
+        |       FROM agg QUALIFY r_bm <= 10),
+        |jw AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |jsh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |        FROM jw, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |jsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM jsh GROUP BY doc_id),
+        |jc AS (SELECT a.doc_id AS t_id, b.doc_id AS b_id, COUNT(*) AS common
+        |       FROM jsh a JOIN jsh b ON a.sh = b.sh AND b.doc_id < 8 GROUP BY 1, 2),
+        |jr0 AS (SELECT c.b_id AS q_id, c.t_id AS doc_id,
+        |         CAST(c.common AS DOUBLE) / (x.n_sh + y.n_sh - c.common) AS jac
+        |        FROM jc c JOIN jsz x ON c.t_id = x.doc_id JOIN jsz y ON c.b_id = y.doc_id
+        |        WHERE CAST(c.common AS DOUBLE) / (x.n_sh + y.n_sh - c.common) >= 0.1),
+        |jf AS (SELECT q_id, doc_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY jac DESC, doc_id) AS r_jc
+        |       FROM jr0 QUALIFY r_jc <= 10),
+        |com AS (SELECT bm.q_id, bm.doc_id, bm.r_bm, jf.r_jc
+        |        FROM bm JOIN jf ON bm.q_id = jf.q_id AND bm.doc_id = jf.doc_id),
+        |nc AS (SELECT q_id, COUNT(*) AS n_common FROM com GROUP BY 1),
+        |cd AS (SELECT a.q_id,
+        |        CAST(SUM(CASE WHEN (a.r_bm - b.r_bm) * (a.r_jc - b.r_jc) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_conc,
+        |        CAST(COUNT(*) - SUM(CASE WHEN (a.r_bm - b.r_bm) * (a.r_jc - b.r_jc) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+        |       FROM com a JOIN com b ON a.q_id = b.q_id AND a.doc_id < b.doc_id
+        |       GROUP BY a.q_id)
+        |SELECT nc.q_id, nc.n_common,
+        | COALESCE(cd.n_conc, 0) AS n_conc, COALESCE(cd.n_disc, 0) AS n_disc,
+        | CAST(COALESCE(cd.n_conc, 0) - COALESCE(cd.n_disc, 0) AS DOUBLE)
+        |   / NULLIF(CAST(nc.n_common * (nc.n_common - 1) // 2 AS DOUBLE), 0.0) AS tau
+        |FROM nc LEFT JOIN cd ON nc.q_id = cd.q_id
+        |ORDER BY nc.q_id""".stripMargin,
 
     "lm_score" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),

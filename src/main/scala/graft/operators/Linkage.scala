@@ -61,8 +61,11 @@ object Linkage {
       .distinct()
       .join(base.select(col("id").as("id1"), col("name").as("name1")), "id1")
       .join(base.select(col("id").as("id2"), col("name").as("name2")), "id2")
-      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast(LongType))
-      .filter(col("dist") <= 1)
+      // threshold form: banded O(len·k) DP with early exit (-1 when the
+      // distance exceeds the bound) instead of the full O(len²) matrix —
+      // the verify step runs once per candidate, so the band matters
+      .withColumn("dist", levenshtein(col("name1"), col("name2"), 1).cast(LongType))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
       .select("id1", "name1", "id2", "name2", "dist")
   }
 }

@@ -286,7 +286,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("funnel_windowed: type filters reach the scans; no cartesian stage join") {
-    val p = plan("funnel_windowed")
+    // the stage joins rely on the AUTO broadcast threshold — pin it to
+    // the default so a suite-order conf leak (BucketingSpec sets -1)
+    // cannot flip the one-row count cross joins to CartesianProduct
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val p = try plan("funnel_windowed")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     // each stage shuffles only its own type's slice
     assert(p.contains("EqualTo(event_type,view)"), p)
     assert(p.contains("EqualTo(event_type,click)"), p)
