@@ -1938,6 +1938,60 @@ object SparkEntry {
     else sys.props("java.io.tmpdir").stripSuffix("/")
   }
 
+  /** CSV ingest with schema enforcement and corrupt-record capture — the
+    * text-format leg of the source family (the reference's API pulls land
+    * as text before anything is columnar). The customer table round-trips
+    * through headerless CSV ONCE per source dataset (mtime-keyed staging,
+    * the zorder_scan pattern), with three malformed lines injected; the
+    * PERMISSIVE read types every good row (Java double text round-trips
+    * bit-exactly) and captures each bad line whole in `_corrupt` instead
+    * of failing the job or silently dropping rows. Output: per-segment
+    * counts + decimal-exact balances identical to the parquet truth, plus
+    * one "(corrupt)" row carrying the bad-line count with a NULL sum —
+    * hash equality against the parquet-only oracle proves the round trip
+    * loses nothing and the corrupt capture is exact. */
+  private[graft] def csvStagePath(d: String): String = {
+    val src = new java.io.File(s"$d/customer.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}:v2".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_csv_stage_$tag"
+  }
+
+  private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = csvStagePath(d)
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      customer(s, d)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .coalesce(4).write.mode("overwrite").csv(path)
+      // three FULL-WIDTH lines whose typed fields cannot parse — each
+      // must surface as a captured corrupt record, never a silent drop.
+      // (An under-length line like a bare "garbage" is a different CSV
+      // case: Spark pads missing trailing columns with nulls WITHOUT
+      // flagging _corrupt, so it would leak through as a null-segment
+      // row — full-width bad-typed lines are the unambiguous fixture.)
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "part-99999-injected.csv").toPath,
+        "notanint,oops,x,y,SEG\ngarbage,a,b,c,D\nbad,row,a,b,c\n")
+    }
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .select(
+        when(col("_corrupt").isNotNull, lit("(corrupt)"))
+          .otherwise(col("c_mktsegment")).as("segment"),
+        when(col("_corrupt").isNotNull, lit(null).cast(DoubleType))
+          .otherwise(col("c_acctbal")).as("bal"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sumExact(col("bal"), 18, 2).as("total_bal"))
+      .orderBy("segment")
+  }
+
   /** y/m/d partitioned staging round-trip: write events staged, read back,
     * per-partition counts prove layout + pruning columns. */
   private def stagedPartitionedWrite(s: SparkSession, d: String): DataFrame = {
@@ -2395,6 +2449,7 @@ object SparkEntry {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
+    "csv_roundtrip" -> (csvRoundtrip _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
@@ -3410,6 +3465,15 @@ object SparkEntry {
         | CAST(day(ts) AS BIGINT) AS d, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "csv_roundtrip" ->
+      // parquet truth + the 3 injected bad lines as the "(corrupt)" row:
+      // hash equality proves the CSV round trip loses nothing and the
+      // corrupt capture is exact
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY 1
+        |UNION ALL SELECT '(corrupt)', 3, NULL
+        |ORDER BY 1""".stripMargin,
     "scrape_profiles" ->
       """SELECT c_custkey AS profile_id, 'player_' || c_custkey AS name,
         | c_custkey % 3 AS visibility, c_custkey % 100 AS steam_level
