@@ -623,6 +623,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(score(sink) == score(feed.toDF("g", "ts")))
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: candidates survive batches, recall bound holds, state bounded") {
+    import graft.streaming.HeavyHittersStream
+    import graft.streaming.HeavyHittersStream.{Hitter, Tok}
+    implicit val sql = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Tok]
+      val q = HeavyHittersStream.topTokens(input.toDS(), capacity = 4)
+        .writeStream.format("memory").queryName("mg_out")
+        .outputMode("append").start()
+      try {
+        // shard 0: "hot" is heavy across BOTH batches (16 of 31 tokens);
+        // long-tail fillers rotate so only the cross-batch state can see
+        // hot's full mass. shard 1: a different heavy token, proving
+        // shard isolation.
+        def toks(s: Int, ts: (String, Int)*) =
+          ts.flatMap { case (t, n) => Seq.fill(n)(Tok(s, t)) }
+        input.addData(toks(0, ("hot", 8), ("a", 2), ("b", 2), ("c", 2),
+          ("d", 1), ("e", 1)): _*)
+        q.processAllAvailable()
+        input.addData(toks(0, ("hot", 8), ("f", 2), ("g", 2), ("h", 1),
+          ("i", 1), ("j", 1)): _*)
+        input.addData(toks(1, ("other", 5), ("x", 1)): _*)
+        q.processAllAvailable()
+        val all = spark.table("mg_out").as[Hitter].collect()
+        // latest snapshot per shard = rows at that shard's max n_seen
+        val latest = all.groupBy(_.shard).map { case (s, rows) =>
+          val mx = rows.map(_.n_seen).max
+          s -> rows.filter(_.n_seen == mx)
+        }
+        val s0 = latest(0)
+        assert(s0.map(_.n_seen).head == 31L)
+        // MG recall: hot's true count 16 > 31/(4+1) -> must be a candidate,
+        // with a lower bound within n/(capacity+1) of the true count
+        val hot = s0.find(_.token == "hot").get
+        assert(hot.lower_bound <= 16L && hot.lower_bound >= 16L - 31L / 5 - 1)
+        // bounded state: never more than `capacity` candidates per shard
+        assert(s0.length <= 4)
+        assert(latest(1).exists(_.token == "other"))
+        assert(!latest(1).exists(_.token == "hot")) // shard isolation
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
 
 object StreamingSpec {
