@@ -1059,6 +1059,22 @@ object SparkEntry {
       .withColumn("is_spike", col("is_spike").cast(LongType))
       .orderBy("hour_start", "event_type")
 
+  /** Fixed-point EWMA anomaly flags ([[Quality.ewmaFromBuckets]]) over
+    * the hourly rollup — the monitoring family's O(1)-state smoother
+    * beside the z-test and MAD twins. Hash-exact vs a recursive-CTE
+    * replay of the identical integer recurrence. */
+  private def eventsEwma(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Quality.ewmaFromBuckets(hourly, "event_type", "h", "n")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n"), col("ewma_scaled"),
+        col("spike").cast(LongType).as("is_spike"))
+      .orderBy("event_type", "hour_start")
+  }
+
   /** Robust median/MAD volume-anomaly flags ([[Quality.madAnomalies]]):
     * the outlier-resistant twin of events_spike over the same trailing
     * frame, cleared to exact integer arithmetic (4·cnt > 2·med2+k·mad4)
@@ -2476,6 +2492,7 @@ object SparkEntry {
     "dedup_keep_best_cached" -> (dedupKeepBestCached _),
     "events_rolling" -> (eventsRolling _),
     "events_spike" -> (eventsSpike _),
+    "events_ewma" -> (eventsEwma _),
     "events_mad" -> (eventsMad _),
     "dedup_containment" -> (dedupContainment _),
     "shuffle_shards" -> (shuffleShardsQ _),
@@ -4188,6 +4205,28 @@ object SparkEntry {
         |      > 9 * n_prior * (n_prior * q_prior - s_prior * s_prior)
         |  AS BIGINT) AS is_spike
         |FROM x ORDER BY hour_start, event_type""".stripMargin,
+    // replays Quality.ewmaFromBuckets' integer recurrence exactly:
+    // s' = (7*s + n*256) // 8 with every operand non-negative (// floors,
+    // JVM division truncates — they agree only on non-negatives)
+    "events_ewma" ->
+      """WITH RECURSIVE h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |idx AS (
+        | SELECT event_type, b, n,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b) AS i
+        | FROM h),
+        |walk AS (
+        | SELECT event_type, b, n, i, CAST(n * 256 AS BIGINT) AS s, FALSE AS spike
+        | FROM idx WHERE i = 1
+        | UNION ALL
+        | SELECT x.event_type, x.b, x.n, x.i,
+        |  CAST((7 * w.s + x.n * 256) // 8 AS BIGINT),
+        |  x.n * 256 > 2 * w.s
+        | FROM walk w JOIN idx x ON x.event_type = w.event_type AND x.i = w.i + 1)
+        |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | n, s AS ewma_scaled, CAST(spike AS BIGINT) AS is_spike
+        |FROM walk ORDER BY event_type, hour_start""".stripMargin,
 
     // containment shares the jaccard CTE skeleton; only the denominator
     // (LEAST of the two distinct-shingle counts) and threshold change

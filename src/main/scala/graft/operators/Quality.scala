@@ -463,4 +463,56 @@ object Quality {
         (expr(s"(__mn - __pmx) div $step") - 1L).as("n_missing"))
     inBucket.unionByName(boundary)
   }
+
+  /** Fixed-point integer EWMA anomaly flags over a pre-aggregated
+    * (key, bucket, count) frame — the monitoring family's SMOOTHER leg
+    * beside the z-test ([[spikes]]) and median/MAD ([[events_mad]]'
+    * machinery): a spike fires when a bucket's count exceeds `spikeNum`×
+    * the exponentially-smoothed level of the PRIOR buckets, so a slow
+    * drift re-baselines instead of alarming forever (the z-test's frame
+    * does too, but EWMA needs O(1) state — the form a streaming monitor
+    * actually carries).
+    *
+    * Determinism: the recurrence is integer fixed-point,
+    * `s' = ((alphaDen−1)·s + n·scale) div alphaDen`, every operand
+    * NON-NEGATIVE — deliberately, because DuckDB's `//` floors while
+    * JVM division truncates, and the two only agree on non-negative
+    * values (the naive `s + (n·scale − s) div alphaDen` form has a
+    * negative numerator whenever traffic falls). The oracle replays the
+    * identical recurrence as a recursive CTE — hash-exact, the pagerank
+    * fixed-point playbook.
+    *
+    * SCALE: the sequential pass runs on the BUCKET-level frame (already
+    * reduced by the caller's map-side-combined rollup: hours × keys, not
+    * events), one partition per key hash, sorted within — the
+    * pack_sequences_bfd precedent for a per-group sequential fold whose
+    * groups fit a partition trivially. Overflow: s ≤ max(n)·scale, the
+    * update multiplies by alphaDen — headroom ~2^63/(scale·alphaDen). */
+  def ewmaFromBuckets(buckets: DataFrame, keyCol: String, bucketCol: String,
+      countCol: String, alphaDen: Long = 8L, scale: Long = 256L,
+      spikeNum: Long = 2L): DataFrame = {
+    require(alphaDen >= 2L, s"need alphaDen >= 2, got $alphaDen")
+    require(scale >= 1L && spikeNum >= 1L, s"bad scale=$scale/spikeNum=$spikeNum")
+    val ss = buckets.sparkSession
+    import ss.implicits._
+    val sorted = buckets
+      .select(col(keyCol).cast("string").as("k"), col(bucketCol).as("b"),
+        col(countCol).cast("long").as("n"))
+      .repartition(col("k")).sortWithinPartitions(col("k"), col("b"))
+    sorted.mapPartitions { it =>
+      var curKey: String = null
+      var s = 0L
+      var started = false
+      it.map { r =>
+        val k = r.getString(0)
+        val b = r.getAs[java.sql.Timestamp](1)
+        val n = r.getLong(2)
+        if (k != curKey) { curKey = k; started = false; s = 0L }
+        val spike = started && n * scale > spikeNum * s
+        s = if (!started) { started = true; n * scale }
+            else ((alphaDen - 1L) * s + n * scale) / alphaDen
+        (k, b, n, s, spike)
+      }
+    }.toDF(keyCol, bucketCol, countCol, "ewma_scaled", "spike")
+  }
 }

@@ -448,6 +448,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains((5L, 6L))) // shared-variant distance-2 rejected
   }
 
+  test("EWMA flags a burst but re-baselines under slow drift") {
+    import graft.operators.Quality
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    // burst: flat 10s then one 100 -> flag fires exactly there.
+    // drift: +5% per hour from 10 -> never double the smoothed level
+    // (a 20%/hour ramp DOES legitimately outrun an alpha=1/8 smoother)
+    val burst = (0 until 8).map(h => ("burst", ts(h), if (h == 6) 100L else 10L))
+    val drift = (0 until 8).map(h => ("drift", ts(h),
+      math.round(10.0 * math.pow(1.05, h))))
+    val out = Quality.ewmaFromBuckets(
+        (burst ++ drift).toDF("k", "b", "n"), "k", "b", "n")
+      .as[(String, Timestamp, Long, Long, Boolean)].collect()
+      .groupBy(_._1)
+    assert(out("burst").filter(_._5).map(_._2) sameElements Array(ts(6)))
+    assert(!out("drift").exists(_._5))
+    // smoother recovers: the hour after the burst is not flagged
+    assert(!out("burst").exists(r => r._2 == ts(7) && r._5))
+  }
+
   test("gap fill: planted gap zero-filled and carries the prior value; leading cells null") {
     import graft.operators.Temporal
     import java.sql.Timestamp
