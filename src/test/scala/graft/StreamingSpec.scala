@@ -624,6 +624,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA equals the batch recurrence bitwise on the same feed") {
+    import graft.streaming.MonitorStream
+    import graft.streaming.MonitorStream.{Bucket, EwmaFlag}
+    implicit val sql = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = Seq(
+        Bucket("a", 1000L, 10L), Bucket("a", 2000L, 11L),
+        Bucket("a", 3000L, 40L), Bucket("a", 4000L, 12L),
+        Bucket("b", 1000L, 5L), Bucket("b", 2000L, 5L))
+      val input = MemoryStream[Bucket]
+      val q = MonitorStream.ewmaFlags(input.toDS())
+        .writeStream.format("memory").queryName("ewma_out")
+        .outputMode("append").start()
+      try {
+        // split mid-key so the carry must cross a micro-batch boundary
+        input.addData(feed.take(3): _*)
+        q.processAllAvailable()
+        input.addData(feed.drop(3): _*)
+        q.processAllAvailable()
+        val streamed = spark.table("ewma_out").as[EwmaFlag].collect()
+          .map(f => (f.key, f.bucket_ms, f.n, f.ewma_scaled, f.spike)).toSet
+        val batch = graft.operators.Quality.ewmaFromBuckets(
+            feed.toDF("key", "bucket_ms", "n")
+              .withColumn("b", timestamp_millis(col("bucket_ms")))
+              .select(col("key"), col("b"), col("n")),
+            "key", "b", "n")
+          .as[(String, Timestamp, Long, Long, Boolean)].collect()
+          .map(r => (r._1, r._2.getTime, r._3, r._4, r._5)).toSet
+        assert(streamed == batch, s"streamed $streamed vs batch $batch")
+        // the planted burst is flagged in both
+        assert(streamed.exists(r => r._1 == "a" && r._2 == 3000L && r._5))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming Misra-Gries: candidates survive batches, recall bound holds, state bounded") {
     import graft.streaming.HeavyHittersStream
     import graft.streaming.HeavyHittersStream.{Hitter, Tok}
