@@ -658,7 +658,9 @@ object Stress {
         col("l_shipdate"))
       .repartition(64).localCheckpoint(true)
     println(s"[stress] orders: ${ordR.count()}, lineitem-sd: ${liSd.count()} (x$factor)")
-    time("q4_priority_late") {
+    // the textbook semi-join (sort-merges the raw fact) vs the
+    // monotone-EXISTS max-rewrite the registered query ships
+    time("q4_semi_naive") {
       val d = ordR
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1996-04-01")))
@@ -666,6 +668,18 @@ object Stress {
           col("o_orderkey") === col("l_orderkey") &&
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
           "leftsemi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      forced(d, bit_xor(xxhash64(col("o_orderpriority"), col("n_orders"))))
+    }
+    time("q4_priority_late") {
+      val lMax = liSd.groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_shipdate"))
+      val d = ordR
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01")))
+        .join(lMax, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("max_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
       forced(d, bit_xor(xxhash64(col("o_orderpriority"), col("n_orders"))))

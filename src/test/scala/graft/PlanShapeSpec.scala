@@ -24,10 +24,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("l_comment") && !p.contains("l_partkey"), p)
   }
 
-  test("q4 plans the EXISTS as a left-semi join with the date range pushed down") {
+  test("q4 reduces the fact side map-side (EXISTS -> partial max), no fact sort") {
     val p = plan("q4_priority_late")
-    // semi-join: orders emit at most once, no post-join distinct needed
-    assert(p.contains("LeftSemi"), p)
+    // the monotone-EXISTS rewrite: lineitem partially aggregates to one
+    // (orderkey, max_shipdate) row in the scan stage — never sort-merges
+    // the raw fact
+    assert(p.contains("partial_max"), p)
     // quarter filter reaches the orders scan
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
     // lineitem pruned to the two referenced columns
