@@ -606,15 +606,38 @@ object Stress {
     // per event — ev carries no value column)
     val evv = ev.withColumn("value",
       (pmod(col("event_id"), lit(10000L))).cast("double") / 10.0)
-    time("attribution") {
+    time("attribution_sliding") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val touch = when(col("event_type").isin("click", "view"), col("event_type"))
       val d = evv
+        .filter(col("event_type").isin("click", "view", "purchase"))
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
         .select(col("event_type"), col("value"),
           last(touch, ignoreNulls = true).over(w).as("touch_type"))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+      forced(d, bit_xor(xxhash64(col("touch_type"), col("n_purchases"), col("revenue"))))
+    }
+    time("attribution") {
+      // the registered form: accumulating frame (unbounded..current) + lag(1);
+      // the sliding (unbounded..-1) twin below measures what it replaces
+      // (3.3 vs 12.4 s at 100x)
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wAcc = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+      val d = evv
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"),
+          last(touch, ignoreNulls = true).over(wAcc).as("run_incl"))
+        .select(col("event_type"), col("value"),
+          lag(col("run_incl"), 1).over(wOrd).as("touch_type"))
         .filter(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
         .agg(count(lit(1)).as("n_purchases"),

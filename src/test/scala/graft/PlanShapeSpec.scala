@@ -271,11 +271,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
-  test("attribution: one user shuffle + one Window carry, no purchase x touch join") {
+  test("attribution: one user shuffle + accumulating carry, no purchase x touch join") {
     // last-touch attribution must be the running-carry window, never the
-    // per-purchase backward join; the touch-type rollup combines map-side
+    // per-purchase backward join; the carry + lag share ONE shuffle and
+    // ONE sort (the second Window reuses the first's ordering), and the
+    // touch-type rollup combines map-side. The type filter reaches the
+    // scan so only touches/purchases enter the sort.
     val p = plan("attribution_last_touch")
-    assert("Window ".r.findAllIn(p).size == 1, p)
+    // user shuffle + the 3-group rollup shuffle; nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // ONE user-ordered sort feeds both Window passes (the lag reuses the
+    // carry's ordering); the only other Sort is the final output orderBy
+    assert("Sort \\[user_id".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("In(event_type, ["), p)
     assert(p.contains("partial_count"), p)
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
