@@ -1099,6 +1099,35 @@ object SparkEntry {
       .withColumn("is_anomaly", col("is_anomaly").cast(LongType))
       .orderBy("hour_start", "event_type")
 
+  /** Per-type OLS trend over hourly counts ([[Quality.trendFromBuckets]]):
+    * the monitoring family's TREND leg — the spike/MAD/EWMA monitors all
+    * re-baseline on slow change by design, so a gradual decline never
+    * alarms; the least-squares slope catches it. BIGINT-exact
+    * numerator/denominator, slope the one shared IEEE division. */
+  private def eventsTrend(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Quality.trendFromBuckets(hourly, "event_type", "h", "n")
+      .select(col("event_type"), col("n_buckets").as("n_hours"),
+        col("slope_num"), col("slope_den"), col("slope"), col("declining"))
+      .orderBy("event_type")
+  }
+
+  /** Exact two-sample KS statistics ([[Quality.ksStatistic]]) between the
+    * click value distribution and each of view/error — the binless
+    * distribution-shift monitor beside the binned TV drift. The running
+    * CDFs ride the distributed prefix-sum machinery
+    * ([[graft.operators.Ranking.withPrefixSums]]) — no single-task
+    * global window even on a continuous value domain. */
+  private def valueKs(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    Quality.ksStatistic(ev, "event_type", "value", "click", "view")
+      .unionByName(
+        Quality.ksStatistic(ev, "event_type", "value", "click", "error"))
+      .orderBy("type_b")
+  }
+
   /** Z-order layout key: the Morton interleave of (l_partkey, l_suppkey)
     * that [[graft.operators.Layout.zorderWrite]] clusters files on —
     * registered as a query so the curve itself is oracle-checked
@@ -2529,7 +2558,9 @@ object SparkEntry {
     "hybrid_topk" -> (hybridTopK _),
     "ranking_agreement" -> (rankingAgreement _),
     "curation_pipeline" -> (curationPipeline _),
-    "sessionize_native" -> (sessionizeNative _)
+    "sessionize_native" -> (sessionizeNative _),
+    "events_trend" -> (eventsTrend _),
+    "value_ks" -> (valueKs _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4307,6 +4338,72 @@ object SparkEntry {
         |SELECT event_type, CAST(MAX(ng) AS BIGINT) AS n_obs,
         | CAST(SUM(ABS(o*N - c*ng)) + MAX(ng) * (MAX(N) - SUM(c)) AS DOUBLE)
         |   / (2.0 * MAX(ng) * MAX(N)) AS tv_distance
-        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // slope is shift-invariant, so x = hours since the key's own first
+    // bucket (keeps every product far inside BIGINT); numerator and
+    // denominator emitted exactly, slope the one shared IEEE division
+    "events_trend" ->
+      """WITH h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |x AS (
+        | SELECT event_type, n,
+        |  CAST(epoch(b) AS BIGINT) // 3600
+        |   - MIN(CAST(epoch(b) AS BIGINT) // 3600)
+        |      OVER (PARTITION BY event_type) AS x
+        | FROM h),
+        |s AS (
+        | SELECT event_type, COUNT(*) AS nb,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(n) AS BIGINT) AS sy,
+        |  CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*n) AS BIGINT) AS sxy
+        | FROM x GROUP BY 1)
+        |SELECT event_type, nb AS n_hours,
+        | CAST(nb*sxy - sx*sy AS BIGINT) AS slope_num,
+        | CAST(nb*sxx - sx*sx AS BIGINT) AS slope_den,
+        | CASE WHEN nb*sxx - sx*sx = 0 THEN NULL
+        |      ELSE CAST(nb*sxy - sx*sy AS DOUBLE)
+        |           / CAST(nb*sxx - sx*sx AS DOUBLE) END AS slope,
+        | CAST(nb*sxy - sx*sy < 0 AS BIGINT) AS declining
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // exact integer KS: D_num = max |nb_tot*ca - na_tot*cb| over the
+    // union of distinct values; the one shared division lands last
+    "value_ks" ->
+      """WITH c1 AS (SELECT value AS v,
+        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS nb
+        | FROM events WHERE event_type IN ('click','view') AND value IS NOT NULL
+        | GROUP BY 1),
+        |cum1 AS (SELECT CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |                CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb FROM c1),
+        |t1 AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |              CAST(SUM(nb) AS BIGINT) AS n_b FROM c1),
+        |d1 AS (SELECT n_a, n_b,
+        |        CAST(MAX(ABS(n_b*ca - n_a*cb)) AS BIGINT) AS d_num
+        |       FROM cum1, t1 GROUP BY 1, 2),
+        |c2 AS (SELECT value AS v,
+        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS nb
+        | FROM events WHERE event_type IN ('click','error') AND value IS NOT NULL
+        | GROUP BY 1),
+        |cum2 AS (SELECT CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |                CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb FROM c2),
+        |t2 AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |              CAST(SUM(nb) AS BIGINT) AS n_b FROM c2),
+        |d2 AS (SELECT n_a, n_b,
+        |        CAST(MAX(ABS(n_b*ca - n_a*cb)) AS BIGINT) AS d_num
+        |       FROM cum2, t2 GROUP BY 1, 2)
+        |SELECT * FROM (
+        | SELECT 'click' AS type_a, 'view' AS type_b, n_a, n_b, d_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) END AS ks
+        | FROM d1
+        | UNION ALL
+        | SELECT 'click' AS type_a, 'error' AS type_b, n_a, n_b, d_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) END AS ks
+        | FROM d2)
+        |ORDER BY type_b""".stripMargin
   )
 }

@@ -515,4 +515,95 @@ object Quality {
       }
     }.toDF(keyCol, bucketCol, countCol, "ewma_scaled", "spike")
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of groups `a` and `b` — the monitoring
+    * family's BINLESS distribution-shift leg: TV drift
+    * ([[driftFromBuckets]]) needs a bucketing choice and is blind to
+    * shifts inside a bucket; KS is the sup-distance between the two
+    * EMPIRICAL CDFs, no bins, sensitive to any location/shape change.
+    *
+    * Exact integer form: with per-distinct-value counts (na, nb) and
+    * running totals (ca, cb), D = max |nb_tot·ca − na_tot·cb| / (na_tot·
+    * nb_tot) — the numerator is all-BIGINT so the max is engine-exact,
+    * and the one shared IEEE division at the end is bit-identical on
+    * identical operands (the events_spike playbook).
+    *
+    * SCALE: the corpus reduces FIRST to distinct (value → na, nb) counts
+    * in one map-side-combined rollup; the running CDFs ride
+    * [[Ranking.withPrefixSums]] — range-repartition + partition-offset
+    * reconstruction — so there is NO single-task global window anywhere
+    * even when the value domain is continuous (distinct values ~ rows).
+    * Totals arrive as a broadcast one-row cross join (the established
+    * one-row-aggregate shape). */
+  def ksStatistic(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    require(a != b, s"need two distinct groups, got '$a' twice")
+    val counts = df
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("nb"))
+    val cum = graft.operators.Ranking.withPrefixSums(
+      counts, Seq(col("v")), Seq("na", "nb"))
+    val totals = broadcast(counts.agg(
+      sum(col("na")).as("na_tot"), sum(col("nb")).as("nb_tot")))
+    cum.crossJoin(totals)
+      .agg(
+        max(col("na_tot")).as("n_a"),
+        max(col("nb_tot")).as("n_b"),
+        max(abs(col("nb_tot") * col("na_cum") -
+          col("na_tot") * col("nb_cum"))).as("d_num"))
+      .select(
+        lit(a).as("type_a"), lit(b).as("type_b"),
+        col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null))
+          .otherwise(col("d_num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** Per-key OLS trend over a pre-aggregated (key, bucket, count) frame —
+    * the monitoring family's TREND leg: the z-test/MAD/EWMA monitors all
+    * re-baseline on slow change BY DESIGN, so a gradual decline (a dying
+    * event source, a slowly rotting scraper) never alarms; the
+    * least-squares slope of count against bucket index is exactly the
+    * statistic that catches it.
+    *
+    * Exact integer form: x = hours since the KEY'S OWN first bucket
+    * (slope is shift-invariant, and the shift keeps every product far
+    * inside BIGINT — absolute epoch-hour x would overflow n·Σx² at ~720
+    * buckets), slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with BIGINT
+    * numerator/denominator emitted exactly and the slope itself the one
+    * shared IEEE division. `declining` is a sign test on the numerator —
+    * integer-exact, engine-portable.
+    *
+    * SCALE: runs on the caller's already-reduced bucket frame; the
+    * per-key min rides a Window over the SAME key partitioning the
+    * sum rollup then reuses (one Exchange total). */
+  def trendFromBuckets(buckets: DataFrame, keyCol: String,
+      bucketCol: String, countCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = buckets.select(
+      col(keyCol).as("k"),
+      expr(s"unix_timestamp($bucketCol) div 3600").as("h"),
+      col(countCol).cast("long").as("y"))
+    val w = Window.partitionBy("k")
+    val shifted = base.withColumn("x", col("h") - min(col("h")).over(w))
+    shifted.groupBy(col("k").as(keyCol))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col(keyCol), col("n_buckets"),
+        (col("n_buckets") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_buckets") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope",
+        when(col("slope_den") === 0L, lit(null))
+          .otherwise(col("slope_num").cast("double") /
+            col("slope_den").cast("double")))
+      .withColumn("declining", (col("slope_num") < 0L).cast("long"))
+  }
 }

@@ -52,6 +52,48 @@ object Ranking {
     (ranked, total)
   }
 
+  /** `df` plus an inclusive prefix sum (`<c>_cum`) of each BIGINT column
+    * in `sumCols` under the total order `order` — the running-total
+    * generalization of [[withGlobalRank]], with the same distributed
+    * shape: range-repartition on the order, sort within partitions,
+    * collect PER-PARTITION TOTALS (a numPartitions × sumCols driver
+    * array), and reconstruct the exact global running sum as
+    * partition-offset + in-partition cumulative window (partitioned by
+    * partition id — parallel, never a single-task global window). Sums
+    * are BIGINT so accumulation order cannot change the result; the
+    * same eager-localCheckpoint note as [[withGlobalRank]] applies
+    * (offsets and cumulatives must read ONE materialization). */
+  def withPrefixSums(df: DataFrame, order: Seq[Column],
+      sumCols: Seq[String]): DataFrame = {
+    require(order.nonEmpty, "need at least one order column")
+    require(sumCols.nonEmpty, "need at least one sum column")
+    import org.apache.spark.sql.graft.Bridge
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = Bridge.resetStats(
+      df.repartitionByRange(p, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint(true))
+    val partTotals = sorted.groupBy(col("__pid"))
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .collect()
+      .map(r => r.getInt(0) -> sumCols.map(c => r.getAs[Long](c)).toArray)
+      .sortBy(_._1)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sumCols.zipWithIndex.foldLeft(sorted) { case (acc, (c, i)) =>
+      val offsets = partTotals.scanLeft((0, 0L)) { case ((_, run), (pid, t)) =>
+        (pid, run + t(i))
+      }.init
+      val offByPid = partTotals.map(_._1).zip(offsets.map(_._2)).toMap
+      val offCol = offByPid.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+        when(col("__pid") === pid, lit(off)).otherwise(e)
+      }
+      acc.withColumn(s"${c}_cum", sum(col(c)).over(w) + offCol)
+    }.drop("__pid")
+  }
+
   /** SQL-standard NTILE(k) from a 1-based rank over `n` rows: the first
     * n % k buckets take ceil(n/k) rows, the rest floor(n/k) — matching
     * Spark's and DuckDB's window NTILE exactly. floor over doubles is

@@ -468,6 +468,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out("burst").exists(r => r._2 == ts(7) && r._5))
   }
 
+  test("withPrefixSums matches a driver-side cumulative fold; layout-invariant") {
+    import graft.operators.Ranking
+    // hash-derived pseudo-random values (no rng), two sum columns
+    val df = spark.range(0, 500).toDF("i")
+      .withColumn("v", xxhash64(col("i")) % 97)
+      .withColumn("a", abs(xxhash64(col("i"), lit(1))) % 11)
+      .withColumn("b", abs(xxhash64(col("i"), lit(2))) % 7)
+    val got = Ranking.withPrefixSums(df, Seq(col("v"), col("i")), Seq("a", "b"))
+      .orderBy("v", "i")
+      .select("i", "a_cum", "b_cum").as[(Long, Long, Long)].collect().toSeq
+    val rows = df.orderBy("v", "i")
+      .select("i", "a", "b").as[(Long, Long, Long)].collect()
+    val ref = rows.scanLeft((0L, 0L, 0L)) { case ((_, ca, cb), (i, a, b)) =>
+      (i, ca + a, cb + b)
+    }.tail.toSeq
+    assert(got == ref)
+    // layout cannot change the result (machinery re-ranges internally)
+    val got2 = Ranking.withPrefixSums(df.repartition(7), Seq(col("v"), col("i")),
+        Seq("a", "b"))
+      .orderBy("v", "i").select("i", "a_cum", "b_cum")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2 == ref)
+  }
+
+  test("KS statistic: zero on identical samples, 1 on disjoint, hand value exact") {
+    import graft.operators.Quality
+    def ks(rows: Seq[(String, Double)]): (Long, Long, Long, Option[Double]) =
+      Quality.ksStatistic(rows.toDF("g", "v"), "g", "v", "a", "b")
+        .select("n_a", "n_b", "d_num", "ks")
+        .as[(Long, Long, Long, Option[Double])].collect().head
+    val same = Seq(1.0, 2.0, 5.0, 9.0)
+    assert(ks(same.map(("a", _)) ++ same.map(("b", _))) == ((4L, 4L, 0L, Some(0.0))))
+    // disjoint supports: D = 1
+    assert(ks(Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0)))
+      == ((2L, 2L, 4L, Some(1.0))))
+    // a={1,2}, b={1,3}: cums a=(1,2,2), b=(1,1,2) -> D_num=2, ks=0.5
+    assert(ks(Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0)))
+      == ((2L, 2L, 2L, Some(0.5))))
+  }
+
+  test("OLS trend: exact slope on linear fixtures; single bucket yields null slope") {
+    import graft.operators.Quality
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    val rows =
+      (0 until 5).map(h => ("up", ts(h), 7L + 3L * h)) ++     // slope 3
+      (0 until 5).map(h => ("down", ts(h), 100L - 2L * h)) ++ // slope -2
+      (0 until 5).map(h => ("flat", ts(h), 42L)) ++
+      Seq(("one", ts(0), 5L))
+    val out = Quality.trendFromBuckets(rows.toDF("k", "b", "n"), "k", "b", "n")
+      .select("k", "n_buckets", "slope", "declining")
+      .as[(String, Long, Option[Double], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("up") == ((5L, Some(3.0), 0L)))
+    assert(out("down") == ((5L, Some(-2.0), 1L)))
+    assert(out("flat") == ((5L, Some(0.0), 0L)))
+    assert(out("one") == ((1L, None, 0L)))
+    // slope is invariant to the key's absolute time offset
+    val shifted = (0 until 5).map(h => ("up", ts(h + 13), 7L + 3L * h))
+    val s2 = Quality.trendFromBuckets(shifted.toDF("k", "b", "n"), "k", "b", "n")
+      .select("slope").as[Option[Double]].collect().head
+    assert(s2 == Some(3.0))
+  }
+
   test("gap fill: planted gap zero-filled and carries the prior value; leading cells null") {
     import graft.operators.Temporal
     import java.sql.Timestamp

@@ -634,4 +634,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("events_trend: hourly rollup combines map-side; window + slope agg share one key Exchange") {
+    val p = plan("events_trend")
+    assert(p.contains("partial_count"), p)
+    // (type,h) rollup Exchange + type Exchange reused by window AND the
+    // sums rollup — never a third
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("(?m)^\\s*[+:|* -]*Window".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("value_ks: CDF windows are partition-parallel — never a single-task global window") {
+    // the KS cumulative CDFs ride withPrefixSums (range repartition +
+    // partition-offset reconstruction): every Window in the final plan
+    // must be PARTITIONED (by __pid); a bare global orderBy window is
+    // the single-task cliff this machinery exists to avoid. Totals
+    // arrive as one-row broadcast cross joins, never a shuffled join.
+    val df = SparkEntry.queries("value_ks")(spark, sf)
+    val exec = df.queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 2, exec.toString)
+    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    val s = exec.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
+  }
 }
