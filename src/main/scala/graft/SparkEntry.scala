@@ -1128,6 +1128,18 @@ object SparkEntry {
       .orderBy("type_b")
   }
 
+  private val corrCols =
+    Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** Decimal-exact Pearson correlation matrix over the lineitem numeric
+    * columns ([[Quality.corrMatrix]]) — the profiler's relationship leg:
+    * one map-side-combined pass computes every moment exactly, the corr
+    * tail is a fixed IEEE expression over exact operands (oracle
+    * generated from the same column list by [[Quality.corrMatrixSql]]). */
+  private def numericCorr(s: SparkSession, d: String): DataFrame =
+    Quality.corrMatrix(lineitem(s, d), corrCols)
+      .orderBy("col_x", "col_y")
+
   /** Z-order layout key: the Morton interleave of (l_partkey, l_suppkey)
     * that [[graft.operators.Layout.zorderWrite]] clusters files on —
     * registered as a query so the curve itself is oracle-checked
@@ -2560,7 +2572,8 @@ object SparkEntry {
     "curation_pipeline" -> (curationPipeline _),
     "sessionize_native" -> (sessionizeNative _),
     "events_trend" -> (eventsTrend _),
-    "value_ks" -> (valueKs _)
+    "value_ks" -> (valueKs _),
+    "numeric_corr" -> (numericCorr _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2592,6 +2605,7 @@ object SparkEntry {
         "SELECT DISTINCT l_partkey AS node FROM lineitem WHERE l_partkey < 10",
         maxHops = 4)) +
       ("table_profile" -> Quality.tableProfileSql("orders", orderProfileCols)) +
+      ("numeric_corr" -> Quality.corrMatrixSql("lineitem", corrCols)) +
       // the proven row-25 Jaccard-pair CTEs reduced to an edge list,
       // chained into the shared census body (one source, two engines)
       ("graph_transitivity" ->

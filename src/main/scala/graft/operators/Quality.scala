@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality gates the reference applies before every stage/load:
@@ -605,5 +605,90 @@ object Quality {
           .otherwise(col("slope_num").cast("double") /
             col("slope_den").cast("double")))
       .withColumn("declining", (col("slope_num") < 0L).cast("long"))
+  }
+
+  /** Pairwise Pearson correlation over fixed-point numeric columns — the
+    * profiler's RELATIONSHIP leg beside [[tableProfile]]'s per-column
+    * measures (deequ's correlation analyzer): collinear features and
+    * broken derived columns (price no longer tracking quantity) show up
+    * here first.
+    *
+    * Exactness: each value is quantized to integer `cents` units (the
+    * inputs carry ≤2 decimals — checked to 1e-9 on the test tables), so
+    * every moment Σx, Σx², Σxy accumulates as DECIMAL — order-independent
+    * EXACT sums where double accumulation would be layout-dependent. The
+    * correlation itself is then a fixed IEEE expression over exact
+    * operands, with the decimal→double conversions VARCHAR-mediated on
+    * both engines (the embedding_centroids parity route; DuckDB's native
+    * decimal→double cast is 1 ulp off). Constant columns yield NULL.
+    *
+    * SCALE: ONE map-side-combined global aggregate (k + k(k+1)/2 sums in
+    * a single pass — no per-pair jobs, no corr() double accumulation),
+    * one single-partition Exchange of one row, then a row-per-pair
+    * explode of the single result row. [[corrMatrixSql]] generates the
+    * DuckDB oracle from the SAME column list (HUGEINT sums mirror the
+    * decimal exactness). */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      cents: Int = 100): DataFrame = {
+    require(cols.size >= 2, s"need >= 2 columns, got $cols")
+    require(cents >= 1, s"need cents >= 1, got $cents")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      round(col(c) * cents, 0).cast("long").as(s"q$i")
+    }: _*)
+    def dec(i: Int) = col(s"q$i").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    val sums: Seq[Column] =
+      Seq(count(lit(1)).as("n")) ++
+        cols.indices.map(i => sum(dec(i)).as(s"s$i")) ++
+        cols.indices.map(i => sum(dec(i) * dec(i)).as(s"p${i}_$i")) ++
+        pairs.map { case (i, j) => sum(dec(i) * dec(j)).as(s"p${i}_$j") }
+    val one = base.agg(sums.head, sums.tail: _*)
+    def vmd(c: Column) = c.cast("string").cast("double")
+    val rows = pairs.map { case (i, j) =>
+      val num = col("n") * col(s"p${i}_$j") - col(s"s$i") * col(s"s$j")
+      val di = col("n") * col(s"p${i}_$i") - col(s"s$i") * col(s"s$i")
+      val dj = col("n") * col(s"p${j}_$j") - col(s"s$j") * col(s"s$j")
+      struct(
+        lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        col("n").as("n_rows"),
+        when(di === 0 || dj === 0, lit(null).cast("double"))
+          .otherwise(vmd(num) / sqrt(vmd(di) * vmd(dj))).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** The DuckDB twin of [[corrMatrix]], generated from the same column
+    * list: HUGEINT (128-bit) sums give the same order-independent
+    * exactness as Spark's decimals, and the identical VARCHAR-mediated
+    * double conversion + IEEE tail makes corr bit-equal. */
+  def corrMatrixSql(table: String, cols: Seq[String],
+      cents: Int = 100): String = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val qs = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(round($c * $cents) AS HUGEINT) AS q$i" }.mkString(", ")
+    val moments =
+      (cols.indices.map(i => s"SUM(q$i) AS s$i") ++
+        cols.indices.map(i => s"SUM(q$i*q$i) AS p${i}_$i") ++
+        pairs.map { case (i, j) => s"SUM(q$i*q$j) AS p${i}_$j" }).mkString(", ")
+    val rows = pairs.map { case (i, j) =>
+      val num = s"n*p${i}_$j - s$i*s$j"
+      val di = s"n*p${i}_$i - s$i*s$i"
+      val dj = s"n*p${j}_$j - s$j*s$j"
+      s"""SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, n AS n_rows,
+         | CASE WHEN ($di) = 0 OR ($dj) = 0 THEN NULL
+         |  ELSE CAST(CAST($num AS VARCHAR) AS DOUBLE)
+         |   / sqrt(CAST(CAST($di AS VARCHAR) AS DOUBLE)
+         |          * CAST(CAST($dj AS VARCHAR) AS DOUBLE)) END AS corr
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT $qs FROM $table),
+       |s AS (SELECT COUNT(*) AS n, $moments FROM q)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY col_x, col_y""".stripMargin
   }
 }

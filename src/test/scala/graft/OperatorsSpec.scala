@@ -532,6 +532,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s2 == Some(3.0))
   }
 
+  test("corrMatrix: exact ±1 on linear columns, null on constants, matches stat.corr") {
+    import graft.operators.Quality
+    val df = spark.range(1, 201).toDF("i")
+      .withColumn("x", col("i").cast("double") / 4)
+      .withColumn("y", col("i").cast("double") / 2 + 3) // y = 2x + 3
+      .withColumn("z", lit(0.25) - col("i").cast("double") / 4) // z = -x + .25
+      .withColumn("c", lit(7.0))
+      .withColumn("w", (xxhash64(col("i")) % 1000).cast("double") / 100)
+    val out = Quality.corrMatrix(df, Seq("x", "y", "z", "c", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("x", "y")) == Some(1.0))   // exact: small exact operands
+    assert(out(("x", "z")) == Some(-1.0))
+    assert(out(("x", "c")).isEmpty && out(("c", "w")).isEmpty)
+    val expected = df.stat.corr("x", "w")
+    assert(math.abs(out(("x", "w")).get - expected) < 1e-12)
+  }
+
   test("gap fill: planted gap zero-filled and carries the prior value; leading cells null") {
     import graft.operators.Temporal
     import java.sql.Timestamp

@@ -635,6 +635,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("numeric_corr: every moment in ONE map-side-combined pass, single one-row Exchange") {
+    val p = plan("numeric_corr")
+    assert(p.contains("partial_count"), p) // moments combine map-side
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("events_trend: hourly rollup combines map-side; window + slope agg share one key Exchange") {
     val p = plan("events_trend")
     assert(p.contains("partial_count"), p)
