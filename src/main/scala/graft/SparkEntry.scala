@@ -1128,6 +1128,17 @@ object SparkEntry {
       .orderBy("type_b")
   }
 
+  /** Count-min-sketch frequency estimates for the exact top-20 tokens
+    * ([[TextAnalysis.cmsTokenEstimates]]) — the sketch family's
+    * point-query leg, built through Spark's NATIVE count_min_sketch
+    * aggregate so partial sketches merge inside the shuffle (vs the
+    * heavy-hitters twin's driver-side partition-sketch merge — the
+    * 1000-executor posture). Rows-only: est/overestimate have no DuckDB
+    * twin; est ≥ exact and the eps·N bound are property-pinned, and the
+    * sketch itself is bitwise layout-invariant (pinned too). */
+  private def tokenCms(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cmsTokenEstimates(documents(s, d), "text", k = 20)
+
   private val corrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
@@ -2573,7 +2584,8 @@ object SparkEntry {
     "sessionize_native" -> (sessionizeNative _),
     "events_trend" -> (eventsTrend _),
     "value_ks" -> (valueKs _),
-    "numeric_corr" -> (numericCorr _)
+    "numeric_corr" -> (numericCorr _),
+    "token_cms" -> (tokenCms _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path

@@ -1002,4 +1002,55 @@ object TextAnalysis {
       .withColumn("keep",
         col("score") * thresholdDen >= lit(thresholdNum) * col("n_tokens"))
   }
+
+  /** Count-min-sketch token-frequency estimates beside the exact counts —
+    * the sketch family's POINT-QUERY leg (HLL answers "how many
+    * distinct", Misra-Gries "which are heavy"; CMS answers "how often is
+    * THIS one" in bounded memory): the sketch an ingest pipeline keeps
+    * per shard/day and merges for ad-hoc frequency probes without
+    * re-scanning the corpus.
+    *
+    * Shape: one corpus pass aggregates Spark's built-in
+    * `count_min_sketch` (depth×width counter grid, KB–MB regardless of
+    * corpus size — the classic mergeable-summary contract; partials merge
+    * by counter addition, so the sketch is LAYOUT-INVARIANT bitwise,
+    * unlike Misra-Gries whose candidate set depends on partition
+    * boundaries); one exact top-k pass (TakeOrdered) provides the probe
+    * set and ground truth. The sketch and the k probe rows are the only
+    * driver-side state (the k-means-centroid precedent). Guarantees
+    * (property-pinned): est ≥ exact always; est ≤ exact + ⌈eps·N⌉ with
+    * probability `confidence` per probe. */
+  def cmsTokenEstimates(docs: DataFrame, textCol: String, k: Int,
+      eps: Double = 0.0001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val toks = docs.select(explode(wsTokens(col(textCol))).as("tok"))
+    val bytes = toks
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
+        lit(seed)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+    val topk = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok")).limit(k)
+      .as[(String, Long)].collect()
+    topk.toSeq
+      .map { case (t, exact) =>
+        val est = cms.estimateCount(t)
+        (t, exact, est, est - exact)
+      }
+      .toDF("tok", "exact", "est", "overestimate")
+      .orderBy(col("exact").desc, col("tok"))
+  }
+
+  /** The serialized count-min sketch itself for `docs` — exposed so the
+    * layout-invariance contract is testable bitwise and so callers can
+    * persist/merge shard sketches. */
+  def cmsSketchBytes(docs: DataFrame, textCol: String, eps: Double,
+      confidence: Double, seed: Int): Array[Byte] =
+    docs.select(explode(wsTokens(col(textCol))).as("tok"))
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
+        lit(seed)).as("s"))
+      .head().getAs[Array[Byte]](0)
 }

@@ -676,6 +676,35 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native CMS estimates: overestimate-only within eps*N; sketch bitwise layout-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val eps = 1e-4
+    val out = TextAnalysis.cmsTokenEstimates(docs, "text", k = 20, eps = eps)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    val total = docs.select(explode(graft.functions.wsTokens($"text"))).count()
+    out.foreach { case (t, exact, est, over) =>
+      assert(est >= exact, s"$t undercounted: $est < $exact")
+      assert(over == est - exact)
+      assert(est <= exact + (eps * total).toLong + 1,
+        s"$t overcounted past the eps bound: $est vs $exact")
+    }
+    // exact column + selection agree with a driver-side full recount
+    // (MG at k=20 can't serve as the reference: its recall guarantee
+    // only covers counts > N/21, which the 20th token need not clear)
+    val ref = docs.select(explode(graft.functions.wsTokens($"text")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, n) => (-n, t) }.take(20).toSeq
+    assert(out.map(r => (r._1, r._2)).toSeq == ref)
+    // the native aggregate's merged sketch cannot depend on layout —
+    // counter addition is commutative (the MG twin, by contrast, is
+    // only deterministic relative to a partition layout)
+    val a = TextAnalysis.cmsSketchBytes(docs, "text", eps, 0.99, 42)
+    val b = TextAnalysis.cmsSketchBytes(docs.repartition(13), "text", eps, 0.99, 42)
+    assert(java.util.Arrays.equals(a, b), "sketch must be layout-invariant")
+  }
+
   test("ivf-pq probing all cells is bit-identical to plain pq") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 8)
