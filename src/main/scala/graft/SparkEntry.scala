@@ -1139,6 +1139,17 @@ object SparkEntry {
   private def tokenCms(s: SparkSession, d: String): DataFrame =
     TextAnalysis.cmsTokenEstimates(documents(s, d), "text", k = 20)
 
+  /** Farthest-point diverse sampling over the embedding corpus
+    * ([[Similarity.farthestPointSample]]): the k-center 2-approximation
+    * picking a coverage-maximizing subset — seed/eval-set selection.
+    * Rows-only (greedy argmax has no SQL form); planted-cluster
+    * coverage, non-increasing selection distances and repartition
+    * invariance are spec-pinned. */
+  private def diverseSample(s: SparkSession, d: String): DataFrame =
+    Similarity.farthestPointSample(embeddings(s, d), "vec_id", "embedding",
+        k = 8)
+      .orderBy("pick")
+
   private val corrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
@@ -2585,7 +2596,8 @@ object SparkEntry {
     "events_trend" -> (eventsTrend _),
     "value_ks" -> (valueKs _),
     "numeric_corr" -> (numericCorr _),
-    "token_cms" -> (tokenCms _)
+    "token_cms" -> (tokenCms _),
+    "diverse_sample" -> (diverseSample _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path

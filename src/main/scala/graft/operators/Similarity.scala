@@ -600,4 +600,68 @@ object Similarity {
       row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist"), col(idCol))))
   }
+
+  /** Farthest-point (Gonzalez) k-center sampling over the embedding
+    * corpus — DIVERSITY-maximizing subset selection, the curation
+    * counterpart of dedup: dedup removes what is too close, diverse
+    * sampling PICKS what spans the space (seed-set selection for
+    * annotation, eval-set construction, coverage-balanced subsampling).
+    * Greedy farthest-point is the classic 2-approximation to the
+    * k-center objective.
+    *
+    * Round r scores every vector's squared-L2 distance to its NEAREST
+    * already-chosen center in ONE zero-shuffle codegen'd projection
+    * (|v|² − 2v·cᵢ + |cᵢ|² per center via the [[graft.functions
+    * .FloatDotProduct]] kernel, `least` across ≤ k such columns — the
+    * embedding_outliers posture: centers are plan-embedded driver state,
+    * index-sized like centroids/codebooks), then takes the argmax with a
+    * single packed-BIGINT max aggregate: key = dist_milli·2³¹ +
+    * (2³¹−1−id), so larger distance wins and ties break to the SMALLER
+    * id — one hash-aggregable max, no corpus-wide sort, no struct
+    * SortAggregate. Distances quantized to milli-units for the packing;
+    * determinism is layout-free (per-row IEEE + integer max).
+    *
+    * Result: (pick, vec_id, dist_milli) — dist_milli is the max-min
+    * distance at selection time (the coverage radius of the PREVIOUS
+    * pick set); pick 1 is the deterministic seed (min id, dist 0).
+    * Rows-only: greedy argmax iteration has no SQL form; spec pins
+    * planted-cluster coverage, non-increasing distances, and
+    * repartition invariance. */
+  def farthestPointSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val base = emb.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("v"))
+    def fetch(id: Long): Array[Float] =
+      base.filter(col("id") === id).select(col("v"))
+        .head().getSeq[Float](0).toArray
+    val bounds = base.agg(min(col("id")), max(col("id"))).head()
+    val seed = bounds.getLong(0)
+    require(seed >= 0L && bounds.getLong(1) < 2147483647L,
+      s"ids must fit [0, 2^31) for the argmax packing, got " +
+        s"[${bounds.getLong(0)}, ${bounds.getLong(1)}]")
+    val picks = scala.collection.mutable.ArrayBuffer((seed, 0L))
+    var centers = Array(fetch(seed))
+    while (picks.size < k) {
+      val selfDot = graft.functions.dotFast(col("v"), col("v"))
+      val dists = centers.map { c =>
+        val cSq = c.map(x => x.toDouble * x.toDouble).sum
+        selfDot - lit(2.0) * graft.functions.dotFast(col("v"),
+          typedlit(c.toSeq)) + lit(cSq)
+      }
+      val minDist = dists.reduce((a, b) => least(a, b))
+      // negatives only from IEEE noise at distance ~0: clamp for packing
+      val dMilli = greatest(round(minDist * 1000).cast(LongType), lit(0L))
+      val key = dMilli * lit(2147483648L) + (lit(2147483647L) - col("id"))
+      val best = base.agg(max(key)).head().getLong(0)
+      val bestId = 2147483647L - (best % 2147483648L)
+      picks += ((bestId, best / 2147483648L))
+      if (picks.size < k) centers = centers :+ fetch(bestId)
+    }
+    picks.toSeq.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("pick", idCol, "dist_milli")
+  }
 }

@@ -705,6 +705,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b), "sketch must be layout-invariant")
   }
 
+  test("farthest-point sampling covers planted clusters; distances non-increasing; layout-invariant") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // three tight, well-separated clusters around (0,0), (100,0), (0,100)
+    // plus intra-cluster jitter keyed on the id (no rng)
+    val rows = (0L until 30L).map { i =>
+      val c = i % 3
+      val (bx, by) = c match {
+        case 0 => (0f, 0f); case 1 => (100f, 0f); case _ => (0f, 100f)
+      }
+      Row(i, Seq(bx + (i % 7) * 0.1f, by + (i % 5) * 0.1f))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), schema)
+    val out = Similarity.farthestPointSample(df, "vec_id", "embedding", k = 5)
+      .orderBy("pick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == ((1L, 0L, 0L))) // deterministic min-id seed
+    // the first three picks must hit all three clusters
+    assert(out.take(3).map(_._2 % 3).toSet == Set(0L, 1L, 2L))
+    // selection distances never increase after pick 2 (max-min shrinks)
+    val ds = out.drop(1).map(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a }, ds.toSeq)
+    // picks 4-5 are far cheaper than the cluster-spanning picks
+    assert(ds(0) > 100L * 1000 && ds.last < 10L * 1000, ds.toSeq)
+    // layout cannot change any pick
+    val out2 = Similarity.farthestPointSample(df.repartition(11),
+        "vec_id", "embedding", k = 5)
+      .orderBy("pick").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == out.toSeq)
+  }
+
   test("ivf-pq probing all cells is bit-identical to plain pq") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 8)
