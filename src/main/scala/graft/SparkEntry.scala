@@ -92,6 +92,50 @@ object SparkEntry {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q8-style national market share: within the AMERICA region's
+    * PROMO-part market, the yearly revenue share supplied by NATION_3 —
+    * the two-level share completing the decision-support set (Q7 row 149
+    * is bilateral volume; Q8 adds share-of-market). Same scale posture
+    * as q5: every dimension (part subset, supplier, both nation roles,
+    * region) broadcasts, lineitem→orders is the one fact join; volume
+    * sums are decimal-exact (the proven q5 fragment), the share one IEEE
+    * division of the two exact sums. */
+  private def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val r = broadcast(region(s, d).filter(col("r_name") === "AMERICA"))
+    val n1 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+    val n2 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val p = broadcast(part(s, d).filter(col("p_type") === "PROMO")
+      .select("p_partkey"))
+    val su = broadcast(supplier(s, d).select("s_suppkey", "s_nationkey"))
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("c_nationkey") === col("cn_key"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n2, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(
+        sumExact(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0)), 28, 6).as("nation_volume"),
+        sumExact(vol, 28, 6).as("total_volume"))
+      .withColumn("mkt_share",
+        when(col("total_volume") === 0.0, lit(null))
+          .otherwise(col("nation_volume") / col("total_volume")))
+      .orderBy("o_year")
+  }
+
   /** README insight 1: counts by country (customer x broadcast nation). */
   private def countsByCountry(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -2597,7 +2641,8 @@ object SparkEntry {
     "value_ks" -> (valueKs _),
     "numeric_corr" -> (numericCorr _),
     "token_cms" -> (tokenCms _),
-    "diverse_sample" -> (diverseSample _)
+    "diverse_sample" -> (diverseSample _),
+    "q8_market_share" -> (q8MarketShare _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2685,6 +2730,31 @@ object SparkEntry {
         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // the proven q5 decimal-volume fragment, two-level: nation share of
+    // the region x part-type market per year
+    "q8_market_share" ->
+      """WITH base AS (
+        | SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) AS vol,
+        |  n2.n_name AS supp_nation
+        | FROM part, supplier, lineitem, orders, customer,
+        |      nation n1, nation n2, region
+        | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND p_type = 'PROMO')
+        |SELECT o_year,
+        | CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |               ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS nation_volume,
+        | CAST(SUM(vol) AS DOUBLE) AS total_volume,
+        | CASE WHEN SUM(vol) = 0 THEN NULL
+        |  ELSE CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |       / CAST(SUM(vol) AS DOUBLE) END AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
     "counts_by_country" ->
       """SELECT n_name, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -635,6 +635,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q8: part-type and date filters push to the scans; every dimension broadcasts") {
+    val p = plan("q8_market_share")
+    assert(p.contains("PushedFilters: [IsNotNull(p_type), EqualTo(p_type,PROMO)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    // part subset, both nation roles, region, supplier: all broadcast;
+    // the only shuffled join is fact-side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("numeric_corr: every moment in ONE map-side-combined pass, single one-row Exchange") {
     val p = plan("numeric_corr")
     assert(p.contains("partial_count"), p) // moments combine map-side
