@@ -1194,6 +1194,17 @@ object SparkEntry {
         k = 8)
       .orderBy("pick")
 
+  /** Winsorized order totals per priority ([[Curation.winsorizeReport]]):
+    * exact [p05, p95] clipping — the feature-engineering outlier gate.
+    * Bounds ride the proven percentile↔quantile_cont parity; the clipped
+    * sum keeps decimal casts on 2-dp money only (interpolated bounds
+    * enter through a fixed IEEE tail). */
+  private def priceWinsorize(s: SparkSession, d: String): DataFrame =
+    Curation.winsorizeReport(
+        orders(s, d).select("o_orderpriority", "o_totalprice"),
+        "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderpriority")
+
   private val corrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
@@ -2642,7 +2653,8 @@ object SparkEntry {
     "numeric_corr" -> (numericCorr _),
     "token_cms" -> (tokenCms _),
     "diverse_sample" -> (diverseSample _),
-    "q8_market_share" -> (q8MarketShare _)
+    "q8_market_share" -> (q8MarketShare _),
+    "price_winsorize" -> (priceWinsorize _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2730,6 +2742,32 @@ object SparkEntry {
         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // bounds = the proven percentile<->quantile_cont parity; the clipped
+    // sum casts only 2-dp money to decimal, bounds enter via the fixed
+    // IEEE tail mid + n_lo*lo + n_hi*hi in this exact written order
+    "price_winsorize" ->
+      """WITH b AS (
+        | SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.05) AS lo,
+        |  quantile_cont(o_totalprice, 0.95) AS hi
+        | FROM orders GROUP BY 1),
+        |w AS (
+        | SELECT o.o_orderpriority, lo, hi,
+        |  CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END AS cl,
+        |  CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END AS ch,
+        |  CASE WHEN o_totalprice >= lo AND o_totalprice <= hi
+        |       THEN o_totalprice ELSE 0.0 END AS mid
+        | FROM orders o JOIN b USING (o_orderpriority))
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(cl) AS BIGINT) AS n_clipped_lo,
+        | CAST(SUM(ch) AS BIGINT) AS n_clipped_hi,
+        | CAST(SUM(CAST(mid AS DECIMAL(28,6))) AS DOUBLE)
+        |  + CAST(SUM(cl) AS DOUBLE) * lo
+        |  + CAST(SUM(ch) AS DOUBLE) * hi AS sum_winsorized,
+        | lo AS p_lo, hi AS p_hi
+        |FROM w GROUP BY o_orderpriority, lo, hi
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // the proven q5 decimal-volume fragment, two-level: nation share of
     // the region x part-type market per year
     "q8_market_share" ->

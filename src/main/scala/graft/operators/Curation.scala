@@ -356,4 +356,52 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast(LongType))
       .drop("__key")
   }
+
+  /** Per-group winsorization report — outlier CLIPPING (not removal), the
+    * feature-engineering twin of the quality gate: numeric features are
+    * clipped to their group's [pLo, pHi] exact percentiles before
+    * modeling so a fat-tailed minority can't dominate a scale-sensitive
+    * consumer. Emits per group: n, clip counts on each side, the
+    * winsorized sum, and the bounds themselves.
+    *
+    * Exactness: the percentile bounds are exact (`percentile` ↔ DuckDB
+    * `quantile_cont`, the proven price_percentiles parity); the clipped
+    * sum deliberately NEVER casts an interpolated bound to decimal —
+    * in-range values (fixed-point money) accumulate as exact DECIMAL,
+    * and the clipped mass enters through the fixed IEEE tail
+    * `mid + n_lo·lo + n_hi·hi` evaluated in one written order on both
+    * engines (the double→decimal cast of a full-mantissa bound is
+    * exactly where engines drift a ulp).
+    *
+    * SCALE: exact per-group percentiles materialize each group's values
+    * (the documented exact-baseline posture — approx_percentile is the
+    * 100 TB drop-in for the bounds); the bounds frame is GROUP-sized and
+    * broadcasts back onto the scan, so clip + rollup stay map-side
+    * (partial-aggregated) and nothing data-sized shuffles twice. */
+  def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad [$pLo, $pHi]")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile($valueCol, $pLo)").as("lo"),
+        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .select(col(groupCol), col("lo"), col("hi"),
+        (col(valueCol) < col("lo")).cast(LongType).as("cl"),
+        (col(valueCol) > col("hi")).cast(LongType).as("ch"),
+        when(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"),
+          col(valueCol)).otherwise(lit(0.0)).as("mid"))
+      .groupBy(col(groupCol), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cl")).as("n_clipped_lo"),
+        sum(col("ch")).as("n_clipped_hi"),
+        graft.functions.sumExact(col("mid"), 28, 6).as("mid_sum"))
+      .select(col(groupCol), col("n"), col("n_clipped_lo"),
+        col("n_clipped_hi"),
+        (col("mid_sum") + col("n_clipped_lo").cast(DoubleType) * col("lo") +
+          col("n_clipped_hi").cast(DoubleType) * col("hi"))
+          .as("sum_winsorized"),
+        col("lo").as("p_lo"), col("hi").as("p_hi"))
+  }
 }

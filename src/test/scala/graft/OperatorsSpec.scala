@@ -550,6 +550,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out(("x", "w")).get - expected) < 1e-12)
   }
 
+  test("winsorize: clips exactly the tail mass; sum equals driver-side clipped sum") {
+    import graft.operators.Curation
+    // group g: 1..100 -> p05 = 5.95, p95 = 95.05 (linear interpolation);
+    // 5 values clip low (1..5), 5 clip high (96..100)
+    val rows = (1 to 100).map(v => ("g", v.toDouble)) ++
+      Seq(("solo", 42.0))
+    val out = Curation.winsorizeReport(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val (n, lo5, hi5, sum, plo, phi) = out("g")
+    assert(n == 100L && lo5 == 5L && hi5 == 5L)
+    assert(plo == 5.95 && phi == 95.05)
+    val ref = (1 to 100).map(v =>
+      math.min(math.max(v.toDouble, 5.95), 95.05)).sum
+    assert(math.abs(sum - ref) < 1e-9, s"$sum vs $ref")
+    // single-row group: bounds collapse to the value, nothing clips
+    assert(out("solo") == ((1L, 0L, 0L, 42.0, 42.0, 42.0)))
+  }
+
   test("gap fill: planted gap zero-filled and carries the prior value; leading cells null") {
     import graft.operators.Temporal
     import java.sql.Timestamp

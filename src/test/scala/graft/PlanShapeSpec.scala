@@ -645,6 +645,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("price_winsorize: group-sized bounds broadcast back; clip rollup combines map-side") {
+    val p = plan("price_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("numeric_corr: every moment in ONE map-side-combined pass, single one-row Exchange") {
     val p = plan("numeric_corr")
     assert(p.contains("partial_count"), p) // moments combine map-side
