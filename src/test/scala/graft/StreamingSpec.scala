@@ -83,6 +83,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trend over the streamed hourly rollup equals the batch slope bitwise") {
+    // the TREND monitor deploys over the SAME accumulating hourly sink
+    // as the spike/MAD/EWMA family: trendFromBuckets scores the sink's
+    // (type, hour, n) frame with the identical BIGINT sums, so slopes
+    // match the batch computation exactly — including the shift
+    // invariance (x = hours since the key's own first bucket)
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyRollup(events)
+      .writeStream.format("memory").queryName("trend_hourly")
+      .outputMode("append").start()
+    try {
+      // declining: 9,8,...,2 events across hours 0..7 (slope -1/hour);
+      // split across two micro-batches to cross a batch boundary
+      val rows = for (h <- 0 until 8; i <- 0 until (9 - h))
+        yield (ts(f"2024-01-01 $h%02d:00:${i}%02d"), "dec", 1.0)
+      input.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), "late", 0.0)) // close windows
+      q.processAllAvailable()
+
+      val sink = spark.table("trend_hourly")
+        .withColumn("hour_ts", to_timestamp(col("hour_start")))
+      def trendOf(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Quality.trendFromBuckets(
+            df, "event_type", "hour_ts", "n")
+          .filter(col("event_type") === "dec")
+          .select("n_buckets", "slope_num", "slope_den", "slope", "declining")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getLong(4))).toSeq
+      val streamed = trendOf(sink)
+      val batch = trendOf(rows.toDF("ts", "event_type", "value")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.head._4 == -1.0 && streamed.head._5 == 1L)
+    } finally q.stop()
+  }
+
   test("drift over the streamed bucket counts matches the batch TV distance") {
     // the deployment loop: token-bucket counts accumulate as a streaming
     // aggregation (complete mode — buckets x sources state), and
