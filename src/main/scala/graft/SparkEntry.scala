@@ -1205,6 +1205,22 @@ object SparkEntry {
         "o_orderpriority", "o_totalprice")
       .orderBy("o_orderpriority")
 
+  /** Perceptual hashes over the media payloads
+    * ([[Multimodal.perceptualHash]]): the image-dedup fingerprint — 64-bit
+    * aHash computed in the batched decode pass (STUB pixel source, real
+    * grid/threshold plumbing). The near-dup half
+    * ([[Multimodal.phashNearDups]], banded Hamming join with
+    * pigeonhole-guaranteed recall) is spec-pinned against the quadratic
+    * reference on a constructed fixture — this corpus plants no
+    * byte-near-identical payloads, so the registered face is the hash
+    * projection itself. Rows-only (the stub grid is not SQL-expressible;
+    * determinism and locality are property-pinned). */
+  private def multimodalPhash(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.asMedia(documents(s, d), "doc_id", "text", "source")
+    Multimodal.perceptualHash(media).toDF()
+      .orderBy("doc_id")
+  }
+
   private val corrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
@@ -2654,7 +2670,8 @@ object SparkEntry {
     "token_cms" -> (tokenCms _),
     "diverse_sample" -> (diverseSample _),
     "q8_market_share" -> (q8MarketShare _),
-    "price_winsorize" -> (priceWinsorize _)
+    "price_winsorize" -> (priceWinsorize _),
+    "multimodal_phash" -> (multimodalPhash _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path

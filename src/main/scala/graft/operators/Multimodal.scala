@@ -103,6 +103,93 @@ object Multimodal {
       .withColumn("rs_height", fit("height"))
   }
 
+  /** A 64-bit perceptual hash per media row. */
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual hashing over media payloads — the IMAGE-DEDUP verb: a
+    * 64-bit locality-sensitive fingerprint whose Hamming distance tracks
+    * payload similarity (re-encoded, lightly edited or cropped copies of
+    * one image land within a few bits; unrelated images ~32 apart).
+    *
+    * The construction is the standard aHash: average the signal into an
+    * 8×8 grid, set bit j when cell j exceeds the grid mean. STUB
+    * boundary (same contract as [[extractFeatures]]): production feeds
+    * the DECODED luma plane into the grid; here the raw payload bytes
+    * stand in for it, so the grid/threshold/bit plumbing — and the
+    * locality property itself — are real and testable, only the pixel
+    * source is faked. Runs in the same batched per-partition pass as the
+    * other decode verbs; output is the narrow (id, hash) row, the
+    * payload never leaves its partition. */
+  def perceptualHash(media: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.payload
+          val n = bytes.length
+          val cells = new Array[Double](64)
+          if (n > 0) {
+            var j = 0
+            while (j < 64) {
+              val from = (j.toLong * n / 64).toInt
+              val to = math.max(from + 1, ((j + 1).toLong * n / 64).toInt)
+              var s = 0L
+              var i = from
+              while (i < math.min(to, n)) { s += bytes(i) & 0xff; i += 1 }
+              cells(j) = s.toDouble / math.max(1, math.min(to, n) - from)
+              j += 1
+            }
+          }
+          val mean = cells.sum / 64.0
+          var h = 0L
+          var j = 0
+          while (j < 64) {
+            if (cells(j) > mean) h |= (1L << j)
+            j += 1
+          }
+          MediaHash(r.doc_id, h)
+        }
+      }
+    }
+  }
+
+  /** All pairs within `maxHamming` bits over a (id, phash) frame — the
+    * near-duplicate IMAGE join. Banding, not a quadratic cross: the 64
+    * bits split into `bands` fixed slices; a pair within maxHamming bits
+    * leaves at least one band UNTOUCHED (pigeonhole — requires
+    * maxHamming < bands, enforced), so candidates come from a hash
+    * equi-join on (band index, band value) — 8-byte shuffle keys, the
+    * simhash/minhash band posture — and one codegen'd `bit_count` XOR
+    * verifies exactly. Identical hashes (true duplicates) pair in every
+    * band; the distinct collapses them. */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands, got $maxHamming/$bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"),
+          shiftrightunsigned(col("phash"), b * width)
+            .bitwiseAND(lit(mask)).as("v"))): _*)).as("bd"))
+      .select(col("doc_id"), col("phash"),
+        col("bd.b").as("b"), col("bd.v").as("v"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.phash").as("h1"), col("b.phash").as("h2"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+
   /** Wrap a text table as a media table: payload = UTF-8 bytes (standing in
     * for an opaque image/audio blob), metadata kept as typed columns. */
   def asMedia(docs: DataFrame, idCol: String, textCol: String,

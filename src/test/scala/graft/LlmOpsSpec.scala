@@ -740,6 +740,52 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out2.toSeq == out.toSeq)
   }
 
+  test("phash near-dups: banding finds exactly the quadratic <=3-bit pairs; k-cell edits flip k bits") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.MediaRow
+    // constructed payloads: 64 cells x 16 bytes, each cell all-0 or
+    // all-200 (threshold lands between, margins huge) -> flipping a
+    // whole cell flips exactly that hash bit
+    def payload(cellBits: Long): Array[Byte] =
+      (0 until 64).flatMap { j =>
+        val v: Byte = if (((cellBits >> j) & 1L) == 1L) 200.toByte else 0.toByte
+        Array.fill(16)(v)
+      }.toArray
+    // base pattern: 32 high cells (hash-derived, fixed)
+    val base = 0x5a5a3cc3a55ac33aL
+    def flipLow(k: Int): Long = (0 until k).foldLeft(base)((h, j) => h ^ (1L << j))
+    val rows = Seq(
+      MediaRow(1L, payload(base), "img", "s"),
+      MediaRow(2L, payload(base), "img", "s"),          // identical -> 0
+      MediaRow(3L, payload(flipLow(2)), "img", "s"),    // 2 bits
+      MediaRow(4L, payload(flipLow(3)), "img", "s"),    // 3 bits
+      MediaRow(5L, payload(flipLow(10)), "img", "s"),   // 10 bits: rejected
+      MediaRow(6L, payload(~base), "img", "s"))         // 64 bits: rejected
+    val ds = spark.createDataset(rows)(org.apache.spark.sql.Encoders.product[MediaRow])
+    val hashes = Multimodal.perceptualHash(ds).toDF()
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(3L)) == 2)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(4L)) == 3)
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(5L)) == 10)
+    val got = Multimodal.phashNearDups(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // quadratic reference over the collected hashes
+    val ids = hs.keys.toSeq.sorted
+    val ref = (for {
+      i <- ids; j <- ids if i < j
+      d = java.lang.Long.bitCount(hs(i) ^ hs(j)) if d <= 3
+    } yield (i, j, d.toLong)).toSet
+    assert(got == ref, s"got $got vs ref $ref")
+    assert(got.contains((1L, 2L, 0L)) && got.contains((1L, 3L, 2L)) &&
+      got.contains((1L, 4L, 3L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    // layout invariance of the hash itself
+    val hs2 = Multimodal.perceptualHash(ds.repartition(5)).toDF()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs2 == hs)
+  }
+
   test("ivf-pq probing all cells is bit-identical to plain pq") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 8)
