@@ -1221,6 +1221,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The registered rule suite for `dq_rules` — one rule of every kind,
+    * including a deliberately-failing range so both pass states appear
+    * in the gated result. Drives BOTH the evaluator and the generated
+    * oracle. */
+  private val orderRules = Seq(
+    Quality.Rule.NotNull("o_orderkey"),
+    Quality.Rule.Unique(Seq("o_orderkey")),
+    Quality.Rule.InRange("o_totalprice", 0.0, 1000000.0),
+    Quality.Rule.InRange("o_totalprice", 0.0, 100000.0),
+    Quality.Rule.InSet("o_orderstatus", Seq("O", "F", "P")),
+    Quality.Rule.Matches("o_orderpriority", "^[1-5]-"))
+
+  /** Declarative DQ rule suite over orders ([[Quality.checkRules]]): the
+    * deequ-style check engine — the whole suite is ONE map-side-combined
+    * scan; the oracle is GENERATED from the same rule list
+    * ([[Quality.checkRulesSql]]) so evaluator and oracle cannot drift. */
+  private def dqRules(s: SparkSession, d: String): DataFrame =
+    Quality.checkRules(orders(s, d), orderRules).orderBy("rule")
+
   private val corrCols =
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
@@ -2671,7 +2690,8 @@ object SparkEntry {
     "diverse_sample" -> (diverseSample _),
     "q8_market_share" -> (q8MarketShare _),
     "price_winsorize" -> (priceWinsorize _),
-    "multimodal_phash" -> (multimodalPhash _)
+    "multimodal_phash" -> (multimodalPhash _),
+    "dq_rules" -> (dqRules _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2704,6 +2724,7 @@ object SparkEntry {
         maxHops = 4)) +
       ("table_profile" -> Quality.tableProfileSql("orders", orderProfileCols)) +
       ("numeric_corr" -> Quality.corrMatrixSql("lineitem", corrCols)) +
+      ("dq_rules" -> Quality.checkRulesSql("orders", orderRules)) +
       // the proven row-25 Jaccard-pair CTEs reduced to an edge list,
       // chained into the shared census body (one source, two engines)
       ("graph_transitivity" ->

@@ -707,6 +707,67 @@ object Stress {
         .agg(count(lit(1)).as("n_orders"))
       forced(d, bit_xor(xxhash64(col("o_orderpriority"), col("n_orders"))))
     }
+
+    // ---- session-5 additions ----
+    // KS over a CONTINUOUS-ish value domain: values derived per event so
+    // distinct values ~ rows — the regime the distributed prefix-sum
+    // machinery exists for (a naive global window would single-task it)
+    time("value_ks") {
+      val evV = ev.withColumn("value",
+        (pmod(xxhash64(col("event_id")), lit(10000000L)) / 1000.0))
+      val out = graft.operators.Quality.ksStatistic(
+        evV, "event_type", "value", "click", "view")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("events_trend") {
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val out = graft.operators.Quality.trendFromBuckets(
+        hourly, "event_type", "h", "n")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("numeric_corr") {
+      val li0 = Tables.lineitem(spark, sfDir)
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li4 = li0.crossJoin(spark.range(factor).toDF("rep"))
+        .drop("rep").repartition(64)
+      val out = graft.operators.Quality.corrMatrix(li4,
+        Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("token_cms") {
+      TextAnalysis.cmsTokenEstimates(docs, "text", k = 20).count()
+    }
+    time("diverse_sample") {
+      Similarity.farthestPointSample(emb, "vec_id", "embedding", k = 8).count()
+    }
+    time("price_winsorize") {
+      val ordW = ordR.withColumn("o_totalprice",
+        (pmod(xxhash64(col("o_orderkey")), lit(1000000000L)) / 100.0))
+      val out = graft.operators.Curation.winsorizeReport(
+        ordW, "o_orderpriority", "o_totalprice")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("multimodal_phash") {
+      val media = graft.operators.Multimodal.asMedia(
+        docs.withColumn("source", lit("s")), "doc_id", "text", "source")
+      val h = graft.operators.Multimodal.perceptualHash(media).toDF()
+      h.agg(bit_xor(xxhash64(col("doc_id"), col("phash"))), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("phash_pairs") {
+      val media = graft.operators.Multimodal.asMedia(
+        docs.withColumn("source", lit("s")), "doc_id", "text", "source")
+      val h = graft.operators.Multimodal.perceptualHash(media).toDF()
+        .localCheckpoint(true)
+      try graft.operators.Multimodal.phashNearDups(h, maxHamming = 3).count()
+      finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(h)
+    }
     spark.stop()
   }
 }

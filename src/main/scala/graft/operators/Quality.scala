@@ -659,6 +659,119 @@ object Quality {
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
 
+  /** Declarative data-quality rule — the deequ-style "check" AST: each
+    * rule compiles to one conditional aggregate, so a whole suite
+    * evaluates in ONE corpus pass ([[checkRules]]) and the SAME rule list
+    * generates the DuckDB oracle ([[checkRulesSql]]). Null handling is
+    * explicit: range/set/pattern rules only judge NON-NULL values
+    * (nullness is `NotNull`'s job); `Unique` counts surplus duplicates
+    * among null-free key tuples. */
+  sealed trait Rule { def name: String }
+  object Rule {
+    case class NotNull(column: String) extends Rule {
+      def name = s"not_null($column)"
+    }
+    case class Unique(columns: Seq[String]) extends Rule {
+      require(columns.nonEmpty, "Unique needs at least one column")
+      def name = s"unique(${columns.mkString(",")})"
+    }
+    case class InRange(column: String, lo: Double, hi: Double) extends Rule {
+      def name = s"in_range($column,$lo,$hi)"
+    }
+    case class InSet(column: String, values: Seq[String]) extends Rule {
+      require(values.nonEmpty, "InSet needs at least one value")
+      def name = s"in_set($column)"
+    }
+    /** Pattern must stay in the Java-regex/RE2 common subset (the
+      * piiPatterns contract) so both engines match identically. */
+    case class Matches(column: String, pattern: String) extends Rule {
+      def name = s"matches($column)"
+    }
+  }
+
+  /** Evaluate a rule suite in ONE aggregation pass — the ingest
+    * acceptance gate as data, not code: per rule, its violation count
+    * and pass flag (violations == 0), plus the row total. The whole
+    * suite is k conditional sums (+ one Expand-backed distinct per
+    * Unique rule, the tableProfile posture) in a single
+    * map-side-combined aggregate; the result row explodes to one row
+    * per rule. At 100 TB this is exactly one scan regardless of how
+    * many rules the suite carries. */
+  def checkRules(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    import Rule._
+    def nonNullTuple(cols: Seq[String]): Column =
+      cols.map(col(_).isNotNull).reduce(_ && _)
+    val aggs: Seq[Column] = count(lit(1)).as("__n") +: rules.zipWithIndex
+      .flatMap {
+        case (NotNull(c), i) =>
+          Seq(sum(col(c).isNull.cast("long")).as(s"__v$i"))
+        case (Unique(cs), i) =>
+          val tup = when(nonNullTuple(cs), struct(cs.map(col): _*))
+          Seq(count(tup).as(s"__t$i"), count_distinct(tup).as(s"__d$i"))
+        case (InRange(c, lo, hi), i) =>
+          Seq(sum((col(c).isNotNull &&
+            (col(c) < lo || col(c) > hi)).cast("long")).as(s"__v$i"))
+        case (InSet(c, vs), i) =>
+          Seq(sum((col(c).isNotNull &&
+            !col(c).isin(vs: _*)).cast("long")).as(s"__v$i"))
+        case (Matches(c, p), i) =>
+          Seq(sum((col(c).isNotNull &&
+            !col(c).rlike(p)).cast("long")).as(s"__v$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val v = r match {
+        case Unique(_) => col(s"__t$i") - col(s"__d$i")
+        case _ => col(s"__v$i")
+      }
+      struct(lit(r.name).as("rule"), col("__n").as("n_rows"),
+        v.as("violations"), (v === 0L).cast("long").as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
+
+  /** The DuckDB twin of [[checkRules]], generated from the same rule
+    * list (names included), so the oracle can never drift from the
+    * evaluator. */
+  def checkRulesSql(table: String, rules: Seq[Rule]): String = {
+    import Rule._
+    def esc(s: String) = s.replace("'", "''")
+    val aggs = "COUNT(*) AS __n" +: rules.zipWithIndex.flatMap {
+      case (NotNull(c), i) =>
+        Seq(s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS __v$i")
+      case (Unique(cs), i) =>
+        val nn = cs.map(c => s"$c IS NOT NULL").mkString(" AND ")
+        val tup = s"CASE WHEN $nn THEN (${cs.mkString(", ")}) END"
+        Seq(s"CAST(COUNT($tup) AS BIGINT) AS __t$i",
+          s"CAST(COUNT(DISTINCT $tup) AS BIGINT) AS __d$i")
+      case (InRange(c, lo, hi), i) =>
+        Seq(s"CAST(SUM(CASE WHEN $c IS NOT NULL AND ($c < $lo OR $c > $hi) " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS __v$i")
+      case (InSet(c, vs), i) =>
+        val set = vs.map(v => s"'${esc(v)}'").mkString(", ")
+        Seq(s"CAST(SUM(CASE WHEN $c IS NOT NULL AND $c NOT IN ($set) " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS __v$i")
+      case (Matches(c, p), i) =>
+        Seq(s"CAST(SUM(CASE WHEN $c IS NOT NULL AND NOT regexp_matches($c, '${esc(p)}') " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS __v$i")
+    }
+    val rows = rules.zipWithIndex.map { case (r, i) =>
+      val v = r match {
+        case Unique(_) => s"__t$i - __d$i"
+        case _ => s"__v$i"
+      }
+      s"""SELECT '${esc(r.name)}' AS rule, __n AS n_rows,
+         | CAST($v AS BIGINT) AS violations,
+         | CAST(CASE WHEN $v = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+         |FROM s""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (SELECT ${aggs.mkString(", ")} FROM $table)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY rule""".stripMargin
+  }
+
   /** The DuckDB twin of [[corrMatrix]], generated from the same column
     * list: HUGEINT (128-bit) sums give the same order-independent
     * exactness as Spark's decimals, and the identical VARCHAR-mediated

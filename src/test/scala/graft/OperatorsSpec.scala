@@ -570,6 +570,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("solo") == ((1L, 0L, 0L, 42.0, 42.0, 42.0)))
   }
 
+  test("dq rules: every rule kind counts exactly its violations; nulls judged only by NotNull") {
+    import graft.operators.Quality.{Rule, checkRules}
+    val df = Seq(
+      (Some(1L), Some(10.0), Some("O"), Some("1-URGENT")),
+      (Some(1L), Some(-5.0), Some("X"), Some("bad")),   // dup key, low, bad set, bad pattern
+      (Some(2L), Some(200.0), Some("F"), Some("5-LOW")), // high
+      (None, None, None, None)                           // nulls: only NotNull fires
+    ).toDF("k", "v", "st", "pr")
+    val out = checkRules(df, Seq(
+        Rule.NotNull("k"), Rule.Unique(Seq("k")),
+        Rule.InRange("v", 0.0, 100.0), Rule.InSet("st", Seq("O", "F")),
+        Rule.Matches("pr", "^[1-5]-")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("not_null(k)") == ((4L, 1L, 0L)))
+    assert(out("unique(k)") == ((4L, 1L, 0L)))  // one surplus among non-null keys
+    assert(out("in_range(v,0.0,100.0)") == ((4L, 2L, 0L)))
+    assert(out("in_set(st)") == ((4L, 1L, 0L)))
+    assert(out("matches(pr)") == ((4L, 1L, 0L)))
+    // an all-clean suite passes
+    val clean = checkRules(df.filter($"k" === 2L), Seq(Rule.NotNull("k")))
+      .collect().head
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 1L)
+  }
+
   test("gap fill: planted gap zero-filled and carries the prior value; leading cells null") {
     import graft.operators.Temporal
     import java.sql.Timestamp

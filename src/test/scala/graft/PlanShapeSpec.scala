@@ -652,6 +652,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("dq_rules: the whole suite is one scan; the single distinct pre-aggregates map-side") {
+    val p = plan("dq_rules")
+    assert(!p.contains("Join"), p)
+    // one FileScan of orders total (rule count never adds scans)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // ONE distinct rule -> Spark re-aggregates keyed on the tuple (no
+    // Expand): the key dedup partial-aggregates before its Exchange
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("partial_count"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("numeric_corr: every moment in ONE map-side-combined pass, single one-row Exchange") {
     val p = plan("numeric_corr")
     assert(p.contains("partial_count"), p) // moments combine map-side
