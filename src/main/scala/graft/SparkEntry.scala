@@ -1221,6 +1221,42 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** RFM customer segmentation — recency/frequency/monetary quintile
+    * scores, the classic CRM value segmentation. Exact NTILE semantics
+    * on ALL THREE dimensions via the distributed global-rank machinery
+    * ([[graft.operators.Ranking.equiDepthBins]]' components) — never a
+    * single-task global window; the ranked frame is the already-reduced
+    * customer rollup. Monetary is the decimal-exact sum emitted as
+    * DOUBLE (rank order identical in both engines); recency is integer
+    * days from the corpus max date (one-row broadcast). */
+  private def customerRfm(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Ranking
+    val o = orders(s, d).select("o_custkey", "o_orderdate", "o_totalprice")
+    val maxD = broadcast(o.agg(max(col("o_orderdate")).as("max_d")))
+    val cust = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sumExact(col("o_totalprice"), 28, 6).as("monetary"))
+      .crossJoin(maxD)
+      .select(col("o_custkey"),
+        datediff(col("max_d"), col("last_d")).cast(LongType).as("recency_days"),
+        col("frequency"), col("monetary"))
+    def score(df: DataFrame, vCol: String, outCol: String): DataFrame = {
+      val (ranked, n) = Ranking.withGlobalRank(df,
+        Seq(col(vCol), col("o_custkey")), "__rk")
+      ranked.withColumn(outCol, Ranking.ntileFromRank(col("__rk"), n, 5))
+        .drop("__rk")
+    }
+    score(score(score(cust, "recency_days", "r_raw"),
+        "frequency", "f_score"), "monetary", "m_score")
+      .withColumn("r_score", lit(6L) - col("r_raw"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+          .as("rfm"))
+      .orderBy("o_custkey")
+  }
+
   /** The registered rule suite for `dq_rules` — one rule of every kind,
     * including a deliberately-failing range so both pass states appear
     * in the gated result. Drives BOTH the evaluator and the generated
@@ -2691,7 +2727,8 @@ object SparkEntry {
     "q8_market_share" -> (q8MarketShare _),
     "price_winsorize" -> (priceWinsorize _),
     "multimodal_phash" -> (multimodalPhash _),
-    "dq_rules" -> (dqRules _)
+    "dq_rules" -> (dqRules _),
+    "customer_rfm" -> (customerRfm _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2780,6 +2817,30 @@ object SparkEntry {
         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // three NTILE windows with custkey tie-breaks — the proven
+    // feature_ntile parity; monetary ranks on the decimal-exact sum
+    "customer_rfm" ->
+      """WITH c AS (
+        | SELECT o_custkey, MAX(o_orderdate) AS last_d, COUNT(*) AS frequency,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+        | FROM orders GROUP BY 1),
+        |m AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+        |b AS (
+        | SELECT o_custkey,
+        |  CAST(DATE_DIFF('day', last_d, max_d) AS BIGINT) AS recency_days,
+        |  frequency, monetary
+        | FROM c, m),
+        |sc AS (
+        | SELECT o_custkey, recency_days, frequency, monetary,
+        |  CAST(6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        | FROM b)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        | r_score, f_score, m_score,
+        | r_score*100 + f_score*10 + m_score AS rfm
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
     // bounds = the proven percentile<->quantile_cont parity; the clipped
     // sum casts only 2-dp money to decimal, bounds enter via the fixed
     // IEEE tail mid + n_lo*lo + n_hi*hi in this exact written order

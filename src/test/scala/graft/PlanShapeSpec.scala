@@ -664,6 +664,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("customer_rfm: all three NTILE passes are partition-parallel ranks, no global window") {
+    val df = SparkEntry.queries("customer_rfm")(spark, sf)
+    val exec = df.queryExecution.sparkPlan
+    // the first two rank passes are already materialized behind the
+    // machinery's eager checkpoints (same partitioned-window code path);
+    // the final plan carries the third — it must be __pid-partitioned,
+    // never a bare global orderBy window
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, exec.toString)
+    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    val s = exec.toString
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
+  }
+
   test("numeric_corr: every moment in ONE map-side-combined pass, single one-row Exchange") {
     val p = plan("numeric_corr")
     assert(p.contains("partial_count"), p) // moments combine map-side
