@@ -126,6 +126,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dq rule suite runs on a stream in complete mode; final snapshot equals batch") {
+    // the continuous ingest-acceptance gate: the stateless rule subset
+    // (no Unique — distinct aggregates are unsupported in streaming)
+    // evaluates as a complete-mode aggregate; after the last batch the
+    // snapshot must equal the batch evaluator on the union of the feed
+    import graft.operators.Quality.{Rule, checkRules}
+    implicit val sql = spark.sqlContext
+    val rules = Seq(Rule.NotNull("v"), Rule.InRange("v", 0.0, 100.0),
+      Rule.Matches("st", "^[A-Z]"))
+    val input = MemoryStream[(Option[Double], String)]
+    val q = checkRules(input.toDF().toDF("v", "st"), rules)
+      .writeStream.format("memory").queryName("rules_out")
+      .outputMode("complete").start()
+    try {
+      val feed = Seq((Some(5.0), "Ok"), (Some(500.0), "bad"),
+        (None, "Ok"), (Some(50.0), "Ok"))
+      input.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rules_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = checkRules(feed.toDF("v", "st"), rules)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch.exists(r => r._1.startsWith("in_range") && r._3 == 1L))
+    } finally q.stop()
+  }
+
   test("drift over the streamed bucket counts matches the batch TV distance") {
     // the deployment loop: token-bucket counts accumulate as a streaming
     // aggregation (complete mode — buckets x sources state), and
