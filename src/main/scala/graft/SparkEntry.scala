@@ -906,6 +906,20 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
       .orderBy("d1", "d2")
 
+  /** Tau-sensitivity curve over the exact Jaccard pairs: how many pairs
+    * each 0.1-wide similarity band holds above the operating threshold —
+    * the report a curator reads before MOVING the dedup threshold (a fat
+    * band just above tau means the choice is load-bearing). One extra
+    * band-bounded rollup on the proven pair frame; floor(j·10) is exact
+    * on identical doubles in both engines. */
+  private def dedupTauCurve(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
+      .withColumn("bucket", floor(col("jaccard") * 10).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("j_min"), max(col("jaccard")).as("j_max"))
+      .orderBy("bucket")
+
   /** Asymmetric n-gram containment pairs (tau=0.8): the
     * small-doc-quoted-inside-big-doc duplicates Jaccard can't see
     * ([[graft.operators.Dedup.ngramContainmentPairs]]). */
@@ -2728,7 +2742,8 @@ object SparkEntry {
     "price_winsorize" -> (priceWinsorize _),
     "multimodal_phash" -> (multimodalPhash _),
     "dq_rules" -> (dqRules _),
-    "customer_rfm" -> (customerRfm _)
+    "customer_rfm" -> (customerRfm _),
+    "dedup_tau_curve" -> (dedupTauCurve _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -3443,6 +3458,21 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
         |WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    // the proven jaccard fragment verbatim + a band-bounded rollup;
+    // floor(j*10) on identical doubles is identical in both engines
+    "dedup_tau_curve" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) AS jaccard
+        |      FROM pairs JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |      WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5)
+        |SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bucket,
+        | COUNT(*) AS n_pairs, MIN(jaccard) AS j_min, MAX(jaccard) AS j_max
+        |FROM j GROUP BY 1 ORDER BY bucket""".stripMargin,
     "dedup_ngram_jaccard_capped" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh

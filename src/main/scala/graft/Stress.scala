@@ -745,11 +745,16 @@ object Stress {
     time("diverse_sample") {
       Similarity.farthestPointSample(emb, "vec_id", "embedding", k = 8).count()
     }
+    // approx bounds: the exact-percentile path buffers every distinct
+    // value per group and heap-OOMs at ~15M distinct doubles (measured,
+    // 24g) — the sketch bounds are the documented scale path, and the
+    // clip/rollup half (the corpus-sized work) is identical
     time("price_winsorize") {
       val ordW = ordR.withColumn("o_totalprice",
         (pmod(xxhash64(col("o_orderkey")), lit(1000000000L)) / 100.0))
       val out = graft.operators.Curation.winsorizeReport(
-        ordW, "o_orderpriority", "o_totalprice")
+        ordW, "o_orderpriority", "o_totalprice",
+        approxAccuracy = Some(10000))
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }

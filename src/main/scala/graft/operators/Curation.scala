@@ -379,12 +379,25 @@ object Curation {
     * broadcasts back onto the scan, so clip + rollup stay map-side
     * (partial-aggregated) and nothing data-sized shuffles twice. */
   def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      approxAccuracy: Option[Int] = None): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad [$pLo, $pHi]")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(
-        expr(s"percentile($valueCol, $pLo)").as("lo"),
-        expr(s"percentile($valueCol, $pHi)").as("hi"))
+    // approxAccuracy = the 100 TB bounds path: exact percentile buffers
+    // every DISTINCT value per group (measured: heap-bound at ~15M
+    // distinct doubles on a 24g single node), while approx_percentile
+    // keeps a bounded KLL-style sketch that merges map-side — the same
+    // exact/approx pairing as price_percentiles. The clip/rollup half is
+    // identical either way.
+    val bounds = approxAccuracy match {
+      case Some(acc) => df.groupBy(col(groupCol))
+        .agg(
+          expr(s"approx_percentile($valueCol, $pLo, $acc)").as("lo"),
+          expr(s"approx_percentile($valueCol, $pHi, $acc)").as("hi"))
+      case None => df.groupBy(col(groupCol))
+        .agg(
+          expr(s"percentile($valueCol, $pLo)").as("lo"),
+          expr(s"percentile($valueCol, $pHi)").as("hi"))
+    }
     df.join(broadcast(bounds), Seq(groupCol))
       .select(col(groupCol), col("lo"), col("hi"),
         (col(valueCol) < col("lo")).cast(LongType).as("cl"),

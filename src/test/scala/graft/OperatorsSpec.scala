@@ -568,6 +568,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(sum - ref) < 1e-9, s"$sum vs $ref")
     // single-row group: bounds collapse to the value, nothing clips
     assert(out("solo") == ((1L, 0L, 0L, 42.0, 42.0, 42.0)))
+    // the approx-bounds scale path: at full accuracy on a small distinct
+    // set the sketch is exact, so the whole report must match clip-for-clip
+    val approx = Curation.winsorizeReport(rows.toDF("k", "v"), "k", "v",
+        approxAccuracy = Some(10000))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(approx("g")._1 == 100L && approx("g")._2 <= 6L && approx("g")._3 <= 6L)
+    assert(approx("solo") == out("solo"))
   }
 
   test("dq rules: every rule kind counts exactly its violations; nulls judged only by NotNull") {
