@@ -906,6 +906,20 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
       .orderBy("d1", "d2")
 
+  /** Incremental near-dup ingest ([[Dedup.minhashIncremental]]): the LSH
+    * twin of dedup_incremental — today's batch (doc_id % 10 == 0) probed
+    * against the standing corpus with zero index-sized shuffle. Rows-only
+    * (LSH family); batch×index equality with the full-corpus pair run is
+    * spec-pinned. */
+  private def dedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.minhashIncremental(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+      .orderBy("batch_id", "index_id")
+  }
+
   /** Tau-sensitivity curve over the exact Jaccard pairs: how many pairs
     * each 0.1-wide similarity band holds above the operating threshold —
     * the report a curator reads before MOVING the dedup threshold (a fat
@@ -2743,7 +2757,8 @@ object SparkEntry {
     "multimodal_phash" -> (multimodalPhash _),
     "dq_rules" -> (dqRules _),
     "customer_rfm" -> (customerRfm _),
-    "dedup_tau_curve" -> (dedupTauCurve _)
+    "dedup_tau_curve" -> (dedupTauCurve _),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path

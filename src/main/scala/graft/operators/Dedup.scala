@@ -92,6 +92,56 @@ object Dedup {
       .drop("__rk", "__hit")
   }
 
+  /** Incremental NEAR-dup check of an ingest batch against the standing
+    * corpus — the LSH twin of [[incrementalExact]], completing the
+    * daily-ingest story: exact incremental catches byte-identical
+    * re-crawls, this catches the rewrites/re-encodings between the batch
+    * and the 100 TB index. Batch-internal near-dups are deliberately out
+    * of scope (run the in-batch pair pass for those); the contract here
+    * is batch × index only.
+    *
+    * SCALE posture (the incrementalExact broadcast discipline, band
+    * granularity): the BATCH side's (band, band_hash) triples and hashed
+    * shingle arrays broadcast — both batch-bounded; the index streams
+    * through ONCE: its banded triples are a map-side kernel projection
+    * probed against the broadcast batch bands (no index-sized Exchange),
+    * and the verify pass re-scans only candidate index docs (broadcast
+    * candidate-id semi prune, candidates are batch-bounded). In
+    * production the index triples come precomputed from the staged lake
+    * (they are a pure per-row projection, so recomputing them map-side
+    * costs one kernel pass and no shuffle either way). Signature/band
+    * parameters must match [[minhashLshPairs]]' for the recall contract;
+    * spec pins batch×index equality with the full-corpus pair run. */
+  def minhashIncremental(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numPerm: Int = 128,
+      bands: Int = 32, tau: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    def bandTriples(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol), col(textCol))
+      .select(col(idCol).as(out),
+        shinglesDistinct(wsTokens(col(textCol)), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col(out), posexplode(minhashBands(col("shs"), numPerm, bands)))
+      .toDF(out, "band", "band_hash")
+    val cand = bandTriples(index, "index_id")
+      .join(broadcast(bandTriples(batch, "batch_id")),
+        Seq("band", "band_hash"))
+      .select("batch_id", "index_id")
+      .distinct()
+    def hashed(df: DataFrame, out: String, shOut: String): DataFrame = df
+      .select(col(idCol).as(out),
+        shingleHashes(wsTokens(col(textCol)), n).as(shOut))
+      .filter(size(col(shOut)) > 0)
+    hashed(index, "index_id", "shs2")
+      .join(broadcast(cand), Seq("index_id"))
+      .join(broadcast(hashed(batch, "batch_id", "shs1")), Seq("batch_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("shs1"), col("shs2"))).cast(DoubleType) /
+          size(array_union(col("shs1"), col("shs2"))).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select("batch_id", "index_id", "jaccard")
+  }
+
   /** Distinct word-shingle rows (doc_id, shingle), the shared substrate of
     * the n-gram family. */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,

@@ -786,6 +786,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hs2 == hs)
   }
 
+  test("incremental minhash equals the full-corpus pair run restricted to batch x index") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val index = docs.filter($"doc_id" % 10 =!= 0)
+    val inc = Dedup.minhashIncremental(index, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (d1, d2) =>
+        // keep only cross pairs, oriented (batch_id, index_id)
+        (batchIds.contains(d1), batchIds.contains(d2)) match {
+          case (true, false) => Some((d1, d2))
+          case (false, true) => Some((d2, d1))
+          case _ => None
+        }
+      }.toSet
+    assert(inc == full, s"only-inc=${inc -- full} only-full=${full -- inc}")
+    assert(inc.nonEmpty, "fixture must exercise at least one cross pair")
+    // a batch disjoint from the corpus reports nothing
+    val disjoint = Dedup.minhashIncremental(index,
+      Seq((900001L, "zzq qqz zqz qzz zzz")).toDF("doc_id", "text"),
+      "doc_id", "text").count()
+    assert(disjoint == 0L)
+  }
+
   test("ivf-pq probing all cells is bit-identical to plain pq") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 8)

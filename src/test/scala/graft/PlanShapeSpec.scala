@@ -664,6 +664,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("dedup_minhash_incremental: batch side broadcasts everywhere; index never hash-shuffles") {
+    // generate the plan with auto-broadcast OFF so only the HINTED
+    // broadcasts survive (the bm25 guard lesson): batch bands, candidate
+    // ids and batch shingles must all be hint-broadcast, and the only
+    // hash Exchange is the candidate-bounded distinct
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("dedup_minhash_incremental")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("customer_rfm: all three NTILE passes are partition-parallel ranks, no global window") {
     val df = SparkEntry.queries("customer_rfm")(spark, sf)
     val exec = df.queryExecution.sparkPlan
