@@ -920,6 +920,29 @@ object SparkEntry {
       .orderBy("batch_id", "index_id")
   }
 
+  /** Dup-family size histogram over the connected components — the
+    * report that tells a curator whether dedup is removing twins (sizes
+    * 2-3) or collapsing whole mirror families (fat tail): per
+    * cluster-size, the number of clusters, with singletons (docs in no
+    * pair) as the size-1 row via two one-row broadcast aggregates. The
+    * component machinery and its recursive-CTE oracle are row 52's,
+    * proven; this adds two tiny rollups on top. */
+  private def dedupClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val clusters = Dedup.clusterPairs(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5))
+    val hist = clusters
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_clustered"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("n_docs") - col("n_clustered")).as("n_clusters"))
+    hist.unionByName(singles).orderBy("cluster_size")
+  }
+
   /** Tau-sensitivity curve over the exact Jaccard pairs: how many pairs
     * each 0.1-wide similarity band holds above the operating threshold —
     * the report a curator reads before MOVING the dedup threshold (a fat
@@ -2758,7 +2781,8 @@ object SparkEntry {
     "dq_rules" -> (dqRules _),
     "customer_rfm" -> (customerRfm _),
     "dedup_tau_curve" -> (dedupTauCurve _),
-    "dedup_minhash_incremental" -> (dedupMinhashIncremental _)
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -3284,6 +3308,32 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // row 52's proven component CTE + two rollups; singletons = docs in
+    // no pair, emitted as the size-1 row
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cnt JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |          WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+        |sizes AS (SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |          FROM comp GROUP BY 1),
+        |hist AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        |         FROM sizes GROUP BY 1),
+        |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |  CAST((SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp) AS BIGINT) AS n_clusters)
+        |SELECT * FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        |ORDER BY cluster_size""".stripMargin,
     "dim_customer" ->
       """SELECT CAST(dense_rank() OVER (ORDER BY c_custkey) AS BIGINT) AS customer_sk,
         | c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
