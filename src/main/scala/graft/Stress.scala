@@ -729,11 +729,17 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    // checkpointed replicate OUTSIDE the timer (the docs/emb/ev
+    // convention) — the first in-timer formulation measured the 60M-row
+    // crossJoin materialization, not the operator (probe: replicate
+    // 12.7 s vs warm aggregate 3.7 s)
+    val li4 = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .crossJoin(spark.range(factor).toDF("rep"))
+      .drop("rep").repartition(64)
+      .localCheckpoint(true)
+    println(s"[stress] lineitem-num: ${li4.count()} (x$factor)")
     time("numeric_corr") {
-      val li0 = Tables.lineitem(spark, sfDir)
-        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li4 = li0.crossJoin(spark.range(factor).toDF("rep"))
-        .drop("rep").repartition(64)
       val out = graft.operators.Quality.corrMatrix(li4,
         Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))

