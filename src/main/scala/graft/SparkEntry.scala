@@ -920,6 +920,65 @@ object SparkEntry {
       .orderBy("batch_id", "index_id")
   }
 
+  /** Per-supplier scorecard: volume, decimal-exact revenue, and the
+    * late-shipment share (shipped >60 days after order) for the top-20
+    * suppliers by revenue — the vendor-performance report. One fact-fact
+    * equi-join (lineitem→orders on the order key), per-supplier rollup
+    * combining map-side, supplier names broadcast onto the REDUCED
+    * frame, top-20 planned as TakeOrdered (never a global sort). */
+  private def supplierScorecard(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select("l_suppkey", "l_orderkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val o = orders(s, d).select("o_orderkey", "o_orderdate")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          28, 6).as("revenue"),
+        sum((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast(LongType))
+          .as("n_late"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        Seq("s_suppkey"))
+      .withColumn("late_frac",
+        col("n_late").cast(DoubleType) / col("n_lines").cast(DoubleType))
+      .select("s_suppkey", "s_name", "n_lines", "revenue", "n_late",
+        "late_frac")
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** Monitoring-family capstone: the three volume monitors — z-test
+    * (108), median/MAD (118), EWMA (170) — scored off ONE hourly rollup
+    * and joined into a per-hour triage view (the contamination_report
+    * pattern for monitors): methods agreeing is severity, methods
+    * disagreeing is exactly the signal each monitor exists for (MAD
+    * catches the burst-masked hour, EWMA stays silent under drift).
+    * All joins are hours×types-bounded; only flagged hours emit. */
+  private def monitorReport(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val zf = Quality.spikesFromHourly(hourly, "event_type", "h", "n")
+      .select(col("event_type"), col("hour_start"), col("cnt"),
+        col("is_spike").cast(LongType).as("z_flag"))
+    val mf = Quality.madFromHourly(hourly, "event_type", "h", "n")
+      .select(col("event_type"), col("hour_start"),
+        col("is_anomaly").cast(LongType).as("mad_flag"))
+    val ef = Quality.ewmaFromBuckets(hourly, "event_type", "h", "n")
+      .select(col("event_type"),
+        graft.functions.tsString(col("h")).as("hour_start"),
+        col("spike").cast(LongType).as("ewma_flag"))
+    zf.join(mf, Seq("event_type", "hour_start"))
+      .join(ef, Seq("event_type", "hour_start"))
+      .withColumn("n_flagged",
+        col("z_flag") + col("mad_flag") + col("ewma_flag"))
+      .filter(col("n_flagged") >= 1L)
+      .orderBy("event_type", "hour_start")
+  }
+
   /** Dup-family size histogram over the connected components — the
     * report that tells a curator whether dedup is removing twins (sizes
     * 2-3) or collapsing whole mirror families (fat tail): per
@@ -2782,7 +2841,9 @@ object SparkEntry {
     "customer_rfm" -> (customerRfm _),
     "dedup_tau_curve" -> (dedupTauCurve _),
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
-    "dedup_cluster_sizes" -> (dedupClusterSizes _)
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "supplier_scorecard" -> (supplierScorecard _),
+    "monitor_report" -> (monitorReport _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -2994,6 +3055,24 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the proven decimal-volume + INTERVAL fragments; LIMIT after the
+    // deterministic (revenue DESC, suppkey) order
+    "supplier_scorecard" ->
+      """WITH j AS (
+        | SELECT l_suppkey,
+        |  CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)) AS vol,
+        |  CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |       THEN 1 ELSE 0 END AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |a AS (
+        | SELECT l_suppkey AS s_suppkey, COUNT(*) AS n_lines,
+        |  CAST(SUM(vol) AS DOUBLE) AS revenue,
+        |  CAST(SUM(late) AS BIGINT) AS n_late
+        | FROM j GROUP BY 1)
+        |SELECT a.s_suppkey, s.s_name, n_lines, revenue, n_late,
+        | CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_frac
+        |FROM a JOIN supplier s ON a.s_suppkey = s.s_suppkey
+        |ORDER BY revenue DESC, a.s_suppkey LIMIT 20""".stripMargin,
     "sales_cube" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
         | COALESCE(o_orderpriority, '(all)') AS priority,
@@ -4571,6 +4650,69 @@ object SparkEntry {
         |  AS is_anomaly
         |FROM m JOIN f ON m.hour_ts = f.hour_ts AND m.event_type = f.event_type
         |ORDER BY hour_start, m.event_type""".stripMargin,
+    // the three PROVEN monitor fragments (events_spike / events_mad /
+    // events_ewma oracles) verbatim over one shared hourly CTE, joined
+    // into the triage view — the oracle-chaining rule
+    "monitor_report" ->
+      """WITH RECURSIVE h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS hour_ts, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |zx AS (
+        | SELECT hour_ts, event_type, cnt,
+        |  COUNT(*) OVER w AS n_prior, SUM(cnt) OVER w AS s_prior,
+        |  SUM(cnt * cnt) OVER w AS q_prior
+        | FROM h
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |zf AS (
+        | SELECT event_type, hour_ts, cnt,
+        |  CAST(n_prior >= 8 AND n_prior * cnt > s_prior
+        |   AND (n_prior - 1) * (n_prior * cnt - s_prior) * (n_prior * cnt - s_prior)
+        |       > 9 * n_prior * (n_prior * q_prior - s_prior * s_prior)
+        |   AS BIGINT) AS z_flag
+        | FROM zx),
+        |mr AS (
+        | SELECT h.*, row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS rn
+        | FROM h),
+        |mp AS (
+        | SELECT c.hour_ts, c.event_type, c.cnt, pr.cnt AS p_cnt
+        | FROM mr c LEFT JOIN mr pr ON pr.event_type = c.event_type
+        |  AND pr.rn BETWEEN c.rn - 24 AND c.rn - 1),
+        |mm AS (
+        | SELECT hour_ts, event_type, cnt, COUNT(p_cnt) AS n_prior,
+        |  CAST(2 * median(p_cnt) AS BIGINT) AS med2
+        | FROM mp GROUP BY 1, 2, 3),
+        |mf0 AS (
+        | SELECT p.hour_ts, p.event_type,
+        |  CAST(2 * median(abs(2 * p.p_cnt - m.med2)) AS BIGINT) AS mad4
+        | FROM mp p JOIN mm m ON p.hour_ts = m.hour_ts AND p.event_type = m.event_type
+        | GROUP BY 1, 2),
+        |mf AS (
+        | SELECT m.event_type, m.hour_ts,
+        |  CAST(m.n_prior >= 8 AND 4 * m.cnt > 2 * m.med2 + 5 * f.mad4 AS BIGINT) AS mad_flag
+        | FROM mm m JOIN mf0 f ON m.hour_ts = f.hour_ts AND m.event_type = f.event_type),
+        |eidx AS (
+        | SELECT event_type, hour_ts AS b, cnt AS n,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour_ts) AS i
+        | FROM h),
+        |walk AS (
+        | SELECT event_type, b, n, i, CAST(n * 256 AS BIGINT) AS s, FALSE AS spike
+        | FROM eidx WHERE i = 1
+        | UNION ALL
+        | SELECT x.event_type, x.b, x.n, x.i,
+        |  CAST((7 * w.s + x.n * 256) // 8 AS BIGINT),
+        |  x.n * 256 > 2 * w.s
+        | FROM walk w JOIN eidx x ON x.event_type = w.event_type AND x.i = w.i + 1),
+        |ef AS (SELECT event_type, b AS hour_ts, CAST(spike AS BIGINT) AS ewma_flag FROM walk)
+        |SELECT z.event_type, strftime(z.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | z.cnt, z.z_flag, m.mad_flag, e.ewma_flag,
+        | z.z_flag + m.mad_flag + e.ewma_flag AS n_flagged
+        |FROM zf z
+        |JOIN mf m ON z.event_type = m.event_type AND z.hour_ts = m.hour_ts
+        |JOIN ef e ON z.event_type = e.event_type AND z.hour_ts = e.hour_ts
+        |WHERE z.z_flag + m.mad_flag + e.ewma_flag >= 1
+        |ORDER BY z.event_type, hour_start""".stripMargin,
+
     "events_spike" ->
       """WITH h AS (
         | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt

@@ -678,6 +678,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("supplier_scorecard: map-side rollup, broadcast names, top-20 is TakeOrdered") {
+    val p = plan("supplier_scorecard")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // supplier names on the reduced frame
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("customer_rfm: all three NTILE passes are partition-parallel ranks, no global window") {
     val df = SparkEntry.queries("customer_rfm")(spark, sf)
     val exec = df.queryExecution.sparkPlan
