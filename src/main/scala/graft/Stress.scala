@@ -771,6 +771,72 @@ object Stress {
       h.agg(bit_xor(xxhash64(col("doc_id"), col("phash"))), count(lit(1)))
         .head().getLong(1)
     }
+    // RFM on a synthesized per-customer order stream: ordR already
+    // carries factor-many customers' orders; custkey/totalprice derive
+    // from the replicated orderkey (hash-spread, deterministic)
+    time("customer_rfm") {
+      val ordC = ordR
+        .withColumn("o_custkey", pmod(xxhash64(col("o_orderkey")), lit(factor * 15000L)))
+        .withColumn("o_totalprice",
+          (pmod(xxhash64(col("o_orderkey"), lit(1)), lit(100000000L)) / 100.0))
+      val maxD = broadcast(ordC.agg(max(col("o_orderdate")).as("max_d")))
+      val custF = ordC.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_d"),
+          count(lit(1)).as("frequency"),
+          graft.functions.sumExact(col("o_totalprice"), 28, 6).as("monetary"))
+        .crossJoin(maxD)
+        .select(col("o_custkey"),
+          datediff(col("max_d"), col("last_d")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"))
+      def score(df: DataFrame, v: String, out: String): DataFrame = {
+        val (ranked, n) = graft.operators.Ranking.withGlobalRank(df,
+          Seq(col(v), col("o_custkey")), "__rk")
+        ranked.withColumn(out,
+          graft.operators.Ranking.ntileFromRank(col("__rk"), n, 5)).drop("__rk")
+      }
+      val out = score(score(score(custF, "recency_days", "r_raw"),
+        "frequency", "f_score"), "monetary", "m_score")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("supplier_scorecard") {
+      val late = liSd
+        .withColumn("l_suppkey", pmod(xxhash64(col("l_orderkey")), lit(10000L)))
+        .withColumn("l_extendedprice",
+          (pmod(xxhash64(col("l_orderkey"), lit(2)), lit(1000000L)) / 100.0))
+        .join(ordR.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          graft.functions.sumExact(col("l_extendedprice"), 28, 6).as("revenue"),
+          sum((col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("long"))
+            .as("n_late"))
+        .orderBy(col("revenue").desc, col("l_suppkey")).limit(20)
+      late.agg(bit_xor(xxhash64(late.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("monitor_report") {
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val zf = graft.operators.Quality.spikesFromHourly(hourly, "event_type", "h", "n")
+        .select(col("event_type"), col("hour_start"), col("cnt"),
+          col("is_spike").cast("long").as("z_flag"))
+      val mf = graft.operators.Quality.madFromHourly(hourly, "event_type", "h", "n")
+        .select(col("event_type"), col("hour_start"),
+          col("is_anomaly").cast("long").as("mad_flag"))
+      val ef = graft.operators.Quality.ewmaFromBuckets(hourly, "event_type", "h", "n")
+        .select(col("event_type"),
+          graft.functions.tsString(col("h")).as("hour_start"),
+          col("spike").cast("long").as("ewma_flag"))
+      val out = zf.join(mf, Seq("event_type", "hour_start"))
+        .join(ef, Seq("event_type", "hour_start"))
+        .withColumn("n_flagged",
+          col("z_flag") + col("mad_flag") + col("ewma_flag"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     time("phash_pairs") {
       val media = graft.operators.Multimodal.asMedia(
         docs.withColumn("source", lit("s")), "doc_id", "text", "source")
