@@ -136,6 +136,226 @@ object SparkEntry {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q14-style promo revenue share over one quarter: lineitem
+    * date-filtered at the scan, part broadcast, both conditional sums
+    * decimal-exact in ONE map-side-combined aggregate, the share one
+    * IEEE division of the two exact sums (the q8 parity fragment). */
+  private def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val p = broadcast(part(s, d).select("p_partkey", "p_type"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sumExact(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)), 28, 6)
+          .as("promo_revenue"),
+        sumExact(vol, 28, 6).as("total_revenue"))
+      .withColumn("promo_share", col("promo_revenue") / col("total_revenue"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: for one brand's parts, the
+    * revenue of lineitems below half the part's average quantity,
+    * scaled to a yearly figure. The correlated scalar subquery of the
+    * textbook form is decorrelated into a WINDOW average over the part
+    * key — a groupBy + join-back would re-plan the brand-bounded
+    * subtree per consumer (two scans, two Exchanges; Spark shares no
+    * plan subtrees), while the window runs on ONE scan and ONE Exchange
+    * with no join at all. avg is a decimal window sum (exact, order-
+    * independent) over an IEEE count division, engine-identical; the
+    * half-average compare is one IEEE multiply. */
+  private def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val p = broadcast(part(s, d).filter(col("p_brand") === "Brand#11")
+      .select("p_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .select(col("l_quantity"), col("l_extendedprice"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType) / count(col("l_quantity")).over(w)).as("avg_qty"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg((sumExact(col("l_extendedprice"), 28, 6) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: per-order quantity rollup,
+    * HAVING > 250, top-100 by order value. The one corpus-sized shuffle
+    * is the lineitem groupBy; the having-filtered survivors (~1% of
+    * orders) broadcast INTO the orders scan and again into customer, so
+    * no fact-fact shuffle exists; the top-100 plans TakeOrdered, never
+    * a global sort. */
+  private def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val qtyF = broadcast(
+      lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(sumExact(col("l_quantity"), 18, 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0))
+    val o = orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = customer(s, d).select("c_custkey", "c_name")
+    broadcast(qtyF.join(o, col("l_orderkey") === col("o_orderkey")))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: OR-of-ANDs across
+    * (brand, size range, quantity range) triples spanning BOTH join
+    * sides. Catalyst cannot derive cross-table implied predicates from
+    * the disjunction, so each side's union bound is strengthened
+    * manually — p_brand IN (...) AND p_size <= 15 prunes the broadcast
+    * dim, l_quantity BETWEEN 1 AND 30 reaches the lineitem scan as a
+    * pushed filter (plan-guarded) — and the exact disjunction applies
+    * after the join. At 100 TB the strengthened scan predicate is the
+    * difference between reading every row group and skipping most. */
+  private def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val p = broadcast(part(s, d)
+      .filter(col("p_brand").isin("Brand#12", "Brand#13", "Brand#14") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size"))
+    val li = lineitem(s, d)
+      .filter(col("l_quantity").between(1.0, 30.0))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val disj =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#14" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20.0, 30.0))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(disj)
+      .agg(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        28, 6).as("revenue"))
+  }
+
+  /** TPC-H Q21-style waiting suppliers, without the correlated
+    * EXISTS/NOT-EXISTS pair: a supplier qualifies on an order when it
+    * shipped late (>60 days after order date), the order has at least
+    * one OTHER supplier, and NO other supplier was late. Both
+    * correlations collapse into per-order aggregates — distinct
+    * suppliers and distinct LATE suppliers — which ride as WINDOW
+    * aggregates over the per-(order, supplier) rollup (a groupBy +
+    * join-back would re-plan the corpus subtree per consumer; the
+    * window shares the one materialization — the events_mad playbook).
+    * An explicit repartition(l_orderkey) makes HashPartitioning(
+    * l_orderkey) satisfy the (orderkey, suppkey) grouping AND the
+    * order-keyed window, so the whole cascade runs on ONE corpus
+    * Exchange (the Q4 max-aggregate rewrite, one level deeper). numwait
+    * counts late LINES like the textbook l1 form; the oracle IS the
+    * textbook correlated EXISTS/NOT-EXISTS form, cross-validating the
+    * rewrite. */
+  private def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          1L).otherwise(0L).as("is_late"))
+      .repartition(col("l_orderkey"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(col("is_late")).as("late_lines"))
+      .select(col("l_suppkey"), col("late_lines"),
+        count(lit(1)).over(w).as("n_supp"),
+        sum(when(col("late_lines") > 0L, 1L).otherwise(0L)).over(w)
+          .as("n_late_supp"))
+      .filter(col("late_lines") > 0L && col("n_supp") > 1L &&
+        col("n_late_supp") === 1L)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("late_lines")).as("numwait"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22-style idle high-balance customers (adapted: this corpus
+    * gives every customer SOME order, so "idle" means no order in the
+    * trailing window): customers above the positive-balance average
+    * with no order since 2000-01-01, counted per nation. The scalar
+    * average is a one-row broadcast cross join (exact decimal sum, one
+    * IEEE division); the recency check is a LEFT ANTI join against the
+    * date-pruned orders scan — the anti side shrinks at the scan, not
+    * after the shuffle. */
+  private def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgPos = c.filter(col("c_acctbal") > 0.0)
+      .agg(avgExact(col("c_acctbal"), 18, 2).as("avg_bal"))
+    val recent = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      .select("o_custkey")
+    c.crossJoin(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sumExact(col("c_acctbal"), 18, 2).as("totacctbal"))
+      .orderBy("nationkey")
+  }
+
+  /** TPC-H Q9-style product-type profit by supplier nation and year
+    * (adapted: no partsupp table, so cost is the 60%-of-retail proxy
+    * p_retailprice * l_quantity * 0.6). Part subset (name pattern) and
+    * all dims broadcast; the one fact join is lineitem→orders; profit
+    * accumulates per-addend in DECIMAL — both IEEE products are
+    * bit-deterministic, the subtraction happens inside the cast — so
+    * the nation×year sums are engine-exact. */
+  private def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val p = broadcast(part(s, d)
+      .filter(col("p_name").like("%widget%"))
+      .select("p_partkey", "p_retailprice"))
+    val su = broadcast(supplier(s, d).select("s_suppkey", "s_nationkey"))
+    val n = broadcast(nation(s, d).select("n_nationkey", "n_name"))
+    val o = orders(s, d).select("o_orderkey", "o_orderdate")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.6)
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sumExact(profit, 28, 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10-style returned-item reporting: revenue lost to returns
+    * per customer over one half-year, top 20. Orders date-pruned at the
+    * scan, lineitem filtered to returnflag='R'; the reduced join result
+    * broadcasts into customer (no customer-sized shuffle), nation
+    * broadcasts, and the top-20 plans TakeOrdered. */
+  private def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-07-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val perCust = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        28, 6).as("revenue"))
+    broadcast(perCust)
+      .join(customer(s, d).select("c_custkey", "c_name", "c_acctbal",
+        "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** README insight 1: counts by country (customer x broadcast nation). */
   private def countsByCountry(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -1746,6 +1966,79 @@ object SparkEntry {
         TextAnalysis.knuthWeights(64))
       .orderBy("doc_id")
 
+  /** Calibration of the hashed linear classifier (row 136) against the
+    * heuristic quality gate (row 66): per 10-point classifier-score
+    * band, how often does the heuristic gate agree? The curator's
+    * check before trusting a cheap model score to replace the
+    * heuristic at 100 TB. Both scorers are Column builders, so the
+    * per-doc frame is ONE scan with zero joins (the ensemble-gate
+    * payoff); the gate threshold arrives as a one-row broadcast cross
+    * join (the quality_filter posture) and the band rollup combines
+    * map-side. Banding uses a +100000 offset so integer DIV stays on
+    * non-negative ground where Spark and DuckDB agree; pass_rate is
+    * one IEEE division of two BIGINTs. */
+  private def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val base = TextAnalysis.quality(documents(s, d), "text")
+      .select(col("doc_id"), col("quality_score"),
+        TextAnalysis.hashedLinearScoreCol(col("text"),
+          TextAnalysis.knuthWeights(64)).as("clf_score"))
+    val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    base.crossJoin(broadcast(thr))
+      .select(
+        expr("CAST((clf_score + 100000) DIV 10 AS BIGINT)").as("band"),
+        (col("quality_score") >= col("__thr")).cast(LongType).as("passed"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("passed")).as("n_pass"))
+      .select((col("band") * 10L - 100000L).as("band_lo"),
+        col("n_docs"), col("n_pass"),
+        (col("n_pass").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("pass_rate"))
+      .orderBy("band_lo")
+  }
+
+  /** Dedup-family evaluation — precision/recall of each approximate
+    * near-dup detector against the EXACT n-gram-Jaccard pair set at the
+    * operating tau: the report a curator reads before choosing which
+    * family to run at 100 TB (the tau_curve row asks "is the threshold
+    * load-bearing"; this asks "is the approximation"). One full-outer
+    * join per family on the normalized (d1, d2) pair key — everything
+    * after the detectors is pair-set-sized. minhash_lsh verifies its
+    * candidates with exact hashed-shingle Jaccard, so its precision is
+    * structurally 1.0 (the subset property the suite pins — visible
+    * here as fp = 0); simhash trades both directions. Rows-only (the
+    * signature families have no SQL form); the report's arithmetic
+    * identities (tp + fn = n_exact, tp + fp = n_family) and the
+    * minhash subset row are spec-pinned. */
+  private def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.5)
+      .select("d1", "d2")
+    def eval(name: String, fam: DataFrame): DataFrame =
+      exact.withColumn("ex", lit(1L))
+        .join(fam.select("d1", "d2").withColumn("fa", lit(1L)),
+          Seq("d1", "d2"), "full_outer")
+        .agg(
+          sum(when(col("ex").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("fa").isNotNull, 1L).otherwise(0L)).as("n_family"),
+          sum(when(col("ex").isNotNull && col("fa").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("ex").isNull && col("fa").isNotNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("ex").isNotNull && col("fa").isNull, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(lit(name).as("family"), col("n_exact"), col("n_family"),
+          col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0L, lit(null))
+            .otherwise(col("tp").cast(DoubleType) /
+              (col("tp") + col("fp")).cast(DoubleType)).as("precision"),
+          when(col("tp") + col("fn") === 0L, lit(null))
+            .otherwise(col("tp").cast(DoubleType) /
+              (col("tp") + col("fn")).cast(DoubleType)).as("recall"))
+    eval("minhash_lsh", Dedup.minhashLshPairs(docs, "doc_id", "text", tau = 0.5))
+      .unionAll(eval("simhash", Dedup.simhashPairs(docs, "doc_id", "text")))
+      .orderBy("family")
+  }
+
   /** LZ78 compressibility signal ([[TextAnalysis.lzComplexityStats]]):
     * rows-only by design — the sequential parse has no SQL form; the
     * kernel is property-pinned against a straight-line reference and
@@ -2747,6 +3040,8 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_ensemble" -> (qualityEnsemble _),
+    "quality_calibration" -> (qualityCalibration _),
+    "dedup_eval" -> (dedupEval _),
     "text_lz_complexity" -> (textLzComplexity _),
     "text_tokens" -> (textTokens _),
     "text_subwords" -> (textSubwords _),
@@ -2835,6 +3130,14 @@ object SparkEntry {
     "token_cms" -> (tokenCms _),
     "diverse_sample" -> (diverseSample _),
     "q8_market_share" -> (q8MarketShare _),
+    "q14_promo_share" -> (q14PromoShare _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q18_big_orders" -> (q18BigOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q22_idle_customers" -> (q22IdleCustomers _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q10_returns" -> (q10Returns _),
     "price_winsorize" -> (priceWinsorize _),
     "multimodal_phash" -> (multimodalPhash _),
     "dq_rules" -> (dqRules _),
@@ -3007,6 +3310,95 @@ object SparkEntry {
         |                     ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
         |       / CAST(SUM(vol) AS DOUBLE) END AS mkt_share
         |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))
+        |   ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue,
+        | CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))
+        |   ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS promo_share
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        | AND l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        | SELECT l_partkey, l_quantity, l_extendedprice
+        | FROM lineitem, part
+        | WHERE l_partkey = p_partkey AND p_brand = 'Brand#11'),
+        |a AS (
+        | SELECT l_partkey AS ak,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty
+        | FROM li GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM li JOIN a ON li.l_partkey = a.ak
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    "q18_big_orders" ->
+      """WITH q AS (
+        | SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+        | o_totalprice, sum_qty
+        |FROM q JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        | (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        | AND o_orderstatus = 'F'
+        | AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH a AS (
+        | SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/COUNT(c_acctbal) AS avg_bal
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_acctbal > a.avg_bal
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.6 AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, nation, orders
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        | AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
+        | AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returns" ->
+      """WITH pc AS (
+        | SELECT o_custkey,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        | FROM lineitem, orders
+        | WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        | GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM pc JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "counts_by_country" ->
       """SELECT n_name, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -3331,6 +3723,34 @@ object SparkEntry {
         | CAST(COALESCE(sc.s, 0) AS BIGINT) AS score,
         | COALESCE(sc.s, 0) >= 0 AS keep
         |FROM toks k LEFT JOIN sc USING (doc_id) ORDER BY k.doc_id""".stripMargin,
+    "quality_calibration" ->
+      // chains the PROVEN quality_classifier score CTE and quality_filter
+      // gate fragment verbatim (§6 oracle-chaining rule)
+      """WITH toks AS (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        |sc AS (SELECT doc_id,
+        |   SUM(((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+        |        * 2654435761) % 21 - 10) AS s
+        | FROM t GROUP BY doc_id),
+        |q AS (
+        | SELECT doc_id,
+        |  least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS DOUBLE)
+        |     / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 0.5 AS quality_score
+        | FROM documents),
+        |thr AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q),
+        |j AS (SELECT k.doc_id, COALESCE(sc.s, 0) AS clf_score, q.quality_score
+        |      FROM toks k LEFT JOIN sc USING (doc_id) JOIN q USING (doc_id)),
+        |b AS (SELECT (clf_score + 100000) // 10 AS band,
+        |       CASE WHEN quality_score >= thr THEN 1 ELSE 0 END AS passed
+        |      FROM j, thr)
+        |SELECT CAST(band * 10 - 100000 AS BIGINT) AS band_lo,
+        | COUNT(*) AS n_docs, CAST(SUM(passed) AS BIGINT) AS n_pass,
+        | CAST(SUM(passed) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pass_rate
+        |FROM b GROUP BY band ORDER BY band_lo""".stripMargin,
     "clean_pipeline" ->
       // COALESCE mirrors fillNaValues(amount -> 0.0); QUALIFY mirrors
       // dedupKeepFirst(event_id) — both previously absent, so equivalence

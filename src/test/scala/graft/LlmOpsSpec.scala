@@ -1102,6 +1102,24 @@ class LlmOpsSpec extends AnyFunSuite {
         thresholdDen = 0L)
     }
   }
+
+  test("dedup_eval: arithmetic identities hold and minhash precision is the subset property") {
+    val rows = SparkEntry.queries("dedup_eval")(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val Seq(nExact, nFam, tp, fp, fn) =
+        Seq("n_exact", "n_family", "tp", "fp", "fn")
+          .map(c => r.getLong(r.fieldIndex(c)))
+      assert(tp + fn == nExact, r)
+      assert(tp + fp == nFam, r)
+    }
+    // minhash verifies candidates with exact hashed-shingle Jaccard:
+    // its pair set is a subset of the exact set -> fp = 0, precision 1.0
+    val mh = rows.find(_.getString(0) == "minhash_lsh").get
+    assert(mh.getLong(mh.fieldIndex("fp")) == 0L, mh)
+    assert(mh.getLong(mh.fieldIndex("tp")) > 0L, mh)
+    assert(mh.getDouble(mh.fieldIndex("precision")) == 1.0, mh)
+  }
 }
 
 object LlmOpsSpec {

@@ -720,6 +720,84 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("q17: window decorrelation — one scan, one Exchange, one fused Window, no self-join") {
+    val df = SparkEntry.queries("q17_small_qty")(spark, sf)
+    val exec = df.queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // both frame functions (decimal sum, count) fuse into ONE part-keyed
+    // Window pass; a groupBy+join-back would re-plan the subtree twice
+    assert(wins.size == 1, exec.toString)
+    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    // exchanges exist only in the executedPlan (EnsureRequirements)
+    val p = plan("q17_small_qty")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q18: one corpus shuffle; survivors broadcast into orders and customer; top-100 is TakeOrdered") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("q18_big_orders")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q19: the strengthened union bounds reach both scans as pushed filters") {
+    val p = plan("q19_disjunctive")
+    // manual cross-table predicate strengthening: the quantity envelope
+    // pushes to the lineitem scan, the brand IN-list to the part scan —
+    // Catalyst cannot derive either from the OR-of-ANDs itself
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), p)
+    assert(p.contains("In(p_brand"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q21: both correlations run on ONE corpus Exchange; second shuffle is qualified-rows-sized") {
+    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+    val exec = df.queryExecution.sparkPlan
+    // repartition(l_orderkey) feeds the (order, supp) rollup AND the
+    // order-keyed window carrying both correlation aggregates — one
+    // fused partitioned Window, no self-join; the only other hash
+    // Exchange regroups the filtered survivors by supplier
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, exec.toString)
+    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    val p = plan("q21_waiting_suppliers")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q22: recency anti join is date-pruned at the scan; the scalar avg broadcasts") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    // the one-row average arrives via broadcast, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q10: orders date-pruned, returnflag pushed, reduced frame broadcasts, top-20 TakeOrdered") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("q10_returns")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    // per-customer rollup and nation both hint-broadcast: customer never
+    // shuffles; the one shuffled join is the designed lineitem x orders
+    // fact join
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("value_ks: CDF windows are partition-parallel — never a single-task global window") {
     // the KS cumulative CDFs ride withPrefixSums (range repartition +
     // partition-offset reconstruction): every Window in the final plan
