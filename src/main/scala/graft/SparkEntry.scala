@@ -356,6 +356,31 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** TPC-H Q16-style parts/supplier relationship: per (brand, type,
+    * size-band) the count of DISTINCT suppliers able to ship it,
+    * EXCLUDING flagged suppliers (adapted: negative account balance
+    * stands in for the complaints predicate). The classic
+    * anti-join + count-distinct shape: the flagged set is tiny and
+    * broadcasts as a LEFT ANTI, the distinct-agg partial-aggregates
+    * the (brand, type, band, supp) tuples map-side before its one
+    * Exchange. Derived from lineitem (the observed ship relationships
+    * — this schema has no partsupp), part broadcast. */
+  private def q16SupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val flagged = broadcast(supplier(s, d)
+      .filter(col("s_acctbal") < 0.0).select("s_suppkey"))
+    val p = broadcast(part(s, d)
+      .filter(col("p_type") =!= "STANDARD")
+      .select("p_partkey", "p_brand", "p_type", "p_size"))
+    lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        expr("CAST((p_size - 1) DIV 10 AS BIGINT)").as("size_band"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("size_band"))
+  }
+
   /** README insight 1: counts by country (customer x broadcast nation). */
   private def countsByCountry(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -2791,6 +2816,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** Nearest-direction as-of ([[Temporal.asofJoinNearest]]): closest
+    * click either side of each purchase, ties backward. The click side
+    * dedups to one row per (user, ts) so the per-instant pick is
+    * tie-free by construction on both engines. */
+  private def asofJoinNearestQ(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .dedupKeepFirst(Seq("user_id", "ts"), Seq(col("click_id").desc))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    Temporal.asofJoinNearest(clicks, purchases, "user_id", "ts", "ts",
+        Seq("click_id"))
+      .select(
+        col("event_id"), col("user_id"), tsString(col("ts")).as("ts"),
+        tsString(col("asof_ts")).as("asof_ts"), col("asof_click_id"))
+      .orderBy("event_id")
+  }
+
   /** As-of with a 30-minute staleness bound ([[Temporal.asofJoinTolerance]]):
     * the feature-store freshness contract — a click older than the
     * tolerance is no match at all. */
@@ -3115,6 +3159,7 @@ object SparkEntry {
     "embedding_outliers" -> (embeddingOutliersQ _),
     "embedding_pca" -> (embeddingPca _),
     "asof_join_forward" -> (asofJoinForwardQ _),
+    "asof_join_nearest" -> (asofJoinNearestQ _),
     "asof_join_tolerance" -> (asofJoinToleranceQ _),
     "dim_scd2" -> (dimScd2 _),
     "pack_sequences_bfd" -> (packSequencesBfdQ _),
@@ -3138,6 +3183,7 @@ object SparkEntry {
     "q22_idle_customers" -> (q22IdleCustomers _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q10_returns" -> (q10Returns _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
     "price_winsorize" -> (priceWinsorize _),
     "multimodal_phash" -> (multimodalPhash _),
     "dq_rules" -> (dqRules _),
@@ -3386,6 +3432,14 @@ object SparkEntry {
         | AND s_nationkey = n_nationkey AND l_orderkey = o_orderkey
         | AND p_name LIKE '%widget%'
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, (p_size - 1) // 10 AS size_band,
+        | COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND p_type <> 'STANDARD'
+        | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, size_band""".stripMargin,
     "q10_returns" ->
       """WITH pc AS (
         | SELECT o_custkey,
@@ -4852,6 +4906,25 @@ object SparkEntry {
         | strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts, c.click_id AS asof_click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // nearest: both directional ASOF picks computed, the closer (exact
+    // integer microseconds) wins, equal distance resolves backward
+    "asof_join_nearest" ->
+      """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT p.event_id, c.ts AS b_ts, c.click_id AS b_id
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id, c.ts AS f_ts, c.click_id AS f_id
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, b.b_ts, b.b_id, f.f_ts, f.f_id,
+        |       (f_ts IS NULL OR (b_ts IS NOT NULL AND
+        |        epoch_us(p.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(p.ts))) AS use_b
+        |      FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        | strftime(CASE WHEN use_b THEN b_ts ELSE f_ts END, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+        | CASE WHEN use_b THEN b_id ELSE f_id END AS asof_click_id
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "asof_join_tolerance" ->
       """WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'

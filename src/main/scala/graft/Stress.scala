@@ -837,6 +837,54 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    time("q21_waiting") {
+      // the double-correlation rewrite at fact scale: one corpus
+      // repartition(orderkey) feeds the pair rollup AND the order-keyed
+      // window; suppkey synthesized (the replicated slim lineitem has
+      // none) the scorecard way
+      val li = liSd
+        .withColumn("l_suppkey",
+          pmod(xxhash64(col("l_orderkey"), col("l_shipdate")), lit(10000L)))
+        .join(ordR.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L).as("is_late"))
+        .repartition(col("l_orderkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      val out = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(col("is_late")).as("late_lines"))
+        .select(col("l_suppkey"), col("late_lines"),
+          count(lit(1)).over(w).as("n_supp"),
+          sum(when(col("late_lines") > 0L, 1L).otherwise(0L)).over(w)
+            .as("n_late_supp"))
+        .filter(col("late_lines") > 0L && col("n_supp") > 1L &&
+          col("n_late_supp") === 1L)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey")).limit(20)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("q18_big_orders") {
+      // per-order rollup + broadcast of the having survivors into the
+      // orders scan; quantity synthesized per line
+      val qtyF = broadcast(liSd
+        .withColumn("l_quantity",
+          (pmod(xxhash64(col("l_orderkey"), col("l_shipdate"), lit(3)),
+            lit(50L)) + 1L).cast("double"))
+        .groupBy(col("l_orderkey"))
+        .agg(graft.functions.sumExact(col("l_quantity"), 18, 2).as("sum_qty"))
+        .filter(col("sum_qty") > 180.0))
+      val out = qtyF
+        .join(ordR.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(100)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     time("phash_pairs") {
       val media = graft.operators.Multimodal.asMedia(
         docs.withColumn("source", lit("s")), "doc_id", "text", "source")

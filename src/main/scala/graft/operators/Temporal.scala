@@ -70,6 +70,61 @@ object Temporal {
     carried.select(right.columns.map(col) ++ asofCols: _*)
   }
 
+  /** NEAREST as-of join: for each right row, whichever left row is
+    * closer in time — the latest at-or-before or the earliest strictly
+    * after — with ties (equal distance) resolving BACKWARD (pandas
+    * merge_asof direction='nearest' semantics). Both candidate carries
+    * ride ONE union + ONE window pass: same partition and ordering as
+    * [[asofJoin]], two frames (carry-backward `last`, carry-forward
+    * `first`) that fuse into a single Window node — still one keyed
+    * shuffle, no range join. Under the shared ordering a left row at
+    * the SAME instant sorts before the right row, so it is a backward
+    * candidate at distance 0 (and backward wins the tie anyway);
+    * the forward candidate is strictly later. The distance compare is
+    * exact integer microseconds. Callers should dedup the left side to
+    * one row per (key, ts) (the registered query's posture) so the
+    * per-instant pick is tie-free by construction. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, leftPayload: Seq[String]): DataFrame = {
+    val lvFields = leftTs +: leftPayload
+    val l = left.select(
+      col(key), col(leftTs).as("__ts"), lit(0).as("__side"),
+      struct(lvFields.map(col): _*).as("__lv"))
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val base = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"), col("__lv"))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = u
+      .select(u.columns.map(col) :+
+        last(col("__lv"), ignoreNulls = true).over(wb).as("__b") :+
+        first(col("__lv"), ignoreNulls = true).over(wf).as("__f"): _*)
+      .filter(col("__side") === 1)
+    // distance in exact integer units: microseconds for timestamp
+    // columns, the raw value for integer ts columns (the asof family's
+    // long-ts test posture)
+    def num(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      dt match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+        case _ => c.cast(org.apache.spark.sql.types.LongType)
+      }
+    val rDt = right.schema(rightTs).dataType
+    val lDt = left.schema(leftTs).dataType
+    val db = num(col(rightTs), rDt) -
+      num(col("__b").getField(leftTs), lDt)
+    val df = num(col("__f").getField(leftTs), lDt) -
+      num(col(rightTs), rDt)
+    val useB = col("__f").isNull || (col("__b").isNotNull && db <= df)
+    val chosen = when(useB, col("__b")).otherwise(col("__f"))
+    val asofCols = lvFields.map(f => chosen.getField(f).as(s"asof_$f"))
+    carried.select(right.columns.map(col) ++ asofCols: _*)
+  }
+
   /** [[asofJoin]] with a staleness bound: a match older than
     * `toleranceUs` microseconds before the right timestamp is DROPPED
     * (all asof columns null) — the feature-store freshness contract

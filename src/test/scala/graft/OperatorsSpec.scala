@@ -240,6 +240,52 @@ class OperatorsSpec extends AnyFunSuite {
       ("t4", None)))         // key with no quotes at all
   }
 
+  test("nearest asof picks the closer side, ties backward, one fused window") {
+    import graft.operators.Temporal
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 101.0), (2L, 5L, 50.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, 9L, "t1"),   // 1 before 10, 11 before 20 -> backward... no: b=none? 9<10 so backward none, forward 10 -> 100.0
+      (1L, 14L, "t2"),  // dist 4 back (10), 6 fwd (20) -> 100.0
+      (1L, 15L, "t3"),  // dist 5 both ways -> tie -> backward 100.0
+      (1L, 16L, "t4"),  // dist 6 back, 4 fwd -> 101.0
+      (1L, 25L, "t5"),  // nothing after -> backward 101.0
+      (3L, 7L, "t6"))   // no quotes for key
+      .toDF("k", "ts", "trade")
+    val out = Temporal.asofJoinNearest(quotes, trades, "k", "ts", "ts", Seq("px"))
+      .orderBy("trade").collect()
+      .map(r => Option(r.get(4)).map(_.asInstanceOf[Double]))
+    assert(out.toSeq == Seq(Some(100.0), Some(100.0), Some(100.0),
+      Some(101.0), Some(101.0), None))
+    // nearest distance equals min(backward, forward) distance on the
+    // gate's real feed: cross-check against the two directional ops
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .dropDuplicates("user_id", "ts")
+    val purch = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    def dist(df: org.apache.spark.sql.DataFrame) = df.select(col("event_id"),
+      abs(unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("d"))
+    val n = dist(Temporal.asofJoinNearest(clicks, purch, "user_id", "ts", "ts", Nil))
+    val b = dist(Temporal.asofJoin(clicks, purch, "user_id", "ts", "ts", Nil))
+      .withColumnRenamed("d", "db")
+    val f = dist(Temporal.asofJoinForward(clicks, purch, "user_id", "ts", "ts", Nil))
+      .withColumnRenamed("d", "df")
+    val bad = n.join(b, Seq("event_id"), "left").join(f, Seq("event_id"), "left")
+      .filter(col("d") =!= least(coalesce(col("db"), lit(Long.MaxValue)),
+        coalesce(col("df"), lit(Long.MaxValue))))
+    assert(bad.count() == 0)
+    // both carries fuse into ONE window node (same partition + ordering,
+    // two frames) — the single-shuffle contract
+    val exec = Temporal.asofJoinNearest(quotes, trades, "k", "ts", "ts", Seq("px"))
+      .queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, exec.toString)
+  }
+
   test("asof tolerance nulls matches staler than the bound, keeps the rest") {
     import graft.operators.Temporal
     val quotes = Seq((1L, 10L, 100.0), (1L, 50L, 105.0)).toDF("k", "ts", "px")
