@@ -2296,6 +2296,19 @@ object SparkEntry {
   /** Token-budget epoch plan ([[Curation.epochPlan]]) over the corpus
     * sources with the weighted_sample weights and a 1M-token budget —
     * target tokens and implied epochs per source, all-BIGINT. */
+  /** Temperature-scaled mixing weights at α = 1/2
+    * ([[Curation.temperatureMix]]) beside the integer-weight epoch
+    * planner — the standard small-source upweighting recipe. */
+  private def mixTemperatureQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.temperatureMix(documents(s, d), "source",
+        "text", budget = 2000000L)
+      .orderBy("source")
+
+  /** Benford first-digit monitor ([[Quality.benfordReport]]) over order
+    * totals — the forensic DQ leg of the monitoring family. */
+  private def dqBenford(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quality.benfordReport(orders(s, d), "o_totalprice")
+
   private def epochPlanQ(s: SparkSession, d: String): DataFrame =
     graft.operators.Curation.epochPlan(documents(s, d), "source", "text",
         weights = weightedSampleWeights, defaultWeight = 1L,
@@ -3103,6 +3116,8 @@ object SparkEntry {
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
     "epoch_plan" -> (epochPlanQ _),
+    "mix_temperature" -> (mixTemperatureQ _),
+    "dq_benford" -> (dqBenford _),
     "pack_sequences" -> (packSequencesQ _),
     "pack_sequences_sharded" -> (packSequencesShardedQ _),
     "kmeans_centroids" -> (kmeansCentroidsQ _),
@@ -3752,6 +3767,26 @@ object SparkEntry {
         |FROM v ORDER BY doc_id""".stripMargin,
     // slot weight recomputed arithmetically from TextAnalysis.knuthWeights'
     // closed form: ((slot * 2654435761) % 21) - 10, slot = md5-prefix % 64
+    // sqrt is IEEE-correctly-rounded on both engines; the weight sum is
+    // exact decimal (VARCHAR-routed cast on the DuckDB side — the
+    // embedding_centroids parity rule); shares/targets are IEEE ops on
+    // identical operands
+    "mix_temperature" ->
+      """WITH t AS (SELECT source,
+        |   CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |   sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM t),
+        |s AS (SELECT
+        |   CAST(SUM(CAST(CAST(weight AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) AS sw,
+        |   SUM(n_tokens) AS sn FROM w)
+        |SELECT source, n_tokens, weight,
+        | CAST(n_tokens AS DOUBLE) / CAST(sn AS DOUBLE) AS natural_share,
+        | weight / sw AS temp_share,
+        | CAST(floor((weight / sw) * CAST(2000000 AS DOUBLE)) AS BIGINT) AS target_tokens
+        |FROM w, s ORDER BY source""".stripMargin,
+    "dq_benford" ->
+      graft.operators.Quality.benfordSql("orders", "o_totalprice"),
     "epoch_plan" ->
       s"""WITH t AS (SELECT source,
         |   CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens

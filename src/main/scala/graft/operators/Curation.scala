@@ -112,6 +112,38 @@ object Curation {
       .drop("__sw")
   }
 
+  /** Temperature-scaled source mixing at α = 1/2 — the multilingual /
+    * multi-domain sampling-weight recipe (p_i^α re-normalized) that
+    * upweights small sources relative to their natural share. α is
+    * FIXED at 1/2 deliberately: sqrt is IEEE-correctly-rounded on both
+    * engines, where a general pow(x, α) is a libm call with no
+    * cross-engine rounding contract — the weightedSampleK tradeoff
+    * (bit-exact portability over free parameterization) applied to
+    * mixing. The corpus-sized work is ONE token rollup; the weight sum
+    * accumulates the sqrt weights EXACTLY in DECIMAL over the tiny
+    * source frame (order-independent — the embedding_centroids parity
+    * pattern), shares are single IEEE divisions of identical operands,
+    * and the per-source token target is an exact floor. */
+  def temperatureMix(docs: DataFrame, sourceCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1L, s"need budget >= 1, got $budget")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .groupBy(col(sourceCol))
+      .agg(sum(size(wsTokens(col(textCol))).cast(LongType)).as("n_tokens"))
+      .withColumn("weight", sqrt(col("n_tokens").cast(DoubleType)))
+      .withColumn("__sw",
+        sum(col("weight").cast(DecimalType(28, 12))).over(all)
+          .cast(DoubleType))
+      .withColumn("__sn", sum(col("n_tokens")).over(all))
+      .select(col(sourceCol), col("n_tokens"), col("weight"),
+        (col("n_tokens").cast(DoubleType) / col("__sn").cast(DoubleType))
+          .as("natural_share"),
+        (col("weight") / col("__sw")).as("temp_share"),
+        floor((col("weight") / col("__sw")) * lit(budget.toDouble))
+          .cast(LongType).as("target_tokens"))
+  }
+
   /** Greedy sequence packing: chunks are ordered deterministically within
     * each group and assigned to fixed-token-budget training sequences by
     * running token count — seq_id = tokens_before / budget. This is the

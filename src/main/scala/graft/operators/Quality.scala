@@ -811,4 +811,83 @@ object Quality {
        |$rows)
        |ORDER BY col_x, col_y""".stripMargin
   }
+
+  /** Benford first-digit fraud/anomaly monitor: observed first-digit
+    * distribution of a positive numeric column against the Benford
+    * expectation p(d) = log10(1 + 1/d), per-digit deviation flagged
+    * past `flagEps`. Naturally-grown magnitudes (prices, populations,
+    * transaction amounts) follow Benford; fabricated or truncated
+    * feeds don't — the classic forensic DQ check.
+    *
+    * Engine parity: the first digit comes from a MAGNITUDE-BAND CASE
+    * ladder over exact BIGINT comparisons (floor once, then integer
+    * divides — log10/pow have no cross-engine rounding contract); the
+    * nine Benford constants are Scala-computed literals embedded in
+    * BOTH the Spark plan and the generated oracle (string-roundtrip
+    * exact), so shares and deviations are IEEE ops on identical
+    * operands. One scan, one 9-group rollup — corpus-size-free after
+    * the map-side partial. */
+  def benfordReport(df: DataFrame, valueCol: String,
+      flagEps: Double = 0.02): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val p = benfordP.zipWithIndex.foldLeft(lit(null)
+        .cast(org.apache.spark.sql.types.DoubleType)) {
+      case (acc, (pd, i)) => when(col("digit") === (i + 1).toLong, lit(pd))
+        .otherwise(acc)
+    }
+    df.filter(col(valueCol) >= 1.0)
+      .select(floor(col(valueCol)).cast(org.apache.spark.sql.types.LongType)
+        .as("__i"))
+      .select(expr(benfordDigitCase("div")).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("__n", sum(col("n_obs")).over(all))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast(org.apache.spark.sql.types.DoubleType) /
+          col("__n").cast(org.apache.spark.sql.types.DoubleType))
+          .as("obs_share"),
+        p.as("benford_p"))
+      .withColumn("abs_dev", abs(col("obs_share") - col("benford_p")))
+      .withColumn("flagged", col("abs_dev") > lit(flagEps))
+      .orderBy("digit")
+  }
+
+  /** The nine Benford probabilities, computed once in Scala and embedded
+    * as literals on both engines. */
+  val benfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** The shared first-digit CASE ladder over a BIGINT column `__i` —
+    * `op` is "div" (Spark) or "//" (DuckDB); both truncate identically
+    * on the non-negative ground the >= 1 filter guarantees. */
+  def benfordDigitCase(op: String): String = {
+    val arms = (1 to 18).map { k =>
+      val bound = BigInt(10).pow(k)
+      val denom = BigInt(10).pow(k - 1)
+      if (k == 1) s"WHEN __i < 10 THEN __i"
+      else s"WHEN __i < $bound THEN __i $op $denom"
+    }.mkString(" ")
+    s"CASE $arms END"
+  }
+
+  /** Generated DuckDB oracle for [[benfordReport]] (same ladder, same
+    * Scala-stamped constants, same IEEE expression shapes). */
+  def benfordSql(table: String, valueCol: String,
+      flagEps: Double = 0.02): String = {
+    val consts = benfordP.zipWithIndex
+      .map { case (pd, i) => s"WHEN digit = ${i + 1} THEN CAST('$pd' AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH i AS (SELECT CAST(floor($valueCol) AS BIGINT) AS __i
+       | FROM $table WHERE $valueCol >= 1.0),
+       |d AS (SELECT ${benfordDigitCase("//")} AS digit FROM i),
+       |g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+       |t AS (SELECT SUM(n_obs) AS n FROM g)
+       |SELECT digit, n_obs,
+       | CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+       | CASE $consts END AS benford_p,
+       | abs(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+       |     - CASE $consts END) AS abs_dev,
+       | abs(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+       |     - CASE $consts END) > CAST('$flagEps' AS DOUBLE) AS flagged
+       |FROM g, t ORDER BY digit""".stripMargin
+  }
 }

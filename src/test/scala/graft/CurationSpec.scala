@@ -436,4 +436,29 @@ class CurationSpec extends AnyFunSuite {
         Map.empty, defaultWeight = 1L, k = 0)
     }
   }
+
+  test("temperature mix upweights small sources, targets bounded, layout-invariant") {
+    import spark.implicits._
+    // three sources with token masses 1 : 4 : 16 — sqrt weights 1 : 2 : 4
+    val docs = (Seq.fill(1)(("s_small", "tok")) ++
+      Seq.fill(4)(("s_mid", "tok")) ++
+      Seq.fill(16)(("s_big", "tok")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = Curation.temperatureMix(docs, "source", "text", budget = 7000L)
+      .orderBy("source").collect()
+    val bySrc = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    // exact shares: weights 1/7, 2/7, 4/7 vs natural 1/21, 4/21, 16/21
+    assert(bySrc("s_small")._3 > bySrc("s_small")._2) // upweighted
+    assert(bySrc("s_big")._3 < bySrc("s_big")._2)     // downweighted
+    assert(math.abs(bySrc("s_mid")._3 - 2.0 / 7.0) < 1e-12)
+    // floor targets never exceed the budget in total
+    assert(out.map(_.getLong(5)).sum <= 7000L)
+    assert(bySrc("s_small")._4 == (7000L / 7))
+    // bitwise layout invariance (decimal weight sum is order-independent)
+    val again = Curation.temperatureMix(docs.repartition(7), "source", "text",
+        budget = 7000L).orderBy("source").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

@@ -761,4 +761,30 @@ class OperatorsSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("benford: digit ladder exact at band boundaries; fabricated uniform feed flagged") {
+    import graft.operators.Quality
+    // ladder correctness incl. the 10^k boundaries and sub-1 exclusion
+    val vals = Seq(0.4, 1.0, 9.99, 10.0, 99.0, 100.0, 12345.6, 1e15 + 1)
+      .map(Tuple1(_)).toDF("v")
+    val digits = Quality.benfordReport(vals, "v")
+      .select("digit", "n_obs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0.4 drops; 1.0/10.0/100.0/1e15+1 -> digit 1 (x4), 9.99/99.0 -> 9 (x2), 12345.6 -> 1
+    assert(digits == Map(1L -> 5L, 9L -> 2L))
+    // a uniform [100, 999] fabricated feed has flat 1/9 digit shares:
+    // digit 1 (benford 0.301) must flag, mid digits must overshoot
+    val fab = (100 to 999).map(i => Tuple1(i.toDouble)).toDF("v")
+    val rep = Quality.benfordReport(fab, "v").collect()
+    val d1 = rep.find(_.getLong(0) == 1L).get
+    assert(d1.getBoolean(rep.head.fieldIndex("flagged")), d1)
+    assert(math.abs(d1.getDouble(d1.fieldIndex("obs_share")) - 1.0 / 9.0) < 1e-12)
+    // a Benford-exact feed (counts proportional to log10(1+1/d)) passes
+    val ben = (1 to 9).flatMap(d =>
+      Seq.fill(math.round(Quality.benfordP(d - 1) * 10000).toInt)(
+        Tuple1(d * 100.0))).toDF("v")
+    val rep2 = Quality.benfordReport(ben, "v").collect()
+    assert(rep2.forall(!_.getBoolean(rep2.head.fieldIndex("flagged"))),
+      rep2.mkString("\n"))
+  }
 }
