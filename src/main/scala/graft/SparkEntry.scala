@@ -381,6 +381,91 @@ object SparkEntry {
         col("size_band"))
   }
 
+  /** TPC-H Q6-style forecasting revenue change: one year of shipments in
+    * a discount band below a quantity cap. The simplest decision-support
+    * shape — and the purest pushdown test: ALL THREE predicates (date
+    * range, discount band, quantity cap) must reach the parquet scan as
+    * pushed filters (plan-guarded), so at 100 TB the scan skips every
+    * row group whose min/max stats miss the band. One map-side-combined
+    * aggregate; the discount product accumulates per-addend in DECIMAL
+    * (both operands IEEE-exact at eval, the sum order-independent). */
+  private def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(sumExact(col("l_extendedprice") * col("l_discount"), 28, 6)
+        .as("revenue"))
+
+  /** TPC-H Q12-style late-shipment priority check (adapted: this schema
+    * has no l_shipmode/commitdate/receiptdate, so the mode dimension is
+    * l_returnflag and "late" = shipped >45 days after the order date):
+    * per flag, among one year's LATE lines, how many belonged to
+    * critical-priority orders vs not. The conditional-count-after-join
+    * shape: lineitem's year filter pushes to the scan, orders projects
+    * two columns, the lateness predicate applies post-join, and the
+    * 3-group rollup partial-aggregates map-side. */
+  private def q12LatePriority(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val o = orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly k qualifying orders — INCLUDING the
+    * zero-order bucket, which is why the join must be customer LEFT
+    * OUTER orders (an inner join silently drops the most interesting
+    * bar of the histogram). Orders pre-filter (priority exclusion)
+    * prunes at the scan; per-customer counts reduce BEFORE the
+    * customer join so the outer join carries one row per customer; the
+    * second rollup runs on the count-valued (tiny) domain. */
+  private def q13OrderDistribution(s: SparkSession, d: String): DataFrame = {
+    val perCust = orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count"))
+    customer(s, d).select("c_custkey")
+      .join(broadcast(perCust), col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose one-quarter
+    * revenue equals the maximum — the view + scalar-max pattern. The
+    * per-supplier rollup reduces the date-pruned scan map-side; the
+    * scalar max is a ONE-ROW broadcast cross join back onto the rollup
+    * (never a global sort, and ties survive — the textbook semantics a
+    * top-1 LIMIT would break); supplier broadcasts. Revenue compares
+    * DECIMAL = DECIMAL, so the tie test is exact on both engines. */
+  private def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(28, 6))).as("total_revenue_d"))
+    val mx = rev.agg(max(col("total_revenue_d")).as("max_revenue_d"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue_d") === col("max_revenue_d"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name"),
+        col("total_revenue_d").cast(DoubleType).as("total_revenue"))
+      .orderBy(col("suppkey"))
+  }
+
   /** README insight 1: counts by country (customer x broadcast nation). */
   private def countsByCountry(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -2064,6 +2149,133 @@ object SparkEntry {
       .orderBy("family")
   }
 
+  /** ANN-family evaluation — recall@10 of every approximate index
+    * (LSH, IVF, PQ, IVF-PQ) against the exact brute-force cosine top-10
+    * on the same query set: the dedup_eval report for the OTHER
+    * approximation family, read before trusting an index recipe at
+    * 100 TB. Everything after the searches is top-k-set-sized (8
+    * queries × 10 rows per family), so the report costs four index
+    * probes plus pair-set joins; overlap counts stay BIGINT and the
+    * only float is the final recall division. Rows-only (the
+    * signature/centroid searches have no SQL form); the identities
+    * (overlap ≤ k, self-eval of the exact baseline = 1.0) are
+    * spec-pinned. */
+  private def annEval(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+      .select(col("q_id"), col("vec_id"))
+    def eval(name: String, fam: DataFrame): DataFrame =
+      exact
+        .join(fam.select(col("q_id"), col("vec_id"), lit(1L).as("__hit")),
+          Seq("q_id", "vec_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("overlap")).as("sum_overlap"),
+          min(col("overlap")).as("min_overlap"),
+          max(col("overlap")).as("max_overlap"))
+        .select(lit(name).as("family"), lit(k.toLong).as("k"),
+          col("n_queries"), col("sum_overlap"),
+          col("min_overlap"), col("max_overlap"),
+          (col("sum_overlap").cast(DoubleType) /
+            (col("n_queries") * lit(k.toLong)).cast(DoubleType))
+            .as("recall_at_k"))
+    val centroids = Similarity.groupCentroids(
+      emb.withColumn("label", col("label").cast(StringType)), "label", "embedding")
+    eval("ivf", Similarity.ivfTopK(emb, q, centroids, "vec_id", "embedding",
+        k, nProbe = 2))
+      .unionAll(eval("ivfpq", Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k, coarseCells = 16, nProbe = 4)))
+      .unionAll(eval("lsh", Similarity.lshTopK(emb, q, "vec_id", "embedding", k)))
+      .unionAll(eval("pq", Similarity.pqAnnTopK(emb, q, "vec_id", "embedding", k)))
+      .orderBy("family")
+  }
+
+  /** Classifier-vs-heuristic agreement as ONE number — Cohen's kappa
+    * between the hashed-linear keep gate (row 136) and the heuristic
+    * quality gate (row 66), chance-corrected: raw agreement flatters a
+    * classifier whenever the gates are unbalanced (a gate passing 75%
+    * agrees 62% of the time by luck alone). The calibration row (141)
+    * shows WHERE they disagree; this is the scalar a pipeline alert
+    * thresholds on. Both flags ride one scan (Column builders + the
+    * one-row broadcast threshold), the confusion matrix is a single
+    * map-side-combined aggregate, and every count product stays BIGINT
+    * (safe below ~3e9 docs per report — N² is the binding term); po
+    * and kappa are the only IEEE divisions, of exact integers. */
+  private def classifierAgreement(s: SparkSession, d: String): DataFrame = {
+    val base = TextAnalysis.quality(documents(s, d), "text")
+      .select(col("doc_id"), col("quality_score"),
+        TextAnalysis.hashedLinearScoreCol(col("text"),
+          TextAnalysis.knuthWeights(64)).as("clf_score"))
+    val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    val conf = base.crossJoin(broadcast(thr))
+      .select(
+        (col("quality_score") >= col("__thr")).cast(LongType).as("h"),
+        (col("clf_score") >= 0L).cast(LongType).as("c"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("h") * col("c")).as("n11"),
+        sum(col("h") * (lit(1L) - col("c"))).as("n10"),
+        sum((lit(1L) - col("h")) * col("c")).as("n01"),
+        sum((lit(1L) - col("h")) * (lit(1L) - col("c"))).as("n00"))
+    // kappa = (N·po_num − pe_num) / (N² − pe_num) with
+    // po_num = n11 + n00, pe_num = row/col marginal products — integer
+    // numerator and denominator, one final IEEE division
+    val peNum = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+      (col("n01") + col("n00")) * (col("n10") + col("n00"))
+    conf.select(
+      col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+      ((col("n11") + col("n00")).cast(DoubleType) /
+        col("n_docs").cast(DoubleType)).as("po"),
+      ((col("n_docs") * (col("n11") + col("n00")) - peNum).cast(DoubleType) /
+        (col("n_docs") * col("n_docs") - peNum).cast(DoubleType)).as("kappa"))
+  }
+
+  /** Leakage-FREE split assignment — the near-dup upgrade of row 72:
+    * split_assign keys on exact-dup clusters, so a NEAR-duplicate of a
+    * test document still lands in train with p = trainPct and inflates
+    * every eval. Here the cluster mapping is the connected components
+    * of the exact n-gram-Jaccard pair graph (tau = 0.5), so entire
+    * near-dup families ride one md5 draw. The component mapping is
+    * near-dup-members-only (sparse — assignSplits defaults absentees to
+    * themselves) and the assignment itself stays one keyed join + a
+    * codegen'd projection. Fully SQL-expressible: the oracle chains the
+    * PROVEN dedup_clusters component CTE into the PROVEN split_assign
+    * bucket fragment. The no-cluster-spans-splits invariant is
+    * spec-pinned. */
+  private def splitLeakfree(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val clusters = Dedup.clusterPairs(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.5), "d1", "d2")
+    Dedup.assignSplits(docs, clusters, "doc_id").orderBy("doc_id")
+  }
+
+  /** Seasonal (hour-of-day) volume anomaly flags — the monitoring
+    * family's periodicity leg: a 9 AM traffic level is NORMAL at 9 AM
+    * and a spike at 3 AM, so the trailing-24h z-test (row 108) both
+    * under-flags nightly anomalies and over-flags every morning ramp.
+    * The fix is structural, not new math: partition the SAME exact
+    * integer z-test by (type, hour-of-day) so each hour compares only
+    * against the trailing week of the SAME clock hour. One map-side
+    * hourly rollup (events never shuffle whole), one hours×types×24
+    * window pass — corpus-size-free after the partial, like every
+    * monitor in the family. */
+  private def eventsSeasonal(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("season_key",
+        concat(col("event_type"), lit("#"),
+          lpad(hour(col("hour_ts")).cast(StringType), 2, "0")))
+    Quality.spikesFromHourly(hourly, "season_key", "hour_ts", "cnt",
+        trailing = 7, z = 3, minN = 4)
+      .withColumn("is_spike", col("is_spike").cast(LongType))
+      .orderBy("hour_start", "season_key")
+  }
+
   /** LZ78 compressibility signal ([[TextAnalysis.lzComplexityStats]]):
     * rows-only by design — the sequential parse has no SQL form; the
     * kernel is property-pinned against a straight-line reference and
@@ -3099,6 +3311,10 @@ object SparkEntry {
     "quality_ensemble" -> (qualityEnsemble _),
     "quality_calibration" -> (qualityCalibration _),
     "dedup_eval" -> (dedupEval _),
+    "ann_eval" -> (annEval _),
+    "classifier_agreement" -> (classifierAgreement _),
+    "split_leakfree" -> (splitLeakfree _),
+    "events_seasonal" -> (eventsSeasonal _),
     "text_lz_complexity" -> (textLzComplexity _),
     "text_tokens" -> (textTokens _),
     "text_subwords" -> (textSubwords _),
@@ -3199,6 +3415,10 @@ object SparkEntry {
     "q9_product_profit" -> (q9ProductProfit _),
     "q10_returns" -> (q10Returns _),
     "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
     "price_winsorize" -> (priceWinsorize _),
     "multimodal_phash" -> (multimodalPhash _),
     "dq_rules" -> (dqRules _),
@@ -3468,6 +3688,132 @@ object SparkEntry {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // chains the PROVEN quality_classifier score + quality_filter gate
+    // fragments (the calibration oracle's CTEs verbatim), then the kappa
+    // arithmetic in the same all-BIGINT form the Spark side evaluates
+    "classifier_agreement" ->
+      """WITH toks AS (SELECT doc_id,
+        |   list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        |sc AS (SELECT doc_id,
+        |   SUM(((CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+        |        * 2654435761) % 21 - 10) AS s
+        | FROM t GROUP BY doc_id),
+        |q AS (
+        | SELECT doc_id,
+        |  least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS DOUBLE)
+        |     / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 0.5 AS quality_score
+        | FROM documents),
+        |thr AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q),
+        |f AS (SELECT CASE WHEN q.quality_score >= thr THEN 1 ELSE 0 END AS h,
+        |       CASE WHEN COALESCE(sc.s, 0) >= 0 THEN 1 ELSE 0 END AS c
+        |      FROM toks k LEFT JOIN sc USING (doc_id) JOIN q USING (doc_id), thr),
+        |m AS (SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(h*c) AS BIGINT) AS n11,
+        |       CAST(SUM(h*(1-c)) AS BIGINT) AS n10,
+        |       CAST(SUM((1-h)*c) AS BIGINT) AS n01,
+        |       CAST(SUM((1-h)*(1-c)) AS BIGINT) AS n00
+        |      FROM f)
+        |SELECT n_docs, n11, n10, n01, n00,
+        | CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+        | CAST(n_docs*(n11 + n00) - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE)
+        |  / CAST(n_docs*n_docs - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)) AS DOUBLE) AS kappa
+        |FROM m""".stripMargin,
+    // the PROVEN dedup_clusters component CTE chained into the PROVEN
+    // split_assign md5-bucket fragment; COALESCE defaults singletons to
+    // their own id exactly like assignSplits' sparse-mapping contract
+    "split_leakfree" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cnt JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |          WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canon
+        |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |b AS (SELECT doc_id, canon,
+        |       CAST(concat('0x', substr(md5(CAST(canon AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+        |      FROM g)
+        |SELECT doc_id, canon AS split_key, CAST(bucket AS BIGINT) AS bucket,
+        | CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // the events_spike z-test SQL with the (type, hour-of-day) composite
+    // partition key and the weekly trailing frame
+    "events_seasonal" ->
+      """WITH h AS (
+        | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |k AS (
+        | SELECT hour_ts, cnt,
+        |  concat(event_type, '#',
+        |   lpad(CAST(EXTRACT(hour FROM hour_ts) AS VARCHAR), 2, '0')) AS season_key
+        | FROM h),
+        |x AS (
+        | SELECT hour_ts, season_key, cnt,
+        |  COUNT(*) OVER w AS n_prior,
+        |  SUM(cnt) OVER w AS s_prior,
+        |  SUM(cnt * cnt) OVER w AS q_prior
+        | FROM k
+        | WINDOW w AS (PARTITION BY season_key ORDER BY hour_ts
+        |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | season_key, cnt, n_prior, s_prior, q_prior,
+        | CAST(n_prior >= 4 AND n_prior * cnt > s_prior
+        |  AND (n_prior - 1) * (n_prior * cnt - s_prior) * (n_prior * cnt - s_prior)
+        |      > 9 * n_prior * (n_prior * q_prior - s_prior * s_prior)
+        |  AS BIGINT) AS is_spike
+        |FROM x ORDER BY hour_start, season_key""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07
+        | AND l_quantity < 24""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        | AND l_shipdate >= TIMESTAMP '1997-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q13_order_distribution" ->
+      """WITH pc AS (
+        | SELECT o_custkey, COUNT(*) AS c_count FROM orders
+        | WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT COALESCE(c_count, 0) AS c_count, COUNT(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS total_revenue_d
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1)
+        |SELECT l_suppkey AS suppkey, s_name,
+        | CAST(total_revenue_d AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_d = (SELECT MAX(total_revenue_d) FROM rev)
+        |ORDER BY suppkey""".stripMargin,
     "counts_by_country" ->
       """SELECT n_name, COUNT(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

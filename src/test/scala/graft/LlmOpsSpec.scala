@@ -1120,6 +1120,69 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(mh.getLong(mh.fieldIndex("tp")) > 0L, mh)
     assert(mh.getDouble(mh.fieldIndex("precision")) == 1.0, mh)
   }
+
+  test("ann_eval: overlap identities hold and the exact baseline self-evals at recall 1") {
+    val rows = SparkEntry.queries("ann_eval")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val Seq(k, nQ, sum, mn, mx) =
+        Seq("k", "n_queries", "sum_overlap", "min_overlap", "max_overlap")
+          .map(c => r.getLong(r.fieldIndex(c)))
+      assert(nQ > 0 && mn >= 0 && mx <= k && mn <= mx, r)
+      assert(sum >= nQ * mn && sum <= nQ * mx, r)
+      assert(r.getDouble(r.fieldIndex("recall_at_k")) ==
+        sum.toDouble / (nQ * k).toDouble, r)
+    }
+    // the eval harness itself: joining the exact top-k against ITSELF
+    // must count k hits for every query (overlap join + rollup correct)
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 4),
+        "vec_id", "embedding", 5)
+      .select(col("q_id"), col("vec_id"))
+    val self = exact
+      .join(exact.withColumn("__hit", lit(1L)), Seq("q_id", "vec_id"), "left_outer")
+      .groupBy("q_id").agg(sum(coalesce(col("__hit"), lit(0L))).as("overlap"))
+      .collect()
+    assert(self.length == 4 && self.forall(_.getLong(1) == 5L), self.toSeq)
+  }
+
+  test("classifier_agreement: confusion matrix partitions the corpus; kappa recomputes from the counts") {
+    val r = SparkEntry.queries("classifier_agreement")(spark, sf).collect().head
+    val Seq(n, n11, n10, n01, n00) =
+      Seq("n_docs", "n11", "n10", "n01", "n00").map(c => r.getLong(r.fieldIndex(c)))
+    assert(n11 + n10 + n01 + n00 == n, r)
+    // po and kappa are single IEEE divisions of the integer counts — the
+    // spec recomputes both from the returned matrix and expects BIT
+    // equality (same operands, same operation)
+    val po = (n11 + n00).toDouble / n.toDouble
+    val pe = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val kappa = (n * (n11 + n00) - pe).toDouble / (n * n - pe).toDouble
+    assert(r.getDouble(r.fieldIndex("po")) == po, r)
+    assert(r.getDouble(r.fieldIndex("kappa")) == kappa, r)
+    assert(po >= 0.0 && po <= 1.0 && kappa <= 1.0, r)
+  }
+
+  test("split_leakfree: no near-dup cluster spans splits, and it refines split_assign's exact-dup guarantee") {
+    val out = SparkEntry.queries("split_leakfree")(spark, sf)
+    // every doc assigned exactly once
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count())
+    // the leakage invariant itself: one split per split_key
+    val spans = out.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1L)
+    assert(spans.count() == 0L)
+    // near-dup members share the key (so the md5 draw is shared): the
+    // jaccard pair set must never cross split_key boundaries
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", tau = 0.5)
+    val keyed = out.select(col("doc_id"), col("split_key"))
+    val crossKey = pairs
+      .join(keyed.withColumnRenamed("split_key", "k1"), col("d1") === col("doc_id"))
+      .drop("doc_id")
+      .join(keyed.withColumnRenamed("split_key", "k2"), col("d2") === col("doc_id"))
+      .filter(col("k1") =!= col("k2"))
+    assert(crossKey.count() == 0L)
+  }
 }
 
 object LlmOpsSpec {

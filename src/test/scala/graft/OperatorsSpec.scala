@@ -406,6 +406,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert((h24.getLong(0), h24.getLong(1), h24.getLong(2)) == ((24L, 20L, 0L)))
   }
 
+  test("seasonal z-test ignores the daily 9AM ramp the trailing-24h test over-flags, and catches the 3AM burst") {
+    import graft.operators.Quality
+    // ten days of a daily cycle: 10/hour baseline, 100 every day at 9AM
+    // (legitimate traffic shape), plus ONE planted 500 burst at 3AM on
+    // day 9 — the anomaly a seasonal monitor exists to catch
+    val rows = for { day <- 0 until 10; hod <- 0 until 24 } yield {
+      val cnt = if (day == 8 && hod == 3) 500L
+        else if (hod == 9) 100L else 10L
+      (f"2024-01-${day + 1}%02d $hod%02d:00:00", "a", cnt)
+    }
+    val df = rows.toDF("h", "event_type", "cnt")
+      .withColumn("hour_ts", to_timestamp(col("h")))
+      .withColumn("season_key", concat(col("event_type"), lit("#"),
+        lpad(hour(col("hour_ts")).cast("string"), 2, "0")))
+    def flagged(r: org.apache.spark.sql.DataFrame) = r.filter(col("is_spike"))
+      .select("hour_start").collect().map(_.getString(0)).sorted.toSeq
+    // seasonal: same z-test partitioned by (type, hour-of-day), trailing
+    // week — exactly ONE flag, the planted burst; every 9AM ramp is
+    // normal against its own hour's history
+    val seasonal = Quality.spikesFromHourly(df, "season_key", "hour_ts",
+      "cnt", trailing = 7, z = 3, minN = 4)
+    assert(flagged(seasonal) == Seq("2024-01-09 03:00:00"))
+    // the trailing-24h form sees the burst too but ALSO fires on the 9AM
+    // ramp day after day — the over-flagging the seasonal partition fixes
+    val plain = Quality.spikesFromHourly(df, "event_type", "hour_ts",
+      "cnt", trailing = 24, z = 3, minN = 8)
+    val plainFlags = flagged(plain)
+    assert(plainFlags.contains("2024-01-09 03:00:00"), plainFlags)
+    assert(plainFlags.count(_.endsWith("09:00:00")) >= 5, plainFlags)
+  }
+
   test("MAD detector: hourly seam equals the events form (deployment parity)") {
     import graft.operators.Quality
     val ev = graft.Tables.events(spark, sf)

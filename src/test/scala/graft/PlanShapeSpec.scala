@@ -759,20 +759,28 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q21: both correlations run on ONE corpus Exchange; second shuffle is qualified-rows-sized") {
-    val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
-    val exec = df.queryExecution.sparkPlan
-    // repartition(l_orderkey) feeds the (order, supp) rollup AND the
-    // order-keyed window carrying both correlation aggregates — one
-    // fused partitioned Window, no self-join; the only other hash
-    // Exchange regroups the filtered survivors by supplier
-    val wins = exec.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(wins.size == 1, exec.toString)
-    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
-    val p = plan("q21_waiting_suppliers")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the status-filtered orders side joins UNHINTED (auto-broadcast at
+    // gate scale; SMJ at 100 TB is the right call, so no hint belongs in
+    // the query) — generate the plan under the pinned default threshold
+    // or BucketingSpec's -1 leaks in full-suite order (the bm25 lesson)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      val df = SparkEntry.queries("q21_waiting_suppliers")(spark, sf)
+      val exec = df.queryExecution.sparkPlan
+      // repartition(l_orderkey) feeds the (order, supp) rollup AND the
+      // order-keyed window carrying both correlation aggregates — one
+      // fused partitioned Window, no self-join; the only other hash
+      // Exchange regroups the filtered survivors by supplier
+      val wins = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.size == 1, exec.toString)
+      assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+      val p = plan("q21_waiting_suppliers")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q22: recency anti join is date-pruned at the scan; the scalar avg broadcasts") {
@@ -796,6 +804,69 @@ class PlanShapeSpec extends AnyFunSuite {
     // fact join
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
     assert("SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q6: all three predicate families reach the lineitem scan; no join anywhere") {
+    // rendered plan strings truncate long PushedFilters lists — assert
+    // on the scan exec's dataFilters directly (the round-3 rule)
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val filters = scan.dataFilters.map(_.sql).mkString("; ")
+    assert(filters.contains("l_shipdate"), filters)
+    assert(filters.contains("l_discount"), filters)
+    assert(filters.contains("l_quantity"), filters)
+    assert(!plan("q6_forecast_revenue").contains("Join"),
+      plan("q6_forecast_revenue"))
+  }
+
+  test("q12: the year filter prunes the lineitem scan; lateness applies post-join") {
+    val p = plan("q12_late_priority")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q13: left outer keeps zero-order customers; the reduced counts broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("q13_order_distribution")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // an inner join here would silently drop the histogram's zero bucket
+    assert(p.contains("LeftOuter"), p)
+    // the per-customer rollup is hinted: customer itself never shuffles
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)") ||
+      p.contains("Not(EqualTo(o_orderpriority,1-URGENT))"), p)
+  }
+
+  test("q15: the scalar max broadcasts one row; ties resolve by value equality, not a sort-limit") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    val p = try plan("q15_top_supplier")
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // Catalyst rewrites filter(rev === max) into an equi-join on the
+    // decimal value with the ONE-ROW max side broadcast (BuildRight,
+    // Cross) — survivors found by exact-decimal equality, never a
+    // global sort-limit (which would also break ties)
+    assert(p.contains("BroadcastHashJoin [total_revenue_d"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("TakeOrdered"), p)
+  }
+
+  test("events_seasonal: window partitions by the composite key; events never shuffle whole") {
+    val df = SparkEntry.queries("events_seasonal")(spark, sf)
+    val exec = df.queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1 && wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    // the hourly rollup partial-aggregates map-side: the plan carries a
+    // partial_count under the first Exchange, so the wire sees hourly
+    // rows, never raw events
+    assert(plan("events_seasonal").contains("partial_count"),
+      plan("events_seasonal"))
   }
 
   test("value_ks: CDF windows are partition-parallel — never a single-task global window") {
