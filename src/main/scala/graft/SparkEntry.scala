@@ -2040,6 +2040,22 @@ object SparkEntry {
       .orderBy("q_id", "rk")
   }
 
+  /** Multi-table LSH approximate top-10 ([[Similarity.lshTopKMulti]],
+    * 8 tables × 6 planes) — the recall-repaired form of sim_lsh_topk.
+    * Recipe math at this corpus's neighbor distances (cos ≈ 0.5 →
+    * per-plane collision 2/3): per-table hit (2/3)^6 ≈ 0.088, across 8
+    * tables 1−(1−p)^8 ≈ 0.52, at candidate volume ~corpus/8 — vs the
+    * single 8-plane table's 0.039/table = the measured recall-0 row in
+    * ann_eval. The eval report shows all three recipes side by side
+    * (rows-only check). */
+  private def simLshMultiTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.lshTopKMulti(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 10, nPlanes = 6, nTables = 8)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   /** Margin-based mining ([[Similarity.marginMine]]): even-label
     * vectors with vec_id < 32 act as the source batch, odd-label
     * vectors as the target corpus — top-50 pairs by ratio margin. */
@@ -2190,6 +2206,8 @@ object SparkEntry {
       .unionAll(eval("ivfpq", Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
         k, coarseCells = 16, nProbe = 4)))
       .unionAll(eval("lsh", Similarity.lshTopK(emb, q, "vec_id", "embedding", k)))
+      .unionAll(eval("lsh_multi", Similarity.lshTopKMulti(emb, q, "vec_id",
+        "embedding", k, nPlanes = 6, nTables = 8)))
       .unionAll(eval("pq", Similarity.pqAnnTopK(emb, q, "vec_id", "embedding", k)))
       .orderBy("family")
   }
@@ -3304,6 +3322,7 @@ object SparkEntry {
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk" -> (simTopK _),
     "sim_lsh_topk" -> (simLshTopK _),
+    "sim_lsh_multi_topk" -> (simLshMultiTopK _),
     "bitext_mine" -> (bitextMine _),
     "text_langid" -> (textLangId _),
     "text_quality" -> (textQuality _),

@@ -267,6 +267,53 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Multi-table LSH top-k — the standard recall lever for hyperplane
+    * LSH (Indyk/Motwani; the E2LSH "L tables" construction): one table
+    * of b planes finds a cos-θ neighbor with probability (1−θ/π)^b,
+    * which collapses fast (the ann_eval row measures the single-table
+    * default at recall 0 on this corpus); L independent tables raise it
+    * to 1−(1−p)^L while the candidate volume grows only ~L·corpus/2^b.
+    * Table t's planes are seeded `seed + t`, so table 0 IS the
+    * single-table recipe and the candidate set is a SUPERSET of
+    * [[lshTopK]]'s — recall is monotone in nTables (spec-pinned, along
+    * with nTables=1 ≡ lshTopK bit-for-bit).
+    *
+    * Shape: the corpus fans out to (table, bucket) rows via ONE
+    * posexplode of the L kernel-computed bucket ids (scan-side, no
+    * shuffle); queries broadcast the same fan-out; the join key is
+    * (table, bucket); duplicate (q, doc) meetings across tables dedup
+    * AFTER scoring on the deterministic cosine (the ivfTopK pattern —
+    * distinct on 3 scalar columns, never on vectors). At 100 TB the
+    * fan-out multiplies the SCAN by L but the shuffle only carries
+    * pruned candidate rows, which is the right trade for an index
+    * whose whole point is not moving vectors. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1: $nTables")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val tables = (0 until nTables)
+      .map(t => hyperplanes(nPlanes, dim, seed + t))
+    def buckets(vec: Column): Column =
+      array(tables.map(p => lshBucket(vec, p)): _*)
+    val c = corpus.select(
+      col(idCol), col(vecCol), normExact(col(vecCol)).as("__nrm"),
+      posexplode(buckets(col(vecCol))).as(Seq("__t", "__bucket")))
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), col(vecCol).as("__qvec"),
+      normExact(col(vecCol)).as("__qnrm"),
+      posexplode(buckets(col(vecCol))).as(Seq("__qt", "__qbucket"))))
+    val scored = c.join(q,
+        col("__t") === col("__qt") && col("__bucket") === col("__qbucket") &&
+          col("q_id") =!= col(idCol))
+      .select(
+        col("q_id"), col(idCol),
+        cosineWithNorms(col("__qvec"), col("__qnrm"), col(vecCol), col("__nrm"))
+          .as("cosine"))
+      .distinct() // a (q, doc) pair can meet in several tables
+    rankTopK(scored, idCol, k)
+  }
+
   /** Product-quantization ANN (Jegou/Douze/Schmid 2011) — the compression
     * half of the standard IVF-PQ architecture: at 100 TB the full float
     * vectors cannot be kept online, so each vector is stored as `m` sub-

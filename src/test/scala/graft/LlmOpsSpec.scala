@@ -124,6 +124,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.contains(2L))
   }
 
+  test("multi-table LSH: one table reproduces lshTopK bit-for-bit; recall is monotone in tables") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // table 0 is seeded `seed` exactly like the single-table recipe
+    assert(rows(Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 10,
+        nTables = 1)) ==
+      rows(Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)))
+    // candidate sets are supersets as tables grow -> per-query overlap
+    // with the exact top-k never decreases
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+      .select("q_id", "vec_id")
+    def hits(nTables: Int): Long =
+      exact.join(
+        Similarity.lshTopKMulti(emb, q, "vec_id", "embedding", 10,
+          nTables = nTables).select("q_id", "vec_id"),
+        Seq("q_id", "vec_id"), "left_semi").count()
+    val h = Seq(1, 2, 4).map(hits)
+    assert(h == h.sorted, h)
+    assert(h.last > h.head, h) // 4 tables must actually repair recall here
+  }
+
   test("IVF search finds the nearest neighbor when it shares the query's cell") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f), "a"),
@@ -1123,7 +1147,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("ann_eval: overlap identities hold and the exact baseline self-evals at recall 1") {
     val rows = SparkEntry.queries("ann_eval")(spark, sf).collect()
-    assert(rows.length == 4)
+    assert(rows.length == 5)
     rows.foreach { r =>
       val Seq(k, nQ, sum, mn, mx) =
         Seq("k", "n_queries", "sum_overlap", "min_overlap", "max_overlap")
