@@ -2165,6 +2165,16 @@ object SparkEntry {
       .orderBy("family")
   }
 
+  /** Cross-source shingle-overlap matrix ([[Dedup.sourceOverlap]]) —
+    * the duplicate-SOURCE detector read before trusting a corpus mix:
+    * per source pair, Jaccard and containment of the sources' distinct
+    * 3-gram shingle sets (a re-ingested crawl or subset dump shows as a
+    * high-containment pair). S²-sized result from one corpus-sized
+    * distinct + a source-bounded shingle join. */
+  private def sourceOverlapQ(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlap(documents(s, d), "source", "text")
+      .orderBy("s1", "s2")
+
   /** ANN-family evaluation — recall@10 of every approximate index
     * (LSH, IVF, PQ, IVF-PQ) against the exact brute-force cosine top-10
     * on the same query set: the dedup_eval report for the OTHER
@@ -3331,6 +3341,7 @@ object SparkEntry {
     "quality_calibration" -> (qualityCalibration _),
     "dedup_eval" -> (dedupEval _),
     "ann_eval" -> (annEval _),
+    "source_overlap" -> (sourceOverlapQ _),
     "classifier_agreement" -> (classifierAgreement _),
     "split_leakfree" -> (splitLeakfree _),
     "events_seasonal" -> (eventsSeasonal _),
@@ -3707,6 +3718,20 @@ object SparkEntry {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // the proven dedup_ngram_jaccard CTE skeleton lifted to source keys;
+    // ratios are single IEEE divides of exact integer counts
+    "source_overlap" ->
+      """WITH toks AS (SELECT source, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT source, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT source, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |p AS (SELECT a.source s1, b.source s2, COUNT(*) common
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT s1, s2, common, x.n_sh AS n1, y.n_sh AS n2,
+        | CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) AS jaccard,
+        | CAST(common AS DOUBLE) / LEAST(x.n_sh, y.n_sh) AS containment
+        |FROM p JOIN sz x ON s1 = x.source JOIN sz y ON s2 = y.source
+        |ORDER BY s1, s2""".stripMargin,
     // chains the PROVEN quality_classifier score + quality_filter gate
     // fragments (the calibration oracle's CTEs verbatim), then the kappa
     // arithmetic in the same all-BIGINT form the Spark side evaluates

@@ -182,6 +182,40 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select("d1", "d2", "common", "containment")
 
+  /** Cross-SOURCE overlap matrix — the n-gram pair machinery lifted from
+    * document to source granularity: per source pair, the Jaccard and
+    * containment of the sources' DISTINCT shingle sets. This is the
+    * report read before trusting a corpus mix: a crawl ingested twice
+    * under two names, a subset dump, or a mirrored site shows up as a
+    * high-containment pair long before any document-level pass would be
+    * run across sources. Shape: one (source, shingle) distinct (the
+    * per-doc shingle fan-out collapses map-side), a shingle-keyed join
+    * whose per-key fan-out is bounded by the SOURCE count (never a hot-
+    * shingle pair explosion — at most S(S−1)/2 pairs per shingle), and a
+    * pair rollup onto the S²-sized result; source sizes broadcast. At
+    * 100 TB swap the raw shingle strings for xxhash64 of them (the
+    * ngram_diversity note) — the join key shrinks, the counts are
+    * collision-negligible. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(
+        col(sourceCol).as("source"),
+        explode(shinglesDistinct(wsTokens(col(textCol)), n)).as("sh"))
+      .distinct()
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    sh.select(col("source").as("s1"), col("sh"))
+      .join(sh.select(col("source").as("s2"), col("sh")), "sh")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("common"))
+      .join(broadcast(sz.select(col("source").as("s1"), col("n_sh").as("n1"))), "s1")
+      .join(broadcast(sz.select(col("source").as("s2"), col("n_sh").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("common"), col("n1"), col("n2"),
+        (col("common").cast(DoubleType) / (col("n1") + col("n2") - col("common")))
+          .as("jaccard"),
+        (col("common").cast(DoubleType) / least(col("n1"), col("n2")))
+          .as("containment"))
+  }
+
   /** Shared exact-pair core: shingle-explode, optional stop-shingle cap,
     * hash self-join, per-pair overlap count joined with both documents'
     * distinct-shingle counts → (d1, d2, common, n1, n2). */

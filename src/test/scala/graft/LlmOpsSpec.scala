@@ -124,6 +124,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.contains(2L))
   }
 
+  test("source_overlap: a mirrored source scores containment 1.0; a subset dump is caught asymmetrically") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "crawl_a"),
+      (2L, "eta theta iota kappa lambda mu", "crawl_a"),
+      (3L, "alpha beta gamma delta epsilon zeta", "crawl_a_mirror"), // doc 1 re-ingested
+      (4L, "eta theta iota kappa lambda mu", "crawl_a_mirror"),      // doc 2 re-ingested
+      (5L, "alpha beta gamma delta epsilon zeta", "subset_dump"),    // only doc 1
+      (6L, "nu xi omicron pi rho sigma", "unrelated")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(5), r.getDouble(6)))).toMap
+    // full mirror: identical shingle sets -> jaccard = containment = 1
+    assert(out(("crawl_a", "crawl_a_mirror")) == ((1.0, 1.0)))
+    // subset dump: containment 1 exposes it, jaccard only 0.5
+    val (j, c) = out(("crawl_a", "subset_dump"))
+    assert(c == 1.0 && j == 0.5, (j, c))
+    // disjoint source pairs never appear (no common shingle row)
+    assert(!out.keySet.exists(p => p._1 == "unrelated" || p._2 == "unrelated"))
+  }
+
   test("multi-table LSH: one table reproduces lshTopK bit-for-bit; recall is monotone in tables") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter($"vec_id" < 8)

@@ -83,6 +83,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seasonal monitor over the streamed hourly sink equals the batch flags") {
+    // the seasonal z-test deploys over the SAME accumulating hourly
+    // rollup as the spike/MAD/EWMA/trend family — only the partition
+    // key differs (type#hour-of-day), computed from the sink's own
+    // hour column; streaming == batch flag parity on a feed with a
+    // daily 9AM ramp and one planted 3AM burst
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyRollup(events)
+      .writeStream.format("memory").queryName("seasonal_hourly")
+      .outputMode("append").start()
+    try {
+      val feed = for {
+        day <- 1 to 4; h <- 0 until 24
+        n = if (day == 4 && h == 3) 50 else if (h == 9) 25 else 5
+        i <- 0 until n
+      } yield (ts(f"2024-01-0$day $h%02d:${i / 60}%02d:${i % 60}%02d"), "click", 1.0)
+      input.addData(feed)
+      input.addData((ts("2024-01-05 12:00:00"), "late", 0.0)) // close windows
+      q.processAllAvailable()
+
+      def seasonal(hourly: org.apache.spark.sql.DataFrame, cnt: String) =
+        graft.operators.Quality.spikesFromHourly(
+            hourly.withColumn("season_key", concat(col("event_type"), lit("#"),
+              lpad(hour(col("hour_ts")).cast("string"), 2, "0"))),
+            "season_key", "hour_ts", cnt, trailing = 3, z = 3, minN = 2)
+          .filter(col("is_spike")).select("season_key", "hour_start")
+          .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val sink = spark.table("seasonal_hourly")
+        .withColumn("hour_ts", to_timestamp(col("hour_start")))
+      val streamed = seasonal(sink, "n")
+      val batch = seasonal(
+        feed.toDF("ts", "event_type", "value")
+          .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+          .agg(count(lit(1)).as("cnt")), "cnt")
+      assert(streamed == batch, s"$streamed vs $batch")
+      assert(streamed == Seq(("click#03", "2024-01-04 03:00:00")), streamed)
+    } finally q.stop()
+  }
+
   test("trend over the streamed hourly rollup equals the batch slope bitwise") {
     // the TREND monitor deploys over the SAME accumulating hourly sink
     // as the spike/MAD/EWMA family: trendFromBuckets scores the sink's
