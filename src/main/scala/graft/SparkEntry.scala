@@ -2165,6 +2165,43 @@ object SparkEntry {
       .orderBy("family")
   }
 
+  /** CDC MERGE with deletes ([[Star.mergeChangelog]]): a deterministic
+    * changelog derived from orders itself — updates (+10% totalprice,
+    * version +1 day) on keys ≡0 mod 7, deletes (version +2 days) on
+    * ≡0 mod 13, inserts (key-shifted) on ≡0 mod 11 — applied
+    * last-writer-wins. Keys hit by both legs (mod 91) prove the delete
+    * beats the older update; one union + one keyed window. */
+  private def mergeChangelogQ(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val base = o.withColumn("v_ts", col("o_orderdate"))
+    val upd = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("v_ts", col("o_orderdate") + expr("INTERVAL 1 DAYS"))
+      .withColumn("op", lit("U"))
+    val del = o.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("v_ts", col("o_orderdate") + expr("INTERVAL 2 DAYS"))
+      .withColumn("op", lit("D"))
+    val ins = o.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+      .withColumn("v_ts", col("o_orderdate") + expr("INTERVAL 1 DAYS"))
+      .withColumn("op", lit("U"))
+    Star.mergeChangelog(base, upd.unionByName(del).unionByName(ins),
+        Seq("o_orderkey"), col("v_ts"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("orderdate"),
+        col("o_orderpriority"),
+        date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("version_ts"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Join-key skew report ([[Quality.skewReport]]) over the events
+    * stream's user key — the straggler-predictor run before any big
+    * keyed operation ships. */
+  private def skewReportQ(s: SparkSession, d: String): DataFrame =
+    Quality.skewReport(events(s, d), "user_id", topK = 20)
+      .orderBy("rank")
+
   /** Cross-source shingle-overlap matrix ([[Dedup.sourceOverlap]]) —
     * the duplicate-SOURCE detector read before trusting a corpus mix:
     * per source pair, Jaccard and containment of the sources' distinct
@@ -3342,6 +3379,8 @@ object SparkEntry {
     "dedup_eval" -> (dedupEval _),
     "ann_eval" -> (annEval _),
     "source_overlap" -> (sourceOverlapQ _),
+    "merge_changelog" -> (mergeChangelogQ _),
+    "skew_report" -> (skewReportQ _),
     "classifier_agreement" -> (classifierAgreement _),
     "split_leakfree" -> (splitLeakfree _),
     "events_seasonal" -> (eventsSeasonal _),
@@ -3718,6 +3757,50 @@ object SparkEntry {
         |FROM pc JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    // replays the union + last-writer-wins window exactly: version desc,
+    // changelog-beats-base on ties, delete filter on the winner row
+    "merge_changelog" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, o_orderdate AS v_ts,
+        |  'U' AS op, 0 AS src FROM orders),
+        |upd AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1,
+        |  o_orderdate, o_orderpriority, o_orderdate + INTERVAL 1 DAY,
+        |  'U', 1 FROM orders WHERE o_orderkey % 7 = 0),
+        |del AS (
+        | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority, o_orderdate + INTERVAL 2 DAY,
+        |  'D', 1 FROM orders WHERE o_orderkey % 13 = 0),
+        |ins AS (
+        | SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority,
+        |  o_orderdate + INTERVAL 1 DAY, 'U', 1
+        | FROM orders WHERE o_orderkey % 11 = 0),
+        |all_rows AS (
+        | SELECT * FROM base UNION ALL SELECT * FROM upd
+        | UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |       ORDER BY v_ts DESC, src DESC) AS rn FROM all_rows)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+        | o_orderpriority, strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS version_ts
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // share/cum_share are IEEE ops in rank order — fixed order on both
+    // engines, so the doubles are bit-identical
+    "skew_report" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c),
+        |k AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+        |SELECT CAST(row_number() OVER w AS BIGINT) AS rank, key, cnt,
+        | total, n_keys,
+        | CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        | SUM(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |  OVER (ORDER BY cnt DESC, key ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS cum_share
+        |FROM k, t
+        |WINDOW w AS (ORDER BY cnt DESC, key)
+        |ORDER BY rank""".stripMargin,
     // the proven dedup_ngram_jaccard CTE skeleton lifted to source keys;
     // ratios are single IEEE divides of exact integer counts
     "source_overlap" ->

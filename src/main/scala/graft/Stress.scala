@@ -893,6 +893,70 @@ object Stress {
       try graft.operators.Multimodal.phashNearDups(h, maxHamming = 3).count()
       finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(h)
     }
+    // leak-free split over the LSH pair graph — the documented 100 TB
+    // path (the exact-Jaccard pair mass is replica-quadratic: measured
+    // 86 s at 20x, boundary at 50x, in the cluster-family rows; a first
+    // cut of this entry on capped-exact pairs spent 152 of 155 s in pair
+    // generation the family already measures) + component clustering +
+    // the md5 assignment; checksum-forced
+    time("split_leakfree") {
+      val clusters = Dedup.clusterPairs(
+        Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        onRound = logRounds("split_leakfree"))
+      val out = Dedup.assignSplits(docs, clusters, "doc_id")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // multi-table LSH at the shipped 8x6 recipe over the replicated
+    // vectors: the fan-out multiplies the scan by L, the shuffle only
+    // carries pruned candidates
+    time("lsh_multi_topk") {
+      val out = Similarity.lshTopKMulti(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 10, nPlanes = 6, nTables = 8)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // cross-source overlap with replica-tagged sources (20 per replica-
+    // band keeps S constant while shingle mass scales with factor)
+    time("source_overlap") {
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+      val out = Dedup.sourceOverlap(src, "source", "text")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // seasonal monitor: hourly-rollup-bounded after the map-side partial
+    // — expected near-flat in factor like the rest of the monitor family
+    time("events_seasonal") {
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("season_key", concat(col("event_type"), lit("#"),
+          lpad(hour(col("hour_ts")).cast("string"), 2, "0")))
+      val out = graft.operators.Quality.spikesFromHourly(
+        hourly, "season_key", "hour_ts", "cnt", trailing = 7, z = 3, minN = 4)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // kappa agreement: one corpus scan + a single-row confusion rollup
+    time("classifier_agreement") {
+      val base = TextAnalysis.quality(docs, "text")
+        .select(col("doc_id"), col("quality_score"),
+          TextAnalysis.hashedLinearScoreCol(col("text"),
+            TextAnalysis.knuthWeights(64)).as("clf_score"))
+      val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+      val out = base.crossJoin(broadcast(thr))
+        .select(
+          (col("quality_score") >= col("__thr")).cast("long").as("h"),
+          (col("clf_score") >= 0L).cast("long").as("c"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h") * col("c")).as("n11"),
+          sum(col("h") * (lit(1L) - col("c"))).as("n10"),
+          sum((lit(1L) - col("h")) * col("c")).as("n01"),
+          sum((lit(1L) - col("h")) * (lit(1L) - col("c"))).as("n00"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     spark.stop()
   }
 }

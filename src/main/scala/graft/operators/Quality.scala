@@ -437,6 +437,37 @@ object Quality {
     * (a straddling pair is precisely (max of bucket i, min of the next
     * non-empty bucket)), so the union equals the flat single-window
     * formulation the oracle spells out. */
+  /** Join-key skew report — the diagnostic run BEFORE a big join or
+    * aggregation ships at 100 TB: the top-k hottest keys with their
+    * corpus share and cumulative share, plus the key-space size. A top
+    * key holding >1/parallelism of the rows predicts a straggler
+    * reducer — the number that decides between the plain join (AQE
+    * skew-split handles it), salting ([[Skew.saltedJoin]]) or a
+    * broadcast rethink, per the measured round-10 guidance. Shape: one
+    * map-side-combined count rollup, a one-row totals aggregate
+    * broadcast back, and a TakeOrdered top-k — the only window runs on
+    * the ≤ topK survivors. share and cum_share are IEEE divisions/sums
+    * in rank order (fixed order → engine-identical). */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    val w = Window.orderBy(col("cnt").desc, col("key"))
+    counts
+      .orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(
+        row_number().over(w).cast("long").as("rank"),
+        col("key"), col("cnt"), col("total"), col("n_keys"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("share"),
+        sum(col("cnt").cast("double") / col("total").cast("double"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_share"))
+  }
+
   def idGaps(df: DataFrame, keyCol: String, step: Long = 1L,
       bucketSpan: Long = 1000000L): DataFrame = {
     require(step >= 1L, s"need step >= 1, got $step")

@@ -129,6 +129,36 @@ object Star {
       .drop("__rn", "__pri")
   }
 
+  /** CDC MERGE — apply a changelog of upserts AND deletes to a base
+    * table, last-writer-wins: the lakehouse `MERGE INTO` semantic
+    * (Delta/Iceberg) that [[upsertDoUpdate]] lacks a delete leg for.
+    * `changes` shares the base schema plus `opCol` ('U' upsert / 'D'
+    * delete); versions order by `versionCol`, with the changelog beating
+    * the base on a version tie (the re-delivered-batch case — CDC
+    * replays must be idempotent). A key whose LATEST op is a delete
+    * vanishes; a delete older than the surviving upsert is a no-op.
+    * Shape: one union + ONE keyed window (the upsert posture, one
+    * shuffle) — delete handling costs nothing extra because the filter
+    * runs on the already-ranked winner row. */
+  def mergeChangelog(
+      base: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      versionCol: Column,
+      opCol: String = "op"
+  ): DataFrame = {
+    val tagged = base
+      .withColumn(opCol, lit("U")).withColumn("__src", lit(0))
+      .unionByName(changes.withColumn("__src", lit(1)))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(versionCol.desc, col("__src").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", "__src", opCol)
+  }
+
   /** SCD Type-2 batch apply — the versioned-dimension counterpart of the
     * reference's overwrite upserts: one change batch folded into a
     * history-keeping dimension. `current` holds the SCD2 table (closed

@@ -62,6 +62,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("new"))
   }
 
+  test("mergeChangelog: latest op wins, deletes remove, tie goes to the changelog, stale deletes are no-ops") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L), (5L, "e", 10L))
+      .toDF("k", "v", "ver")
+    val changes = Seq(
+      (1L, "a2", 10L, "U"), // same version as base -> changelog wins (replay idempotence)
+      (2L, "b2", 20L, "U"), // plain upsert
+      (3L, "gone", 20L, "D"), // delete removes the key
+      (4L, "d", 15L, "U"), // insert
+      (5L, "e2", 30L, "U"), (5L, "dead", 20L, "D") // delete OLDER than the upsert -> no-op
+    ).toDF("k", "v", "ver", "op")
+    val out = Star.mergeChangelog(base, changes, Seq("k"), col("ver"))
+      .orderBy("k").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "a2", 10L), (2L, "b2", 20L),
+      (4L, "d", 15L), (5L, "e2", 30L)))
+  }
+
+  test("skewReport: planted hot key leads with its exact share; cumulative share closes the top-k") {
+    import graft.operators.Quality
+    // 50 rows on key 100 + 50 singleton keys -> total 100, hot share 0.5
+    val df = (Seq.fill(50)(100L) ++ (1L to 50L)).toDF("k")
+    val rows = Quality.skewReport(df, "k", topK = 10).orderBy("rank").collect()
+    assert(rows.length == 10)
+    val head = rows.head
+    assert(head.getLong(head.fieldIndex("key")) == 100L)
+    assert(head.getLong(head.fieldIndex("cnt")) == 50L)
+    assert(head.getLong(head.fieldIndex("total")) == 100L)
+    assert(head.getLong(head.fieldIndex("n_keys")) == 51L)
+    assert(head.getDouble(head.fieldIndex("share")) == 0.5)
+    // ranks are 1..k dense; cum_share is the running sum of the shares
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val expect = rows.map(r => r.getDouble(r.fieldIndex("share")))
+      .scanLeft(0.0)(_ + _).tail
+    assert(rows.map(r => r.getDouble(r.fieldIndex("cum_share"))).toSeq ==
+      expect.toSeq)
+  }
+
   test("dateDim covers the full observed range with smart keys") {
     val df = Seq("2024-01-30", "2024-02-02").toDF("d")
       .select(to_date(col("d")).as("d"))
