@@ -1200,6 +1200,41 @@ object SparkEntry {
       .orderBy("user_id", "session_id")
   }
 
+  /** Sessions × anomaly windows — the triage join after a monitor
+    * fires: which user sessions were live during a flagged spike hour
+    * ([[Temporal.intervalOverlapJoin]], hour-width bins). Sessions are
+    * the proven lag-gap intervals closed half-open at last-event +1 µs
+    * (so a single-event session at an hour boundary still counts);
+    * windows are the z-test's flagged [hour, hour+1) slots — dozens of
+    * rows, so the bin equi-join broadcasts them; the responsibility-bin
+    * dedup keeps multi-hour sessions single-counted with no distinct
+    * pass. */
+  private def sessionIncidents(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+    val newSession = when(gapUs.isNull || gapUs > lit(1800L * 1000000L), 1).otherwise(0)
+    val sessions = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("session_id",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).cast(LongType))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_last"))
+      .withColumn("s_end", col("s_last") + expr("INTERVAL 1 MICROSECONDS"))
+    val windows = Quality.spikes(events(s, d), "event_type", "ts",
+        trailing = 24, z = 3, minN = 8)
+      .filter(col("is_spike"))
+      .select(col("event_type"), to_timestamp(col("hour_start")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 1 HOURS"))
+    Temporal.intervalOverlapJoin(sessions, windows,
+        "s_start", "s_end", "w_start", "w_end", binWidthUs = 3600L * 1000000L)
+      .select(col("user_id"), col("session_id"),
+        tsString(col("s_start")).as("session_start"),
+        tsString(col("s_last")).as("session_end"),
+        col("event_type"), tsString(col("w_start")).as("incident_hour"))
+      .orderBy("user_id", "session_id", "event_type", "incident_hour")
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` operator — the
     * Catalyst-built-in twin of [[sessionize]]'s window-lag formulation
     * (same single user-keyed Exchange; the session merge happens inside
@@ -3351,6 +3386,7 @@ object SparkEntry {
     "hourly_gapfill" -> (hourlyGapfill _),
     "audience_overlap" -> (audienceOverlap _),
     "sessionize" -> (sessionize _),
+    "session_incidents" -> (sessionIncidents _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "funnel_conversion" -> (funnelConversion _),
@@ -4493,6 +4529,46 @@ object SparkEntry {
         | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // the proven sessionize lag-gap CTE + the proven events_spike z-test
+    // CTE, joined on the half-open overlap predicate the responsibility-
+    // bin decomposition evaluates (sessions closed at last-event +1 us)
+    "session_incidents" ->
+      """WITH x AS (
+        | SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id, ts,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        | FROM x),
+        |sess AS (
+        | SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS s_start, MAX(ts) AS s_last
+        | FROM s GROUP BY user_id, session_id),
+        |h AS (
+        | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |zx AS (
+        | SELECT hour_ts, event_type, cnt,
+        |  COUNT(*) OVER w AS n_prior, SUM(cnt) OVER w AS s_prior,
+        |  SUM(cnt * cnt) OVER w AS q_prior
+        | FROM h
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+        |  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |win AS (
+        | SELECT event_type, hour_ts AS w_start, hour_ts + INTERVAL 1 HOUR AS w_end
+        | FROM zx
+        | WHERE n_prior >= 8 AND n_prior * cnt > s_prior
+        |  AND (n_prior - 1) * (n_prior * cnt - s_prior) * (n_prior * cnt - s_prior)
+        |      > 9 * n_prior * (n_prior * q_prior - s_prior * s_prior))
+        |SELECT user_id, session_id,
+        | strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(s_last, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | event_type, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS incident_hour
+        |FROM sess JOIN win
+        | ON s_start < w_end AND w_start < s_last + INTERVAL 1 MICROSECOND
+        |ORDER BY user_id, session_id, event_type, incident_hour""".stripMargin,
     // session_window semantics: a gap of exactly the duration starts a
     // NEW session ([start, last+gap) half-open) -> `>=` here where the
     // lag-form oracle uses `>`; session_end = last event + gap

@@ -414,6 +414,41 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("interval-overlap join equals the naive cross form; responsibility bin needs no dedup") {
+    import java.sql.Timestamp
+    val ivGen = Gen.listOfN(15, for {
+      s <- Gen.choose(0L, 100_000L)
+      len <- Gen.choose(-5_000L, 40_000L) // include empty/negative and multi-bin spans
+    } yield (s, s + len))
+    forAll(Gen.zip(ivGen, ivGen), n = 5) { case (lvs, rvs) =>
+      def frame(rows: List[(Long, Long)], id: String) = rows.zipWithIndex
+        .map { case ((s, e), i) =>
+          (i.toLong, new Timestamp(s), new Timestamp(e)) }
+        .toDF(id, s"${id}_s", s"${id}_e")
+      val l = frame(lvs, "l")
+      val r = frame(rvs, "r")
+      // bin width (7 s) deliberately unaligned and smaller than max span
+      // (40 s): overlapping pairs meet in several bins, and equality
+      // proves the responsibility bin emits each exactly ONCE
+      val bucketized = graft.operators.Temporal
+        .intervalOverlapJoin(l, r, "l_s", "l_e", "r_s", "r_e",
+          binWidthUs = 7_000_000L)
+        .select("l", "r").orderBy("l", "r").collect().toSeq
+      val naive = l.crossJoin(r)
+        .filter(col("l_s") < col("r_e") && col("r_s") < col("l_e") &&
+          col("l_e") > col("l_s") && col("r_e") > col("r_s"))
+        .select("l", "r").orderBy("l", "r").collect().toSeq
+      assert(bucketized == naive)
+      assert(bucketized.distinct == bucketized) // no double emission
+    }
+    // exact touch is NOT an overlap under half-open semantics
+    val a = Seq((1L, new Timestamp(0L), new Timestamp(1000L))).toDF("l", "l_s", "l_e")
+    val b = Seq((1L, new Timestamp(1000L), new Timestamp(2000L))).toDF("r", "r_s", "r_e")
+    assert(graft.operators.Temporal
+      .intervalOverlapJoin(a, b, "l_s", "l_e", "r_s", "r_e", 7_000_000L)
+      .count() == 0L)
+  }
+
   test("dedupKeepFirst is insensitive to input partitioning and order") {
     forAll(rowsGen) { rows =>
       whenever(rows.nonEmpty) {
