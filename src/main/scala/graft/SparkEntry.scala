@@ -2109,6 +2109,42 @@ object SparkEntry {
         "pred_lang", "lang_score")
       .orderBy("doc_id")
 
+  /** Language-ID evaluation — the heuristic's confusion matrix against
+    * the corpus's own `lang` labels, with per-label recall share: the
+    * check run before a langid gate decides a multilingual mix (this
+    * corpus's 'zh' label has NO stopword list, so the matrix shows
+    * exactly where the heuristic is blind — that visibility is the
+    * row's job). One scan + one small-domain rollup; the label-total
+    * window runs on the ≤ labels² confusion rows. */
+  private def langidEval(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .transform(df => TextAnalysis.langId(df, "text"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("pred_lang"), col("n"),
+        sum(col("n")).over(w).as("label_total"))
+      .withColumn("recall_share",
+        col("n").cast(DoubleType) / col("label_total").cast(DoubleType))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Per-source language balance — docs, whitespace tokens and doc
+    * share per (source, lang): the multilingual audit read before
+    * temperature mixing (row 198) reweights sources. One scan, one
+    * map-side-combined rollup on the tiny (source, lang) domain. */
+  private def langBalance(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(wsTokens(col("text"))).cast(LongType)).as("n_tokens"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast(DoubleType) /
+          sum(col("n_docs")).over(w).cast(DoubleType)).as("doc_share"))
+      .orderBy("source", "lang")
+  }
+
   /** Quality metrics + composite score. */
   private def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(documents(s, d), "text")
@@ -3408,6 +3444,8 @@ object SparkEntry {
     "sim_lsh_multi_topk" -> (simLshMultiTopK _),
     "bitext_mine" -> (bitextMine _),
     "text_langid" -> (textLangId _),
+    "langid_eval" -> (langidEval _),
+    "lang_balance" -> (langBalance _),
     "text_quality" -> (textQuality _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_ensemble" -> (qualityEnsemble _),
@@ -4776,6 +4814,35 @@ object SparkEntry {
         |      ELSE 'fr' END AS pred_lang,
         | CAST(greatest(hits_de, hits_en, hits_es, hits_fr) AS DOUBLE) / CAST(nt AS DOUBLE) AS lang_score
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the proven text_langid CTE grouped against the corpus's own labels
+    "langid_eval" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') w FROM documents),
+        |s AS (SELECT doc_id, lang,
+        | CAST(len(list_filter(w, x -> x IN ('der','die','das','und','zu','ein','eine','mit','von','nicht'))) AS BIGINT) hits_de,
+        | CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS BIGINT) hits_en,
+        | CAST(len(list_filter(w, x -> x IN ('el','la','de','y','que','un','una','por','con','los'))) AS BIGINT) hits_es,
+        | CAST(len(list_filter(w, x -> x IN ('le','la','de','et','que','un','une','pour','dans','les'))) AS BIGINT) hits_fr
+        | FROM t),
+        |p AS (SELECT lang,
+        | CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+        |      WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+        |      WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+        |      WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+        |      ELSE 'fr' END AS pred_lang
+        | FROM s),
+        |c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        | CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS label_total,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS recall_share
+        |FROM c ORDER BY lang, pred_lang""".stripMargin,
+    "lang_balance" ->
+      """WITH b AS (
+        | SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1, 2)
+        |SELECT source, lang, n_docs, n_tokens,
+        | CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS doc_share
+        |FROM b ORDER BY source, lang""".stripMargin,
     "text_quality" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -869,6 +869,28 @@ class PlanShapeSpec extends AnyFunSuite {
       plan("events_seasonal"))
   }
 
+  test("merge_changelog: one keyed Exchange serves the whole merge; no join anywhere") {
+    val df = SparkEntry.queries("merge_changelog")(spark, sf)
+    val p = plan("merge_changelog")
+    // union + ONE window on the key — the delete filter rides the ranked
+    // rows, so no join and no second corpus shuffle exist before the
+    // presentation sort
+    assert(!p.contains("Join"), p)
+    val exec = df.queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1 && wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+  }
+
+  test("skew_report: top-k plans TakeOrdered; the only window runs on the survivors") {
+    val p = plan("skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // totals arrive as a one-row broadcast, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("value_ks: CDF windows are partition-parallel — never a single-task global window") {
     // the KS cumulative CDFs ride withPrefixSums (range repartition +
     // partition-offset reconstruction): every Window in the final plan
