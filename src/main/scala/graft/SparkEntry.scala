@@ -1235,6 +1235,33 @@ object SparkEntry {
       .orderBy("user_id", "session_id", "event_type", "incident_hour")
   }
 
+  /** Time-weighted average (TWAP) per event type — each observation
+    * holds until the type's NEXT event, so the mean weights every value
+    * by how long it was current: the correct aggregate for sampled
+    * telemetry/prices where the plain mean over-counts burst periods
+    * (both are emitted side by side — the gap between them IS the
+    * burst-bias report). One type-keyed window (lead) + one rollup;
+    * weights are exact integer microseconds, each value·dt product is
+    * one IEEE multiply cast to DECIMAL (order-independent exact sum —
+    * the §6 parity form), the TWAP one final IEEE division. The last
+    * observation of each type has no successor and carries no weight. */
+  private def eventsTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("dt",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("dt")).as("n_obs"),
+        sum(col("dt")).as("total_dt_us"),
+        (sum((col("value") * col("dt").cast(DoubleType))
+            .cast(DecimalType(28, 6))).cast(DoubleType) /
+          sum(col("dt")).cast(DoubleType)).as("twap"),
+        avgExact(col("value"), 18, 6).as("plain_mean"))
+      .orderBy("event_type")
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` operator — the
     * Catalyst-built-in twin of [[sessionize]]'s window-lag formulation
     * (same single user-keyed Exchange; the session merge happens inside
@@ -3423,6 +3450,7 @@ object SparkEntry {
     "audience_overlap" -> (audienceOverlap _),
     "sessionize" -> (sessionize _),
     "session_incidents" -> (sessionIncidents _),
+    "events_twap" -> (eventsTwap _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "funnel_conversion" -> (funnelConversion _),
@@ -4567,6 +4595,22 @@ object SparkEntry {
         | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // weights are exact integer micros; value*dt is ONE IEEE multiply on
+    // both engines, summed in DECIMAL (order-independent), one final
+    // IEEE division — the §6 parity form
+    "events_twap" ->
+      """WITH x AS (
+        | SELECT event_type, value,
+        |  epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+        |   - epoch_us(ts) AS dt
+        | FROM events)
+        |SELECT event_type,
+        | COUNT(dt) AS n_obs,
+        | CAST(SUM(dt) AS BIGINT) AS total_dt_us,
+        | CAST(SUM(CAST(value * dt AS DECIMAL(28,6))) AS DOUBLE)
+        |  / CAST(SUM(dt) AS DOUBLE) AS twap,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS plain_mean
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the proven sessionize lag-gap CTE + the proven events_spike z-test
     // CTE, joined on the half-open overlap predicate the responsibility-
     // bin decomposition evaluates (sessions closed at last-event +1 us)

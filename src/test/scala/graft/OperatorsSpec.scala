@@ -473,6 +473,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plainFlags.count(_.endsWith("09:00:00")) >= 5, plainFlags)
   }
 
+  test("events_twap: every observation but the type's last carries weight; burst bias shows as twap != mean") {
+    val ev = graft.Tables.events(spark, sf)
+    val counts = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("events_twap")(spark, sf).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_obs")) == counts(r.getString(0)) - 1, r)
+      assert(r.getLong(r.fieldIndex("total_dt_us")) > 0L, r)
+    }
+    // a hand fixture where the time weighting provably matters: 100 held
+    // 1s, 0 held 9s, final obs unweighted -> TWAP 10, plain mean 51.67
+    import java.sql.Timestamp
+    val fx = Seq(
+      (1L, new Timestamp(0L), "a", 100.0),
+      (2L, new Timestamp(1000L), "a", 0.0),
+      (3L, new Timestamp(10000L), "a", 55.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val out = fx
+      .withColumn("dt", unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .groupBy("event_type")
+      .agg((sum((col("value") * col("dt").cast("double")).cast("decimal(28,6)"))
+          .cast("double") / sum(col("dt")).cast("double")).as("twap"))
+      .collect().head
+    assert(out.getDouble(1) == 10.0, out)
+  }
+
   test("MAD detector: hourly seam equals the events form (deployment parity)") {
     import graft.operators.Quality
     val ev = graft.Tables.events(spark, sf)
