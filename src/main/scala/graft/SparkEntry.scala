@@ -2172,6 +2172,49 @@ object SparkEntry {
       .orderBy("source", "lang")
   }
 
+  /** Per-source percentile normalization of the quality score — the
+    * source-FAIR gate: one global threshold (row 66) lets a uniformly
+    * verbose source crowd out a terse one, so production curation ranks
+    * each document WITHIN its source and gates on the percentile. The
+    * rank runs from the TOP (`top_rank` = percent_rank over score DESC;
+    * 0 = best) and the gate keeps `top_rank <= 0.75`: rank-down +
+    * keep-below is total on ties — an all-tied source ranks 0 and keeps
+    * everything, where the ascending form's `>= 0.25` silently drops
+    * the entire group (spec-pinned). percent_rank is rank arithmetic +
+    * one IEEE division, engine-identical. One source-keyed window pass;
+    * the gate is a codegen'd compare. */
+  private def qualityNormalize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("quality_score").desc)
+    TextAnalysis.quality(documents(s, d), "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("top_rank", percent_rank().over(w))
+      .withColumn("keep", (col("top_rank") <= 0.75).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  /** Split balance audit — per (split, source) doc counts with the
+    * share WITHIN the split beside the source's corpus-wide share: the
+    * selection-bias check on the md5 assignment (row 206). A healthy
+    * hash split shows within-split shares tracking the corpus shares;
+    * a skew here means the split key correlates with the covariate.
+    * Everything after the split assignment is (splits × sources)-sized. */
+  private def splitBalance(s: SparkSession, d: String): DataFrame = {
+    val assigned = splitLeakfree(s, d)
+      .join(documents(s, d).select(col("doc_id"), col("source")), "doc_id")
+    val bySplit = Window.partitionBy(col("split"))
+    val total = Window.partitionBy(lit(1))
+    assigned
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("split"), col("source"), col("n_docs"),
+        (col("n_docs").cast(DoubleType) /
+          sum(col("n_docs")).over(bySplit).cast(DoubleType)).as("split_share"),
+        (sum(col("n_docs")).over(Window.partitionBy(col("source")))
+          .cast(DoubleType) /
+          sum(col("n_docs")).over(total).cast(DoubleType)).as("corpus_share"))
+      .orderBy("split", "source")
+  }
+
   /** Quality metrics + composite score. */
   private def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(documents(s, d), "text")
@@ -3474,6 +3517,8 @@ object SparkEntry {
     "text_langid" -> (textLangId _),
     "langid_eval" -> (langidEval _),
     "lang_balance" -> (langBalance _),
+    "quality_normalize" -> (qualityNormalize _),
+    "split_balance" -> (splitBalance _),
     "text_quality" -> (textQuality _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_ensemble" -> (qualityEnsemble _),
@@ -4887,6 +4932,52 @@ object SparkEntry {
         |SELECT source, lang, n_docs, n_tokens,
         | CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS doc_share
         |FROM b ORDER BY source, lang""".stripMargin,
+    // the proven quality_score fragment + SQL-standard percent_rank
+    // ((rank-1)/(n-1): rank arithmetic + one IEEE division, engine-equal)
+    "quality_normalize" ->
+      """WITH s AS (
+        | SELECT doc_id, source,
+        |  least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 50.0, 1.0) * 0.5
+        |   + CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is','was','for','on'))) AS DOUBLE)
+        |     / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) * 0.5 AS quality_score
+        | FROM documents)
+        |SELECT doc_id, source, quality_score,
+        | percent_rank() OVER w AS top_rank,
+        | CAST(percent_rank() OVER w <= 0.75 AS BIGINT) AS keep
+        |FROM s
+        |WINDOW w AS (PARTITION BY source ORDER BY quality_score DESC)
+        |ORDER BY doc_id""".stripMargin,
+    // the proven split_leakfree chain + a (splits x sources) share rollup
+    "split_balance" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh
+        |       FROM toks, unnest(generate_series(1, len(w)-2)) i(i) WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) n_sh FROM sh GROUP BY 1),
+        |cnt AS (SELECT a.doc_id d1, b.doc_id d2, COUNT(*) common
+        |        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cnt JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |          WHERE CAST(common AS DOUBLE) / (x.n_sh + y.n_sh - common) >= 0.5),
+        |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        | SELECT a, a FROM edges
+        | UNION
+        | SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        |),
+        |comp AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, d.source, COALESCE(c.canonical_id, d.doc_id) AS canon
+        |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |assg AS (SELECT doc_id, source,
+        |       CAST(concat('0x', substr(md5(CAST(canon AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bucket
+        |      FROM g),
+        |c2 AS (SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+        |        ELSE 'test' END AS split, source, COUNT(*) AS n_docs
+        |       FROM assg GROUP BY 1, 2)
+        |SELECT split, source, n_docs,
+        | CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY split) AS DOUBLE) AS split_share,
+        | CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+        |  / CAST(SUM(n_docs) OVER () AS DOUBLE) AS corpus_share
+        |FROM c2 ORDER BY split, source""".stripMargin,
     "text_quality" ->
       """WITH s AS (
         | SELECT doc_id,

@@ -1207,6 +1207,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(po >= 0.0 && po <= 1.0 && kappa <= 1.0, r)
   }
 
+  test("per-source percentile gate keeps every source represented where the global gate zeroes one out") {
+    // source B is uniformly terse: every B score sits below every A
+    // score, so a global 25th-percentile gate drops ALL of B — the
+    // source-crowding failure the per-source rank fixes
+    // B is 3 of 16 docs, so the global 25th percentile lands strictly
+    // above every B score (a bigger B block would drag the threshold
+    // down into its own range and defeat the fixture)
+    val docs = (1 to 13).map(i =>
+        (i.toLong, ("the quick brown fox jumps over " * i) + "a", "A")) ++
+      (14 to 16).map(i => (i.toLong, "x y", "B"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val q = TextAnalysis.quality(df, "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+    val thr = q.agg(expr("percentile(quality_score, 0.25)").as("t")).head.getDouble(0)
+    val globalKept = q.filter(col("quality_score") >= thr)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!globalKept.contains("B"), globalKept) // B entirely gated out
+    // rank-from-top + keep-below is total on ties: B's three IDENTICAL
+    // scores all rank 0 and all survive (the ascending form's >= 0.25
+    // silently drops the whole tied group)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality_score").desc)
+    val fairKept = q.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= 0.75)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fairKept.getOrElse("A", 0L) > 0L && fairKept("B") == 3L, fairKept)
+  }
+
   test("split_leakfree: no near-dup cluster spans splits, and it refines split_assign's exact-dup guarantee") {
     val out = SparkEntry.queries("split_leakfree")(spark, sf)
     // every doc assigned exactly once
