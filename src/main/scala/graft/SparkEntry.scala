@@ -1262,6 +1262,39 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Recency-weighted engagement score per user — the feature-store
+    * decay aggregate: Σ value·2^(−age_hours), halving per hour, age
+    * anchored to the corpus max timestamp, with a 40-hour horizon
+    * (older events contribute < 2^−40 ≈ 1e−12 of a fresh one — below
+    * the score's own precision — and every decay deployment sets a
+    * horizon anyway). The arithmetic is INTEGER-EXACT end to end: an
+    * IEEE per-term 2^(−k) draft diverged from DuckDB at the 11th
+    * decimal (each engine rounds tiny doubles into DECIMAL
+    * differently), so the weight is the BIGINT `1 << (40−k)` — shifts
+    * agree across engines (the z-order rule) — the value enters as
+    * DECIMAL(18,2), the scaled sum is exact decimal, and the ONLY
+    * float ops are the final cast plus one division by 2^40 (an exact
+    * power-of-two scale). One scan + map-side-combined user rollup;
+    * the anchor is a one-row broadcast cross join. */
+  private def userDecayScore(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val anchor = ev.agg(max(col("ts")).as("__max_ts"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("value"),
+        expr("CAST((unix_micros(__max_ts) - unix_micros(ts)) " +
+          "DIV 3600000000 AS BIGINT)").as("age_h"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("age_h")).as("freshest_age_h"),
+        (sum(when(col("age_h") <= 40L,
+            col("value").cast(DecimalType(18, 2)) *
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - age_h AS INT))"))
+          .otherwise(lit(null))).cast(DoubleType) /
+          lit(1099511627776.0)).as("decay_score"))
+      .orderBy("user_id")
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` operator — the
     * Catalyst-built-in twin of [[sessionize]]'s window-lag formulation
     * (same single user-keyed Exchange; the session merge happens inside
@@ -3494,6 +3527,7 @@ object SparkEntry {
     "sessionize" -> (sessionize _),
     "session_incidents" -> (sessionIncidents _),
     "events_twap" -> (eventsTwap _),
+    "user_decay_score" -> (userDecayScore _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "funnel_conversion" -> (funnelConversion _),
@@ -4640,6 +4674,21 @@ object SparkEntry {
         | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // integer-exact decay: BIGINT shift weights (engines agree on <<),
+    // DECIMAL(18,2) value, exact scaled sum; the only float ops are the
+    // final cast + one exact power-of-two division
+    "user_decay_score" ->
+      """WITH a AS (SELECT max(ts) AS mx FROM events),
+        |x AS (
+        | SELECT user_id, value,
+        |  CAST((epoch_us(mx) - epoch_us(ts)) // 3600000000 AS BIGINT) AS age_h
+        | FROM events, a)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(MIN(age_h) AS BIGINT) AS freshest_age_h,
+        | CAST(SUM(CASE WHEN age_h <= 40
+        |   THEN CAST(value AS DECIMAL(18,2)) * (CAST(1 AS BIGINT) << CAST(40 - age_h AS INT))
+        |   END) AS DOUBLE) / 1099511627776.0 AS decay_score
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
     // weights are exact integer micros; value*dt is ONE IEEE multiply on
     // both engines, summed in DECIMAL (order-independent), one final
     // IEEE division — the §6 parity form
