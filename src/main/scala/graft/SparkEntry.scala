@@ -898,6 +898,31 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** [[ngramDiversity]]'s 100 TB form — the hash swap that report
+    * documents: the (source, shingle) rollup keys on `xxhash64` of the
+    * shingle instead of the string, so the shuffle carries 8-byte keys
+    * where the string form ships the full trigram text (the dominant
+    * wire cost once the per-source vocabulary exceeds the map-side
+    * combiner). Counts are identical unless two distinct shingles of
+    * ONE source collide in 64 bits (p ≈ v²/2^65 — immaterial at any
+    * corpus size a single report covers), which is why it shares
+    * ngram_diversity's oracle verbatim: the gate's hash-equality IS the
+    * collision check on this corpus, and the twin equality is also
+    * spec-pinned. */
+  private def ngramDiversityHashed(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("source"), explode(wordShingles(col("text"), 3)).as("shs"))
+      .select(col("source"), xxhash64(col("shs")).as("h"))
+    sh.groupBy("source", "h").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum(col("c")).as("n_total"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .withColumn("ttr", col("n_distinct").cast(DoubleType) / col("n_total"))
+      .orderBy("source")
+  }
+
   /** Triangle census + transitivity of the near-dup pair graph
     * ([[graft.operators.Graph.transitivity]]): the honesty metric behind
     * single-linkage dedup — low transitivity warns that connected
@@ -3495,6 +3520,7 @@ object SparkEntry {
     "pagerank" -> (pagerankQ _),
     "graph_transitivity" -> (graphTransitivity _),
     "ngram_diversity" -> (ngramDiversity _),
+    "ngram_diversity_hashed" -> (ngramDiversityHashed _),
     "hop_distance" -> (hopDistanceQ _),
     "rolling_active_users" -> (rollingActiveUsers _),
     "rolling_active_users_approx" -> (rollingActiveUsersApprox _),
@@ -3702,6 +3728,10 @@ object SparkEntry {
     oracleSqlLit +
       ("lm_score_cached" -> oracleSqlLit("lm_score")) +
       ("dedup_keep_best_cached" -> oracleSqlLit("dedup_keep_best")) +
+      // the hashed rollup keys differ but the REPORT is identical unless
+      // a per-source 64-bit shingle collision exists — the gate's
+      // hash-equality against the string oracle IS that check
+      ("ngram_diversity_hashed" -> oracleSqlLit("ngram_diversity")) +
       ("pagerank" -> graft.operators.Graph.pageRankIntSql(
         pagerankEdgesCte, iters = 5, k = 100)) +
       ("hop_distance" -> graft.operators.Graph.hopDistanceSql(

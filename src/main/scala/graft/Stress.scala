@@ -598,6 +598,23 @@ object Stress {
       forced(d, bit_xor(xxhash64(col("source"), col("n_total"),
         col("n_distinct"), col("n_singletons"))))
     }
+    // the 100 TB hash swap measured against the string form above: the
+    // rollup keys on xxhash64(shingle) (8-byte shuffle key vs trigram
+    // text), report identical modulo per-source 64-bit collisions
+    time("ngram_diversity_hashed") {
+      val src = docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(20))))
+      val d = src
+        .select(col("source"),
+          explode(graft.functions.wordShingles(col("text"), 3)).as("sh"))
+        .select(col("source"), xxhash64(col("sh")).as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_distinct"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      forced(d, bit_xor(xxhash64(col("source"), col("n_total"),
+        col("n_distinct"), col("n_singletons"))))
+    }
     time("skipgram_pairs") {
       forced(TextAnalysis.skipgramPairs(docs, "text", window = 3, k = 30),
         bit_xor(xxhash64(col("w1"), col("w2"), col("n"))))

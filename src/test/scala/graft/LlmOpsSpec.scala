@@ -1207,6 +1207,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(po >= 0.0 && po <= 1.0 && kappa <= 1.0, r)
   }
 
+  test("hashed diversity rollup reproduces the string form row for row") {
+    val a = SparkEntry.queries("ngram_diversity")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("ngram_diversity_hashed")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("per-source percentile gate keeps every source represented where the global gate zeroes one out") {
     // source B is uniformly terse: every B score sits below every A
     // score, so a global 25th-percentile gate drops ALL of B — the
