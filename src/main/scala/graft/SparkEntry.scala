@@ -1703,6 +1703,17 @@ object SparkEntry {
       .withColumn("is_anomaly", col("is_anomaly").cast(LongType))
       .orderBy("hour_start", "event_type")
 
+  /** CUSUM sustained-shift flags per event type ([[Quality.cusum]]):
+    * the max(0, S+d) recurrence closed to prefix-sum − running-min (two
+    * stacked windows, one Exchange), cleared to exact integer arithmetic
+    * (2× scale vs the per-type median) so the boolean is engine-portable
+    * (emitted as 0/1 BIGINT). */
+  private def eventsCusum(s: SparkSession, d: String): DataFrame =
+    Quality.cusum(events(s, d), "event_type", "ts",
+        slack2 = 2L, threshold2 = 12L)
+      .withColumn("is_shift", col("is_shift").cast(LongType))
+      .orderBy("event_type", "hour_start")
+
   /** Per-type OLS trend over hourly counts ([[Quality.trendFromBuckets]]):
     * the monitoring family's TREND leg — the spike/MAD/EWMA monitors all
     * re-baseline on slow change by design, so a gradual decline never
@@ -2640,6 +2651,13 @@ object SparkEntry {
     * duplicated-n-gram fractions per document (zero shuffle). */
   private def textRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetition(documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Per-document token Shannon entropy ([[TextAnalysis.tokenEntropy]]):
+    * H = ln n − (Σ c·ln c)/n with 6-dp ln rounding and DECIMAL
+    * accumulation (engine-portable); one doc-keyed Exchange. */
+  private def textEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropy(documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Per-document top-3 TF-IDF terms, ranked by the heap TopKPerGroup
@@ -3600,6 +3618,7 @@ object SparkEntry {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_heavy_hitters_approx" -> (textHeavyHittersApprox _),
     "text_repetition" -> (textRepetition _),
+    "text_entropy" -> (textEntropy _),
     "lm_score" -> (lmScoreQ _),
     "lm_score_cached" -> (lmScoreCachedQ _),
     "corpus_stats" -> (corpusStats _),
@@ -3653,6 +3672,7 @@ object SparkEntry {
     "events_spike" -> (eventsSpike _),
     "events_ewma" -> (eventsEwma _),
     "events_mad" -> (eventsMad _),
+    "events_cusum" -> (eventsCusum _),
     "dedup_containment" -> (dedupContainment _),
     "shuffle_shards" -> (shuffleShardsQ _),
     "corpus_drift" -> (corpusDrift _),
@@ -5125,6 +5145,20 @@ object SparkEntry {
         | CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / NULLIF(CAST(len(g2) AS DOUBLE), 0) AS dup_2gram_frac,
         | CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / NULLIF(CAST(len(g3) AS DOUBLE), 0) AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      // the lm_score parity convention: 6-dp-rounded lns, DECIMAL
+      // accumulation (10,0)×(18,6) stays inside DuckDB's exact 38-digit
+      // multiply, final subtract/divide in IEEE double on identical operands
+      """WITH toks AS (SELECT doc_id, u.w AS w
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents) t,
+        |       unnest(t.w) u(w)),
+        |c AS (SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        | round(ln(CAST(SUM(c) AS DOUBLE)), 6)
+        |  - CAST(SUM(CAST(c AS DECIMAL(10,0))
+        |      * CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / SUM(c) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tfidf_top_terms" ->
       // round(.., 6) on BOTH sides: ln may differ in the last ulp between
       // engines; the ranking compares the rounded score so rank sets agree
@@ -6008,6 +6042,32 @@ object SparkEntry {
         |  AS is_anomaly
         |FROM m JOIN f ON m.hour_ts = f.hour_ts AND m.event_type = f.event_type
         |ORDER BY hour_start, m.event_type""".stripMargin,
+    // the CUSUM recurrence closed to prefix-sum − running-min (see
+    // Quality.cusum) — all BIGINT in the ×2-median scale, no float to
+    // diverge between engines
+    "events_cusum" ->
+      """WITH h AS (
+        | SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |m AS (
+        | SELECT hour_ts, event_type, cnt,
+        |  CAST(2 * median(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS med2
+        | FROM h),
+        |p AS (
+        | SELECT hour_ts, event_type, cnt, med2,
+        |  CAST(SUM(2 * cnt - med2 - 2) OVER w AS BIGINT) AS p2
+        | FROM m
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        | SELECT hour_ts, event_type, cnt, med2,
+        |  p2 - LEAST(MIN(p2) OVER w, 0) AS cusum2
+        | FROM p
+        | WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, cnt, med2, cusum2, CAST(cusum2 > 12 AS BIGINT) AS is_shift
+        |FROM s ORDER BY event_type, hour_start""".stripMargin,
     // the three PROVEN monitor fragments (events_spike / events_mad /
     // events_ewma oracles) verbatim over one shared hourly CTE, joined
     // into the triage view — the oracle-chaining rule

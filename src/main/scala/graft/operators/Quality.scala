@@ -200,6 +200,73 @@ object Quality {
         col("is_anomaly"))
   }
 
+  /** CUSUM (cumulative-sum control chart) level-shift flags per type —
+    * the monitoring family's SUSTAINED-shift leg. The z-test ([[spikes]])
+    * and the MAD twin catch single-hour bursts but re-baseline on slow
+    * change; the OLS slope ([[trendFromBuckets]]) catches a steady ramp
+    * but not a step; CUSUM accumulates every hour's small excess over a
+    * reference level and alarms when the running total crosses a decision
+    * threshold — the classic Page (1954) detector for a persistent +20%
+    * step that never individually spikes.
+    *
+    * The recurrence S_i = max(0, S_{i−1} + d_i) looks inherently
+    * sequential, but with P_i = Σ_{j≤i} d_j (prefix sum, P_0 = 0) it
+    * closes to S_i = P_i − min(0, min_{j≤i} P_j) — two stacked window
+    * aggregates over the SAME type-keyed ordering, one Exchange, no
+    * per-row state. Engine-portable exactness (the [[spikes]] playbook —
+    * clear the divisions): the reference level is the per-type median of
+    * the hourly counts doubled to BIGINT (med2 = 2·median, exact in both
+    * engines since interpolated medians carry at most a .5 fraction), so
+    * the deviation d2_i = 2·cnt_i − med2 − slack2 and every downstream
+    * sum/min/compare is pure BIGINT. `slack2` and `threshold2` are in
+    * the same ×2 scale (slack2 = 2k absorbs drift up to k counts/hour;
+    * threshold2 = 2h alarms once the accumulated excess tops h counts).
+    *
+    * Shape: the hourly rollup partial-aggregates MAP-SIDE (hourly rows on
+    * the wire, never events); the per-type median is an unbounded-frame
+    * window aggregate and the prefix sum/min ride a cumulative frame —
+    * both windows hash-partition by type, so ONE hourly-row-sized
+    * Exchange serves the whole chain. At 100 TB the post-rollup state is
+    * still hours × types. */
+  def cusum(events: DataFrame, typeCol: String, tsCol: String,
+      slack2: Long = 2L, threshold2: Long = 16L): DataFrame =
+    cusumFromHourly(
+      events.groupBy(date_trunc("hour", col(tsCol)).as("hour_ts"), col(typeCol))
+        .agg(count(lit(1)).as("cnt")),
+      typeCol, "hour_ts", "cnt", slack2, threshold2)
+
+  /** [[cusum]] over an ALREADY-AGGREGATED hourly count table — the same
+    * deployment seam as [[spikesFromHourly]]/[[madFromHourly]]: the
+    * streaming hourly sink can be scored without re-touching raw
+    * events. */
+  def cusumFromHourly(hourlyCounts: DataFrame, typeCol: String,
+      hourCol: String, cntCol: String,
+      slack2: Long = 2L, threshold2: Long = 16L): DataFrame = {
+    require(slack2 >= 0 && threshold2 > 0,
+      s"bad cusum params: slack2=$slack2 threshold2=$threshold2")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(typeCol))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("hour_ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hourlyCounts
+      .select(col(hourCol).as("hour_ts"), col(typeCol), col(cntCol).as("cnt"))
+      // reference level first: its unbounded frame must not share a
+      // Window node with the cumulative frame below
+      .select(col("hour_ts"), col(typeCol), col("cnt"),
+        (expr("percentile(cnt, 0.5)").over(wAll) * 2)
+          .cast(org.apache.spark.sql.types.LongType).as("med2"))
+      .withColumn("__d2", lit(2) * col("cnt") - col("med2") - lit(slack2))
+      .select(col("hour_ts"), col(typeCol), col("cnt"), col("med2"),
+        sum(col("__d2")).over(wCum).as("__p2"))
+      .select(col("hour_ts"), col(typeCol), col("cnt"), col("med2"),
+        (col("__p2") - least(min(col("__p2")).over(wCum), lit(0L)))
+          .as("cusum2"))
+      .withColumn("is_shift", col("cusum2") > lit(threshold2))
+      .select(
+        graft.functions.tsString(col("hour_ts")).as("hour_start"),
+        col(typeCol), col("cnt"), col("med2"), col("cusum2"), col("is_shift"))
+  }
+
   /** Per-source distribution-drift monitor — the corpus-composition twin
     * of [[spikes]]: for each source, the total-variation distance between
     * its hashed-token-bucket distribution and the corpus-wide one. A

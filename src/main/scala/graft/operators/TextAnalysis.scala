@@ -442,6 +442,43 @@ object TextAnalysis {
         col("chunk_text")): _*)
   }
 
+  /** Per-document token Shannon entropy in nats — the information-density
+    * quality signal beside [[repetition]]: keyboard mash, repeated
+    * boilerplate and template spam all score low-entropy while natural
+    * prose sits near ln(vocab-in-doc); curation stacks it with the
+    * repetition fractions because entropy also catches SKEWED (not just
+    * duplicated) token distributions. Uses the identity
+    * H = ln n − (Σ_w c_w·ln c_w)/n over within-doc token counts c_w, so
+    * no per-token probability division ever happens.
+    *
+    * Engine parity (the [[lmScore]] convention): each ln is rounded to
+    * 6 dp, the Σ c·ln c accumulates as DECIMAL (c as DECIMAL(10,0) ×
+    * ln as DECIMAL(18,6) keeps the product inside BOTH engines' exact
+    * 38-digit multiply — a (28,12) factor would push DuckDB past 38 and
+    * silently fall to DOUBLE), and only the final subtract/divide run in
+    * IEEE double on identical operands.
+    *
+    * Shape (the bm25 partition-reuse trick): ONE doc-keyed Exchange
+    * before the explode; both the (doc, token) count and the per-doc
+    * rollup cluster on supersets of doc_id, so neither adds an Exchange.
+    * Per-doc state is its distinct-token table — bounded by doc length,
+    * never corpus vocabulary. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c").cast(DecimalType(10, 0)) *
+            round(log(col("__c").cast(DoubleType)), 6).cast(DecimalType(18, 6)))
+          .as("__clnc"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        (round(log(col("n_tokens").cast(DoubleType)), 6) -
+          col("__clnc").cast(DoubleType) / col("n_tokens")).as("entropy"))
+
   /** Repetition signals — the Gopher/C4-style quality filters that flag
     * boilerplate and spam before training: the fraction of duplicated
     * tokens and duplicated word 2-/3-grams per document (0 = all unique,

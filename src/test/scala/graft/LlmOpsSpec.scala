@@ -20,6 +20,35 @@ class LlmOpsSpec extends AnyFunSuite {
     (4L, "completely different words appear in here now today")
   ).toDF("doc_id", "text")
 
+  test("token entropy: closed-form fixtures, bounds on the real corpus") {
+    val fx = Seq(
+      (1L, "a a b b"),   // H = ln4 − ln2 = ln2 exactly under 6-dp rounding
+      (2L, "a a a a"),   // zero entropy (one token type)
+      (3L, "a b c d"),   // uniform: max entropy ln4, all c=1 so ln c = 0
+      (4L, "")           // split keeps the empty token -> 1 token, H = 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(fx, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 4L, 2L), (2L, 4L, 1L), (3L, 4L, 4L), (4L, 1L, 1L)))
+    val hs = out.map(_._4)
+    // 6-dp-rounded closed forms (ulp-tolerant: the operator divides the
+    // exact decimal sum in IEEE double, the literal here subtracts)
+    assert(math.abs(hs(0) - 0.693147) < 1e-9)
+    assert(math.abs(hs(1)) < 1e-9)
+    assert(math.abs(hs(2) - 1.386294) < 1e-9)
+    assert(math.abs(hs(3)) < 1e-9)
+    // real corpus: 0 <= H <= ln(n_distinct)+eps, token totals conserved
+    val real = TextAnalysis.tokenEntropy(
+      Tables.documents(spark, sf), "doc_id", "text").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (n, d, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d <= n && h >= -1e-6 && h <= math.log(d.toDouble) + 1e-6, r)
+    }
+  }
+
   test("dedup exact groups identical content under min id") {
     val out = Dedup.exact(docs3, "doc_id", "text")
       .orderBy("canonical_id")

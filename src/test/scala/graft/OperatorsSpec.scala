@@ -514,6 +514,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("CUSUM: window form replays the max(0,S+d) recurrence exactly; seam parity") {
+    import graft.operators.Quality
+    val ev = graft.Tables.events(spark, sf)
+    val out = Quality.cusum(ev, "event_type", "ts")
+      .orderBy("event_type", "hour_start").collect()
+    assert(out.nonEmpty)
+    // driver replay of the sequential recurrence over the same hourly frame
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val expect = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val cs = sorted.map(_._3).sorted
+      val med2 = if (cs.length % 2 == 1) 2 * cs(cs.length / 2)
+                 else cs(cs.length / 2 - 1) + cs(cs.length / 2)
+      var s = 0L
+      sorted.toSeq.map { case (_, h, cnt) =>
+        s = math.max(0L, s + (2 * cnt - med2 - 2))
+        ((t, h.getTime), s)
+      }
+    }.toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    out.foreach { r =>
+      val key = (r.getString(1), fmt.parse(r.getString(0)).getTime)
+      assert(expect(key) == r.getLong(4), r)
+      assert(r.getBoolean(5) == (expect(key) > 16L), r)
+    }
+    // seam parity: events form == already-aggregated hourly form
+    val viaSeam = Quality.cusumFromHourly(
+        ev.groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "hour_ts", "cnt")
+      .orderBy("event_type", "hour_start").collect().map(_.toSeq).toSeq
+    assert(out.map(_.toSeq).toSeq == viaSeam)
+  }
+
+  test("CUSUM fires on a sustained +20% step the z-test never flags") {
+    import graft.operators.Quality
+    import java.sql.Timestamp
+    // 30 baseline hours alternating 9/11, then 20 step hours at 13:
+    // no single hour is a 3-sigma spike, but the excess accumulates
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00").toLocalDateTime
+    val base = (0 until 30).map(i => (t0.plusHours(i), if (i % 2 == 0) 9L else 11L))
+    val step = (30 until 50).map(i => (t0.plusHours(i), 13L))
+    val hourly = (base ++ step)
+      .map { case (t, c) => ("a", Timestamp.valueOf(t), c) }
+      .toDF("event_type", "hour_ts", "cnt")
+    val cs = Quality.cusumFromHourly(hourly, "event_type", "hour_ts", "cnt")
+      .orderBy("hour_start").collect()
+    // med2 = 22 (15×9, 15×11, 20×13), d2 = +2 per step hour -> fires at
+    // the 9th step hour (cusum 18 > 16) and stays on
+    assert(cs.take(30).forall(r => r.getLong(4) == 0L && !r.getBoolean(5)))
+    assert(cs.drop(30).take(8).forall(r => !r.getBoolean(5)))
+    assert(cs.drop(38).forall(r => r.getBoolean(5)), cs.drop(38).mkString("\n"))
+    val z = Quality.spikesFromHourly(hourly, "event_type", "hour_ts", "cnt")
+      .collect()
+    assert(z.forall(!_.getBoolean(6)), "z-test should stay silent on the step")
+  }
+
   test("drift is exactly 0 for distribution-identical sources, 0.5 for disjoint halves") {
     import graft.operators.Quality
     // a and b share one token multiset -> each equals the overall

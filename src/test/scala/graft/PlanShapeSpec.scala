@@ -271,6 +271,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("events_cusum: two hourly-sized Exchanges, three stacked Windows, no join") {
+    // the hourly rollup Exchange (partial_count map-side) + ONE type-keyed
+    // Exchange serving all three window layers (per-type median, prefix
+    // sum, running min); the sequential recurrence must never appear as a
+    // self-join or per-row state
+    val p = plan("events_cusum")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Window ".r.findAllIn(p).size == 3, p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("text_entropy: the doc-keyed repartition is the only Exchange") {
+    // the bm25 partition-reuse trick: repartition(doc_id) before the
+    // explode, then BOTH aggregates ((doc, token) count and the per-doc
+    // rollup) cluster on supersets of doc_id — no further Exchange
+    val p = plan("text_entropy")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("attribution: one user shuffle + accumulating carry, no purchase x touch join") {
     // last-touch attribution must be the running-carry window, never the
     // per-purchase backward join; the carry + lag share ONE shuffle and
