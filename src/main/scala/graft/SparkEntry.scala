@@ -1492,6 +1492,19 @@ object SparkEntry {
         "event_type", "bin")
       .orderBy("event_type")
 
+  /** PSI twin of [[valueDrift]] ([[graft.operators.Quality.psiFromCounts]]):
+    * the log-ratio-weighted drift score the ML-monitoring world
+    * thresholds at 0.1/0.2 — same 1/16-width value bins, add-1 smoothed,
+    * DECIMAL-accumulated numerator so the double is engine-portable. */
+  private def valuePsi(s: SparkSession, d: String): DataFrame =
+    Quality.psiFromCounts(
+        events(s, d).select(col("event_type"),
+            floor(col("value") * 16).as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("n")),
+        "event_type", "bin", "n")
+      .withColumn("is_shifted", col("is_shifted").cast(LongType))
+      .orderBy("event_type")
+
   /** Seeded deterministic global shuffle into 8 training shards
     * ([[graft.operators.Curation.shuffleShards]]) — (shard, pos) is a
     * permutation of the corpus, reproducible across runs and engines. */
@@ -3677,6 +3690,7 @@ object SparkEntry {
     "shuffle_shards" -> (shuffleShardsQ _),
     "corpus_drift" -> (corpusDrift _),
     "value_drift" -> (valueDrift _),
+    "value_psi" -> (valuePsi _),
     "zorder_scan" -> (zorderScan _),
     "embedding_quantize" -> (embeddingQuantize _),
     "collocations_pmi" -> (collocationsPmi _),
@@ -6239,6 +6253,36 @@ object SparkEntry {
         | CAST(SUM(ABS(o*N - c*ng)) + MAX(ng) * (MAX(N) - SUM(c)) AS DOUBLE)
         |   / (2.0 * MAX(ng) * MAX(N)) AS tv_distance
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // PSI with cleared denominators (see Quality.psiFromCounts): BIGINT
+    // u/v cross-products, 6-dp-rounded ln of their double ratio, DECIMAL
+    // accumulation, one final IEEE division per source
+    "value_psi" ->
+      """WITH bk AS (
+        | SELECT event_type, CAST(FLOOR(value * 16) AS BIGINT) AS b FROM events),
+        |cnt AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS o
+        |        FROM bk GROUP BY 1, 2),
+        |pool AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cnt GROUP BY 1),
+        |srcs AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ng FROM cnt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N, COUNT(*) AS B FROM pool),
+        |grid AS (
+        | SELECT s.event_type, s.ng, p.c, COALESCE(cnt.o, 0) AS o, t.N, t.B
+        | FROM srcs s CROSS JOIN pool p
+        |  LEFT JOIN cnt ON cnt.event_type = s.event_type AND cnt.b = p.b
+        |  CROSS JOIN tot t),
+        |term AS (
+        | SELECT event_type, ng, N, B,
+        |  CAST((o+1)*(N+B) - (c+1)*(ng+B) AS DECIMAL(18,0))
+        |   * CAST(round(ln(CAST((o+1)*(N+B) AS DOUBLE)
+        |                   / CAST((c+1)*(ng+B) AS DOUBLE)), 6)
+        |       AS DECIMAL(18,6)) AS t
+        | FROM grid)
+        |SELECT event_type, MAX(ng) AS n_obs,
+        | CAST(SUM(t) AS DOUBLE)
+        |   / CAST((MAX(ng)+MAX(B)) * (MAX(N)+MAX(B)) AS DOUBLE) AS psi,
+        | CAST(CAST(SUM(t) AS DOUBLE)
+        |   / CAST((MAX(ng)+MAX(B)) * (MAX(N)+MAX(B)) AS DOUBLE) > 0.2 AS BIGINT)
+        |  AS is_shifted
+        |FROM term GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // slope is shift-invariant, so x = hours since the key's own first
     // bucket (keeps every product far inside BIGINT); numerator and

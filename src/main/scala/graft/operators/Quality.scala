@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Data-quality gates the reference applies before every stage/load:
   * duplicate-row and missing-value checks that abort the pipeline on
@@ -362,6 +363,65 @@ object Quality {
           (lit(2.0) * col("n_obs").cast(org.apache.spark.sql.types.DoubleType) *
             col("__N").cast(org.apache.spark.sql.types.DoubleType)))
           .as("tv_distance"))
+  }
+
+  /** Population Stability Index per source — the industry-standard ML
+    * drift score beside the TV ([[driftFromCounts]]) and KS legs:
+    * PSI = Σ_i (p_i − q_i)·ln(p_i/q_i) weights each bucket's shift by
+    * its log-ratio, so a bucket going 1% → 3% alarms harder than
+    * 30% → 32% (TV scores both 0.02). Conventional reading: < 0.1
+    * stable, > 0.2 shifted (`is_shifted` flags the latter).
+    *
+    * Add-1 smoothing over the pool's observed bucket set keeps every
+    * log finite (p = (o+1)/(n_g+B), q = (c+1)/(N+B)). Engine-portable
+    * exactness: clearing denominators, with u = (o+1)·(N+B) and
+    * v = (c+1)·(n_g+B),
+    *
+    *   PSI_g = Σ_i (u_i − v_i)·round₆(ln(u_i/v_i))  /  ((n_g+B)·(N+B))
+    *
+    * — (u−v) is pure BIGINT, the rounded ln is a deterministic function
+    * of two BIGINTs both engines divide identically, the Σ accumulates
+    * as DECIMAL ((18,0)×(18,6) stays inside both engines' exact
+    * 38-digit multiply), and only the final division runs in IEEE
+    * double. Safe while |u−v| < 1e18, i.e. obs·buckets below ~1e18.
+    *
+    * Shape: the (source, bucket) re-sum is the only data-sized pass, and
+    * it runs ONCE — the reduced ≤ S×B-row frame PERSISTS (MEMORY_AND_DISK,
+    * trivially bounded) because four derivations read it (pool, per-source
+    * totals, grand totals, the grid's present-count join) and Spark would
+    * otherwise re-run the corpus rollup for each; the pool table and the
+    * one-row totals broadcast onto the S×B smoothing grid, so no Exchange
+    * after the rollup ever scales with the corpus. The persist is swept by
+    * the harness's per-query cache sweep (the lm_score_cached pattern). */
+  def psiFromCounts(counts: DataFrame, sourceCol: String,
+      bucketCol: String, cntCol: String): DataFrame = {
+    val L = org.apache.spark.sql.types.LongType
+    val cnt = counts
+      .groupBy(col(sourceCol), col(bucketCol).as("__b"))
+      .agg(sum(col(cntCol)).cast(L).as("o"))
+      .persist()
+    val pool = cnt.groupBy(col("__b")).agg(sum(col("o")).cast(L).as("c"))
+    val srcs = cnt.groupBy(col(sourceCol)).agg(sum(col("o")).cast(L).as("ng"))
+    val tot = pool.agg(sum(col("c")).cast(L).as("N"),
+      count(lit(1)).as("B"))
+    val grid = srcs
+      .crossJoin(broadcast(pool))
+      .join(cnt, Seq(sourceCol, "__b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__u", (col("o") + 1) * (col("N") + col("B")))
+      .withColumn("__v", (col("c") + 1) * (col("ng") + col("B")))
+    grid
+      .withColumn("__t",
+        (col("__u") - col("__v")).cast(DecimalType(18, 0)) *
+          round(log(col("__u").cast(DoubleType) / col("__v").cast(DoubleType)), 6)
+            .cast(DecimalType(18, 6)))
+      .groupBy(col(sourceCol))
+      .agg(max(col("ng")).as("n_obs"),
+        (sum(col("__t")).cast(DoubleType) /
+          ((max(col("ng")) + max(col("B"))) * (max(col("N")) + max(col("B"))))
+            .cast(DoubleType)).as("psi"))
+      .withColumn("is_shifted", col("psi") > lit(0.2))
   }
 
   /** Throws if any check reports violations (the reference's hard gate). */

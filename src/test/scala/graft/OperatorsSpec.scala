@@ -616,6 +616,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(out("e") - 1.0 / 3.0) < 1e-15)
   }
 
+  test("PSI: near-zero for identical sources, flags disjoint ones, nonnegative") {
+    import graft.operators.Quality
+    def counts(s: String, bs: Seq[(Long, Long)]) = bs.map { case (b, n) => (s, b, n) }
+    // e and f identical -> the pool equals each source's distribution:
+    // psi tiny (add-1 smoothing keeps it off exact zero), no flag
+    val ef = (counts("e", Seq((0L, 50L), (1L, 30L), (2L, 15L), (3L, 5L))) ++
+      counts("f", Seq((0L, 50L), (1L, 30L), (2L, 15L), (3L, 5L))))
+      .toDF("src", "b", "n")
+    val psiEf = Quality.psiFromCounts(ef, "src", "b", "n")
+      .collect().map(r => (r.getString(0), (r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(psiEf("e")._1 == psiEf("f")._1) // identical inputs, identical score
+    assert(math.abs(psiEf("e")._1) < 0.05 && !psiEf("e")._2)
+    // adding a disjoint-bucket source: EVERY source now diverges from the
+    // pooled distribution hard enough to flag (g most of all)
+    val df = (counts("e", Seq((0L, 50L), (1L, 30L), (2L, 15L), (3L, 5L))) ++
+      counts("f", Seq((0L, 50L), (1L, 30L), (2L, 15L), (3L, 5L))) ++
+      counts("g", Seq((10L, 60L), (11L, 40L)))).toDF("src", "b", "n")
+    val psi = Quality.psiFromCounts(df, "src", "b", "n")
+      .collect().map(r => (r.getString(0), (r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(psi("e")._1 == psi("f")._1)
+    assert(psi("g")._1 > psi("e")._1 && psi("g")._1 > 0.2 && psi("g")._2)
+    // real events: psi >= 0 always ((p-q) and ln(p/q) share sign; the
+    // 6-dp rounding zeroes a term before it can flip sign)
+    val ev = graft.Tables.events(spark, sf)
+    val real = Quality.psiFromCounts(
+        ev.select(col("event_type"), floor(col("value") * 16).as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("n")),
+        "event_type", "bin", "n").collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getDouble(2) >= 0.0, r))
+  }
+
   test("salted join equals the plain join, spread over salt buckets") {
     import graft.operators.Skew
     val fact = Seq((1, "a1"), (1, "a2"), (1, "a3"), (2, "b1")).toDF("k", "payload")

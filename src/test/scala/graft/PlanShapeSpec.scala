@@ -292,6 +292,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("value_psi: the bucket rollup materializes once; grid joins broadcast") {
+    // four derivations (pool, per-source totals, grand totals, the grid's
+    // present-count join) read the persisted S×B-row rollup — without the
+    // persist each would re-run the corpus scan + rollup (4× data cost)
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val p = plan("value_psi")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // sweep ONLY this query's persist (suites share the session)
+    val rdds = spark.sparkContext.getPersistentRDDs
+    (rdds.keySet -- baseline).foreach(id => rdds(id).unpersist(blocking = false))
+  }
+
   test("attribution: one user shuffle + accumulating carry, no purchase x touch join") {
     // last-touch attribution must be the running-carry window, never the
     // per-purchase backward join; the carry + lag share ONE shuffle and
