@@ -2305,6 +2305,15 @@ object SparkEntry {
         "quality_score")
       .orderBy("doc_id")
 
+  /** Flesch reading-ease signals ([[TextAnalysis.readability]]): integer
+    * word/sentence/vowel-group counts, the score one IEEE division of
+    * the cleared-denominator BIGINT form, the readable flag a pure
+    * integer predicate (emitted as 0/1 BIGINT). */
+  private def textReadability(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.readability(documents(s, d), "doc_id", "text")
+      .withColumn("is_readable", col("is_readable").cast(LongType))
+      .orderBy("doc_id")
+
   /** Hashed linear quality classifier ([[TextAnalysis.hashedLinearScore]])
     * over 64 slots with the Knuth demo weights and the keep gate at
     * score >= 0 — quantized-integer scoring, zero-shuffle per-row fold.
@@ -3611,6 +3620,7 @@ object SparkEntry {
     "quality_normalize" -> (qualityNormalize _),
     "split_balance" -> (splitBalance _),
     "text_quality" -> (textQuality _),
+    "text_readability" -> (textReadability _),
     "quality_classifier" -> (qualityClassifier _),
     "quality_ensemble" -> (qualityEnsemble _),
     "quality_calibration" -> (qualityCalibration _),
@@ -5107,6 +5117,26 @@ object SparkEntry {
         | CAST(n_punct AS DOUBLE) / CAST(n_chars_q AS DOUBLE) AS punct_ratio,
         | least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
         |   + CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5 AS quality_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // cleared-denominator Flesch (see TextAnalysis.readability): all
+    // counts and the readable flag are pure integers, the score one IEEE
+    // division both engines evaluate on identical operands
+    "text_readability" ->
+      """WITH s AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+        |    AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+        |    AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CAST(206835*n_sentences*n_words - 1015*n_words*n_words
+        |      - 84600*n_syllables*n_sentences AS DOUBLE)
+        |   / CAST(1000*n_sentences*n_words AS DOUBLE) AS flesch,
+        | CAST(206835*n_sentences*n_words - 1015*n_words*n_words
+        |      - 84600*n_syllables*n_sentences
+        |      > 60 * 1000*n_sentences*n_words AS BIGINT) AS is_readable
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

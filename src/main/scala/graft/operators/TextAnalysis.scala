@@ -85,6 +85,44 @@ object TextAnalysis {
           + col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType) * lit(0.5))
   }
 
+  /** Flesch reading-ease signals — the readability leg of the quality
+    * family: training-data curation gates on it to drop both
+    * impenetrable legalese and fragment spam (C4 kept sentences, Gopher
+    * gated on word counts; readability summarizes both axes). Words are
+    * whitespace tokens, sentences are `[.!?]+` runs (clamped to ≥ 1 so
+    * fragments score), syllables are the standard vowel-group proxy
+    * (`[aeiouy]+` runs over the lowercased text — a consonant-only token
+    * contributes 0, a deterministic convention both engines share).
+    *
+    * Engine portability (the [[Quality.spikes]] playbook — clear the
+    * divisions): Flesch = 206.835 − 1.015·W/S − 84.6·Y/W multiplied
+    * through by 1000·S·W gives the all-BIGINT numerator
+    *
+    *   F = 206835·S·W − 1015·W² − 84600·Y·S,   D = 1000·S·W
+    *
+    * so `flesch` is ONE IEEE division of exact integers and the
+    * `is_readable` gate (score > 60, "plain English") is the pure
+    * integer predicate F > 60·D — no float ever decides the flag.
+    * Safe while S·W < ~4e13 (ANSI throws past it). Pure per-row
+    * projection: zero shuffle, scan speed at 100 TB. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = col("n_words"); val s = col("n_sentences"); val y = col("n_syllables")
+    val fNum = lit(206835L) * s * w - lit(1015L) * w * w - lit(84600L) * y * s
+    val fDen = lit(1000L) * s * w
+    docs
+      .select(col(idCol), t)
+      .withColumn("n_words", size(wsTokens(t)).cast(LongType))
+      .withColumn("n_sentences",
+        greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+          .cast(LongType))
+      .withColumn("n_syllables",
+        size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast(LongType))
+      .select(col(idCol), w, s, y,
+        (fNum.cast(DoubleType) / fDen.cast(DoubleType)).as("flesch"),
+        (fNum > lit(60L) * fDen).as("is_readable"))
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, and a BPE-ish
     * regex segmentation (letter runs / digit runs / single punctuation). */
   def tokenStats(docs: DataFrame, textCol: String): DataFrame = {

@@ -49,6 +49,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("readability: hand-counted Flesch fixture; flag equals the integer predicate") {
+    val fx = Seq(
+      (1L, "The cat sat. It was flat!"),          // W=6 S=2 Y=6 -> 119.19
+      (2L, "Notwithstanding institutional considerations, heterogeneous " +
+        "organizational methodologies predominate."), // long words -> low score
+      (3L, "")                                     // degenerate: W=1 S=1(clamped) Y=0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.readability(fx, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) == ((6L, 2L, 6L)))
+    assert(math.abs(out(0).getDouble(4) - 119.19) < 1e-9 && out(0).getBoolean(5))
+    assert(out(1).getDouble(4) < 60.0 && !out(1).getBoolean(5))
+    assert((out(2).getLong(1), out(2).getLong(2), out(2).getLong(3)) == ((1L, 1L, 0L)))
+    // real corpus: flag always equals the integer predicate re-derived
+    // from the emitted counts (no float path decides it)
+    val real = TextAnalysis.readability(
+      Tables.documents(spark, sf), "doc_id", "text").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val (w, s, y) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val f = 206835L * s * w - 1015L * w * w - 84600L * y * s
+      assert(r.getBoolean(5) == (f > 60000L * s * w), r)
+    }
+  }
+
   test("dedup exact groups identical content under min id") {
     val out = Dedup.exact(docs3, "doc_id", "text")
       .orderBy("canonical_id")

@@ -116,9 +116,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles.findAllIn(exact).size == 2, exact)
   }
 
-  test("pii scrub and chunking are zero-shuffle projections") {
+  test("pii scrub, chunking and readability are zero-shuffle projections") {
     assert(!plan("pii_scrub").contains("Exchange hashpartitioning"), plan("pii_scrub"))
     assert(!plan("doc_chunks").contains("Exchange hashpartitioning"), plan("doc_chunks"))
+    assert(!plan("text_readability").contains("Exchange hashpartitioning"),
+      plan("text_readability"))
   }
 
   test("cohort retention is ONE user shuffle plus the rollup (no distinct+join)") {
