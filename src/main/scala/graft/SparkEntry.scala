@@ -1959,6 +1959,30 @@ object SparkEntry {
   private def skipgramPairsQ(s: SparkSession, d: String): DataFrame =
     TextAnalysis.skipgramPairs(documents(s, d), "text", window = 3, k = 30)
 
+  /** GDPR erasure over a staged y/m/d lake ([[Staging.deleteKeys]]):
+    * a fresh events lake is staged per invocation (the delete MUTATES
+    * it, so a reused lake would not reproduce), every user_id divisible
+    * by 97 is erased, and the per-affected-partition report
+    * (before/deleted/after) is returned. The oracle recomputes the same
+    * report arithmetically from the raw events, so a pruning or
+    * dynamic-overwrite defect surfaces as a count mismatch; the
+    * untouched-partition / emptied-partition filesystem guarantees are
+    * spec-pinned in IngestDaySpec. */
+  private def stagedDelete(s: SparkSession, d: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(stagingBase), "graft_staged_delete_").toString
+    try {
+      val ev = events(s, d).select("event_id", "user_id", "event_type", "ts")
+      graft.sources.Staging.writeStaged(ev, "ts", path)
+      val keys = ev.select(col("user_id")).filter(col("user_id") % 97 === 0)
+      graft.sources.Staging.deleteKeys(s, path, "user_id", keys)
+        .orderBy("y", "m", "d")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Keyed snapshot CDC diff ([[Staging.snapshotDiff]]): base = corpus
     * minus every 7th doc, current = corpus minus every 5th with every 3rd
     * doc's text revised — the non-`unchanged` delta an incremental
@@ -3706,6 +3730,7 @@ object SparkEntry {
     "collocations_pmi" -> (collocationsPmi _),
     "skipgram_pairs" -> (skipgramPairsQ _),
     "snapshot_diff" -> (snapshotDiffQ _),
+    "staged_delete" -> (stagedDelete _),
     "length_buckets" -> (lengthBucketsQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
     "embedding_pca" -> (embeddingPca _),
@@ -5970,6 +5995,21 @@ object SparkEntry {
         | FROM base FULL OUTER JOIN cur ON base.doc_id = cur.doc_id)
         |WHERE status <> 'unchanged'
         |ORDER BY doc_id""".stripMargin,
+    // the erasure report recomputed arithmetically from raw events — the
+    // Spark side counts REAL lake partitions before/after the rewrite, so
+    // any pruning/overwrite defect lands as a count mismatch here
+    "staged_delete" ->
+      """WITH e AS (
+        | SELECT year(ts) AS yy, month(ts) AS mm, day(ts) AS dd, user_id
+        | FROM events),
+        |a AS (
+        | SELECT yy, mm, dd, CAST(COUNT(*) AS BIGINT) AS rows_before,
+        |  CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS rows_deleted
+        | FROM e GROUP BY 1, 2, 3)
+        |SELECT yy AS y, mm AS m, dd AS d, rows_before, rows_deleted,
+        | rows_before - rows_deleted AS rows_after
+        |FROM a WHERE rows_deleted > 0 ORDER BY y, m, d""".stripMargin,
 
     "length_buckets" ->
       """WITH d AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n FROM documents),

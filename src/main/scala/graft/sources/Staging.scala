@@ -67,6 +67,77 @@ object Staging {
       .partitionBy("y", "m", "d")
       .save(path)
 
+  /** Right-to-be-forgotten delete over a staged y/m/d lake — the GDPR
+    * erasure verb every production lake needs: remove all rows whose key
+    * appears in `keys`, REWRITING ONLY the partitions that contain a
+    * matching row. Returns a per-affected-partition report
+    * (y, m, d, rows_before, rows_deleted, rows_after), collected — the
+    * report is partition-count-sized by construction.
+    *
+    * Scale shape: the deletion list broadcasts (erasure requests are
+    * human-scale; a larger list shuffles the SEMI-join but the posture
+    * below is unchanged); the affected-partition set is discovered with
+    * one broadcast-semi-joined scan, then every subsequent job filters on
+    * an ENCODED partition predicate ((y·10000+m·100+d) IN set, evaluated
+    * against the partition listing, so untouched partitions are never
+    * read — at 100 TB the rewrite cost is proportional to the data that
+    * actually contains the keys). Survivors are materialized
+    * (localCheckpoint) BEFORE the dynamic-partition-overwrite write —
+    * Spark refuses a self-overwrite whose plan still reads the target
+    * path — and partitions left EMPTY by the delete are removed
+    * explicitly: dynamic overwrite only replaces partitions it writes
+    * rows for, so a fully-erased partition would otherwise silently keep
+    * its old files (the classic erasure pitfall). */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame, format: String = "parquet"): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val lake = readStaged(spark, path, format)
+    val k = broadcast(keys.select(col(keyCol)).distinct())
+    val enc = (col("y").cast(LongType) * 10000L +
+      col("m").cast(LongType) * 100L + col("d").cast(LongType))
+    val affected = lake.join(k, Seq(keyCol), "left_semi")
+      .select(enc.as("__p")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("y", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("m", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows_before", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows_deleted", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rows_after", LongType, nullable = false)))
+    if (affected.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val slice = lake.filter(enc.isInCollection(affected.toSeq))
+    val before = slice.groupBy(enc.as("__p")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivors = slice.join(k, Seq(keyCol), "left_anti")
+      .localCheckpoint()
+    try {
+      val after = survivors.groupBy(enc.as("__p")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      survivors
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .format(format)
+        .partitionBy("y", "m", "d")
+        .save(path)
+      // fully-erased partitions: dynamic overwrite wrote nothing there
+      val conf = spark.sparkContext.hadoopConfiguration
+      affected.filter(p => after.getOrElse(p, 0L) == 0L).foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s"$path/y=${p / 10000}/m=${p / 100 % 100}/d=${p % 100}")
+        val fs = dir.getFileSystem(conf)
+        fs.delete(dir, true)
+      }
+      val rows = affected.map { p =>
+        val b = before.getOrElse(p, 0L); val a = after.getOrElse(p, 0L)
+        org.apache.spark.sql.Row(p / 10000, p / 100 % 100, p % 100, b, b - a, a)
+      }
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(survivors)
+  }
+
   /** Keyed snapshot diff — the CDC step between two corpus/table
     * snapshots: classify every key as added / removed / changed /
     * unchanged by comparing an md5 fingerprint over `cols` (multi-column

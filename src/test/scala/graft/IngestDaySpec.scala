@@ -164,4 +164,50 @@ class IngestDaySpec extends AnyFunSuite {
     assert(lastSeq.filter(!col("__last") && col("tok") < 256L).count() == 0,
       "a non-final sequence was packed under budget")
   }
+
+  test("erasure rewrites only affected partitions, removes emptied ones, " +
+      "and the surviving lake is exactly original-minus-keys") {
+    import spark.implicits._
+    import graft.sources.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_spec_").toString
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // day1: mixed (one key erased); day2: untouched; day3: fully erased
+      val rows = Seq(
+        (1L, ts("2024-01-01 01:00:00")), (2L, ts("2024-01-01 02:00:00")),
+        (3L, ts("2024-01-01 03:00:00")),
+        (4L, ts("2024-01-02 01:00:00")), (5L, ts("2024-01-02 02:00:00")),
+        (2L, ts("2024-01-03 01:00:00")), (2L, ts("2024-01-03 02:00:00"))
+      ).toDF("user_id", "ts")
+      Staging.writeStaged(rows, "ts", dir)
+      def dataFiles(sub: String) =
+        new java.io.File(s"$dir/$sub").listFiles()
+          .filter(f => f.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).sortBy(_._1).toSeq
+      val day2Before = dataFiles("y=2024/m=1/d=2")
+      val report = Staging.deleteKeys(spark, dir, "user_id",
+          Seq(2L).toDF("user_id"))
+        .orderBy("y", "m", "d").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      // (d, before, deleted, after): day2 must NOT appear
+      assert(report.toSeq == Seq((1L, 3L, 1L, 2L), (3L, 2L, 2L, 0L)))
+      // untouched partition: same files, same mtimes, same bytes
+      assert(dataFiles("y=2024/m=1/d=2") == day2Before)
+      // fully-erased partition directory is GONE (dynamic overwrite alone
+      // would have silently kept its old files)
+      assert(!new java.io.File(s"$dir/y=2024/m=1/d=3").exists)
+      // surviving lake == original minus the erased key
+      val back = Staging.readStaged(spark, dir)
+        .select("user_id").as[Long].collect().sorted.toSeq
+      assert(back == Seq(1L, 3L, 4L, 5L))
+      // idempotency: erasing the same keys again is a no-op with an
+      // empty report
+      assert(Staging.deleteKeys(spark, dir, "user_id",
+        Seq(2L).toDF("user_id")).count() == 0L)
+      assert(Staging.readStaged(spark, dir).count() == 4L)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
