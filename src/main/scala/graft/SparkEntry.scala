@@ -1983,6 +1983,38 @@ object SparkEntry {
     }
   }
 
+  /** Merge-on-read erasure ([[Staging.writeDeleteVector]] /
+    * [[Staging.readWithDeletes]]): two erasure requests land as key
+    * sidecars (no rewrite on the request path) and the erasure-aware
+    * read applies both with one broadcast anti-join — the Iceberg/Delta
+    * delete-vector posture beside staged_delete's copy-on-write. The
+    * oracle recomputes the surviving per-partition counts from raw
+    * events; MOR == COW equivalence and compaction convergence are
+    * spec-pinned in IngestDaySpec. */
+  private def morDelete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(stagingBase), "graft_mor_delete_").toString
+    try {
+      val ev = events(s, d).select("event_id", "user_id", "event_type", "ts")
+      graft.sources.Staging.writeStaged(ev, "ts", path)
+      graft.sources.Staging.writeDeleteVector(s, path, "user_id",
+        ev.select(col("user_id")).filter(col("user_id") % 97 === 0))
+      graft.sources.Staging.writeDeleteVector(s, path, "user_id",
+        ev.select(col("user_id")).filter(col("user_id") % 89 === 0))
+      graft.sources.Staging.readWithDeletes(s, path, "user_id")
+        .groupBy(col("y").cast(LongType).as("y"),
+          col("m").cast(LongType).as("m"), col("d").cast(LongType).as("d"))
+        .agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.toDF("y", "m", "d", "n_rows")
+        .orderBy("y", "m", "d")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   /** Keyed snapshot CDC diff ([[Staging.snapshotDiff]]): base = corpus
     * minus every 7th doc, current = corpus minus every 5th with every 3rd
     * doc's text revised — the non-`unchanged` delta an incremental
@@ -3731,6 +3763,7 @@ object SparkEntry {
     "skipgram_pairs" -> (skipgramPairsQ _),
     "snapshot_diff" -> (snapshotDiffQ _),
     "staged_delete" -> (stagedDelete _),
+    "mor_delete" -> (morDelete _),
     "length_buckets" -> (lengthBucketsQ _),
     "embedding_outliers" -> (embeddingOutliersQ _),
     "embedding_pca" -> (embeddingPca _),
@@ -6010,6 +6043,14 @@ object SparkEntry {
         |SELECT yy AS y, mm AS m, dd AS d, rows_before, rows_deleted,
         | rows_before - rows_deleted AS rows_after
         |FROM a WHERE rows_deleted > 0 ORDER BY y, m, d""".stripMargin,
+    // the merge-on-read survivors: both accumulated delete vectors applied
+    "mor_delete" ->
+      """WITH e AS (
+        | SELECT year(ts) AS yy, month(ts) AS mm, day(ts) AS dd, user_id
+        | FROM events)
+        |SELECT yy AS y, mm AS m, dd AS d, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM e WHERE user_id % 97 <> 0 AND user_id % 89 <> 0
+        |GROUP BY 1, 2, 3 ORDER BY y, m, d""".stripMargin,
 
     "length_buckets" ->
       """WITH d AS (SELECT len(regexp_split_to_array(text, '\s+')) AS n FROM documents),

@@ -182,6 +182,16 @@ object Stress {
       forced(TextAnalysis.repetition(docs, "doc_id", "text"),
         sum(col("dup_token_frac") + col("dup_2gram_frac") + col("dup_3gram_frac")))
     }
+    time("text_entropy") {
+      val out = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("text_readability") {
+      val out = TextAnalysis.readability(docs, "doc_id", "text")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     time("pii_scrub") {
       forced(TextAnalysis.scrubPii(docs, "text"),
         sum(crc32(col("text_scrubbed")) + col("n_pii")))
@@ -329,6 +339,47 @@ object Stress {
       val out = graft.operators.Quality.spikes(ev, "event_type", "ts")
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
+    }
+    time("events_cusum") {
+      val out = graft.operators.Quality.cusum(ev, "event_type", "ts")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("value_psi") {
+      // replica-tagged types (x10 sources) so the grid scales too; the
+      // corpus-sized rollup is the measured cost, the S x B grid is noise
+      val e = Tables.events(spark, sfDir).select("event_type", "value")
+        .crossJoin(spark.range(factor).toDF("rep"))
+        .select(concat(col("event_type"), lit("#"),
+          pmod(col("rep"), lit(10L))).as("event_type"), col("value"))
+      val out = graft.operators.Quality.psiFromCounts(
+        e.select(col("event_type"), floor(col("value") * 16).as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("n")),
+        "event_type", "bin", "n")
+      val r = out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+      spark.sharedState.cacheManager.clearCache() // psi's rollup persist
+      r
+    }
+    if (only.isEmpty || only.contains("staged_delete")) {
+      // stage the replicated stream as a y/m/d lake OUTSIDE the timer —
+      // the timed cost is the erasure itself; ~1% of users match, and
+      // with users spread uniformly most partitions contain a hit, so
+      // this measures the near-worst-case rewrite path
+      val lakeDir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir")),
+        "graft_stress_del_").toString
+      try {
+        graft.sources.Staging.writeStaged(ev, "ts", lakeDir)
+        time("staged_delete") {
+          val keys = ev.select(col("user_id")).filter(col("user_id") % 97 === 0)
+          graft.sources.Staging.deleteKeys(spark, lakeDir, "user_id", keys)
+            .count()
+        }
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(lakeDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     }
     // viral-profile skew: HALF the replicated events collapse onto ONE
     // user, joined against the per-user dim. Auto-broadcast is OFF for

@@ -18,6 +18,22 @@ import org.apache.spark.sql.types._
   */
 object Staging {
 
+  /** Schema of the per-affected-partition erasure report returned by
+    * [[deleteKeys]] / [[compactDeletes]]. */
+  private val reportSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("y",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("m",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("d",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_before",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_deleted",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_after",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** Derive the y/m/d partition columns from a timestamp column. */
   def withDateParts(df: DataFrame, tsCol: String): DataFrame =
     df.withColumn("y", year(col(tsCol)).cast(LongType))
@@ -98,13 +114,7 @@ object Staging {
     val affected = lake.join(k, Seq(keyCol), "left_semi")
       .select(enc.as("__p")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("y", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("m", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("d", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("rows_before", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("rows_deleted", LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("rows_after", LongType, nullable = false)))
+    val schema = reportSchema
     if (affected.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     val slice = lake.filter(enc.isInCollection(affected.toSeq))
@@ -136,6 +146,61 @@ object Staging {
       spark.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(survivors)
+  }
+
+  /** Merge-on-read erasure — the Iceberg/Delta delete-vector posture
+    * beside [[deleteKeys]]' copy-on-write: an erasure request lands as a
+    * tiny key sidecar in O(request) time (no data rewrite on the request
+    * path), readers apply the accumulated vectors with one broadcast
+    * anti-join, and a maintenance [[compactDeletes]] pass folds them into
+    * the files physically. The sidecar lives under `_deletes/`, which
+    * Spark's hidden-path filter excludes from plain reads of the lake
+    * root — old readers see the uncompacted rows, exactly the
+    * merge-on-read contract; erasure-aware readers go through
+    * [[readWithDeletes]]. Append-mode writes make successive requests
+    * accumulate. */
+  def writeDeleteVector(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): Unit =
+    keys.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("append").parquet(s"$path/_deletes")
+
+  /** Read the staged lake with every accumulated delete vector applied
+    * (one broadcast anti-join — erasure lists are human-scale; the scan
+    * itself is untouched, so pruning/pushdown behave exactly as a plain
+    * [[readStaged]]). */
+  def readWithDeletes(spark: SparkSession, path: String, keyCol: String,
+      format: String = "parquet"): DataFrame = {
+    val base = readStaged(spark, path, format)
+    val del = new org.apache.hadoop.fs.Path(s"$path/_deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del)) base
+    else base.join(
+      broadcast(spark.read.parquet(del.toString).select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+  }
+
+  /** Fold the accumulated delete vectors into the data files (the
+    * maintenance half of merge-on-read): [[deleteKeys]] rewrites ONLY
+    * the partitions containing a vectored key, then the sidecar is
+    * dropped so plain readers converge with erasure-aware ones. Returns
+    * the [[deleteKeys]] report (empty when no sidecar exists). */
+  def compactDeletes(spark: SparkSession, path: String, keyCol: String,
+      format: String = "parquet"): DataFrame = {
+    val del = new org.apache.hadoop.fs.Path(s"$path/_deletes")
+    val fs = del.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(del))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), reportSchema)
+    // materialize the vector BEFORE deleteKeys rewrites anything (the
+    // sidecar itself is never part of the lake read, but being explicit
+    // costs nothing and keeps the sequencing obvious)
+    val keys = spark.read.parquet(del.toString).select(col(keyCol))
+      .localCheckpoint()
+    try {
+      val report = deleteKeys(spark, path, keyCol, keys, format)
+      fs.delete(del, true)
+      report
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(keys)
   }
 
   /** Keyed snapshot diff — the CDC step between two corpus/table

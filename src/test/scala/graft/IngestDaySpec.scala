@@ -165,6 +165,60 @@ class IngestDaySpec extends AnyFunSuite {
       "a non-final sequence was packed under budget")
   }
 
+  test("merge-on-read deletes: request path rewrites nothing, reads apply " +
+      "vectors, compaction converges plain readers") {
+    import spark.implicits._
+    import graft.sources.Staging
+    val dir = java.nio.file.Files.createTempDirectory("graft_mor_spec_").toString
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val rows = Seq(
+        (1L, ts("2024-01-01 01:00:00")), (2L, ts("2024-01-01 02:00:00")),
+        (3L, ts("2024-01-01 03:00:00")),
+        (4L, ts("2024-01-02 01:00:00")), (2L, ts("2024-01-02 02:00:00"))
+      ).toDF("user_id", "ts")
+      Staging.writeStaged(rows, "ts", dir)
+      def fileSet() = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(p, true)
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(f => (f.getPath.toString, f.getModificationTime))
+          .filter(f => f._1.contains("y=") && f._1.endsWith(".parquet"))
+          .toSeq.sorted
+      }
+      val dataBefore = fileSet()
+      Staging.writeDeleteVector(spark, dir, "user_id", Seq(2L).toDF("user_id"))
+      // request path touched NO data file...
+      assert(fileSet() == dataBefore)
+      // ...plain readers still see the old rows (the MOR contract)...
+      assert(Staging.readStaged(spark, dir).count() == 5L)
+      // ...erasure-aware readers do not
+      assert(Staging.readWithDeletes(spark, dir, "user_id")
+        .select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+      // vectors accumulate across requests
+      Staging.writeDeleteVector(spark, dir, "user_id", Seq(3L).toDF("user_id"))
+      assert(Staging.readWithDeletes(spark, dir, "user_id")
+        .select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+      // compaction folds vectors in physically and clears the sidecar:
+      // plain readers converge with erasure-aware ones
+      val report = Staging.compactDeletes(spark, dir, "user_id")
+        .orderBy("y", "m", "d").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(report.toSeq == Seq((1L, 3L, 2L, 1L), (2L, 2L, 1L, 1L)))
+      assert(!new java.io.File(s"$dir/_deletes").exists)
+      assert(Staging.readStaged(spark, dir)
+        .select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+      assert(Staging.readWithDeletes(spark, dir, "user_id")
+        .select("user_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+      // compacting again with no sidecar is an empty-report no-op
+      assert(Staging.compactDeletes(spark, dir, "user_id").count() == 0L)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("erasure rewrites only affected partitions, removes emptied ones, " +
       "and the surviving lake is exactly original-minus-keys") {
     import spark.implicits._
