@@ -146,6 +146,16 @@ package object functions {
     column(RepetitionStats(expression(tokens)))
   }
 
+  /** One-pass readability counts (whitespace words, `[.!?]+` sentence
+    * runs, `[aeiouy]+` vowel-group syllables) — the native
+    * [[ReadabilityStats]] kernel (bit-identical to the 3-regex-pass
+    * formulation it replaced). Returns a struct {n_words, n_sentences,
+    * n_syllables}. */
+  def readabilityStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(ReadabilityStats(expression(text)))
+  }
+
   /** LZ78 phrase-count complexity of a string — the native
     * [[LzComplexity]] kernel. Returns a struct {n_bytes, n_phrases,
     * lz_ratio}. */

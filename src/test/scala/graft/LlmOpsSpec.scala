@@ -74,6 +74,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("readability kernel is bit-identical to the 3-regex twin") {
+    val edge = Seq(
+      (1L, ""), (2L, " "), (3L, "  a  b  "), (4L, "a\tb\nc\r\nd"),
+      (5L, "zzz shh"), (6L, "Wow!!! Really?!? Yes."), (7L, "YAY aeiou xyz"),
+      (8L, "émigré naïve — ¿qué? 你好 .")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(edge, Tables.documents(spark, sf).limit(300))) {
+      val a = TextAnalysis.readability(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.readabilityInterpreted(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b)
+    }
+  }
+
   test("dedup exact groups identical content under min id") {
     val out = Dedup.exact(docs3, "doc_id", "text")
       .orderBy("canonical_id")
