@@ -2732,8 +2732,9 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Per-document token Shannon entropy ([[TextAnalysis.tokenEntropy]]):
-    * H = ln n − (Σ c·ln c)/n with 6-dp ln rounding and DECIMAL
-    * accumulation (engine-portable); one doc-keyed Exchange. */
+    * H = ln n − (Σ c·ln c)/n with 6-dp ln rounding and exact ×10⁶
+    * integer accumulation (engine-portable) — one zero-shuffle kernel
+    * pass, property-pinned to the aggregate twin the oracle proved. */
   private def textEntropy(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(documents(s, d), "doc_id", "text")
       .orderBy("doc_id")

@@ -156,6 +156,15 @@ package object functions {
     column(ReadabilityStats(expression(text)))
   }
 
+  /** One-pass per-document token Shannon entropy — the native
+    * [[TokenEntropy]] kernel (bit-identical to the explode + two-level
+    * aggregate formulation it replaced). Returns a struct {n_tokens,
+    * n_distinct, entropy}. */
+  def tokenEntropyStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(TokenEntropy(expression(text)))
+  }
+
   /** LZ78 phrase-count complexity of a string — the native
     * [[LzComplexity]] kernel. Returns a struct {n_bytes, n_phrases,
     * lz_ratio}. */

@@ -516,12 +516,28 @@ object TextAnalysis {
     * silently fall to DOUBLE), and only the final subtract/divide run in
     * IEEE double on identical operands.
     *
-    * Shape (the bm25 partition-reuse trick): ONE doc-keyed Exchange
-    * before the explode; both the (doc, token) count and the per-doc
-    * rollup cluster on supersets of doc_id, so neither adds an Exchange.
-    * Per-doc state is its distinct-token table — bounded by doc length,
-    * never corpus vocabulary. */
-  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * Shape: the within-doc counting never needs to leave the row, so the
+    * whole computation runs in ONE [[graft.functions.TokenEntropy]]
+    * kernel pass — zero shuffle, scan speed at 100 TB (the aggregate
+    * formulation it replaced, kept below as the property twin, shuffled
+    * every document body on the doc key: 7.6 s vs sub-second at 100×
+    * stress). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = tokenEntropyStats(col(textCol))
+    docs.select(
+      col(idCol),
+      st.getField("n_tokens").as("n_tokens"),
+      st.getField("n_distinct").as("n_distinct"),
+      st.getField("entropy").as("entropy"))
+  }
+
+  /** The explode + two-level-aggregate formulation [[tokenEntropy]]
+    * replaced — retained as the property-test twin (the kernel must stay
+    * bit-identical to it; the DuckDB oracle was proven against THIS
+    * form). One doc-keyed Exchange (the bm25 partition-reuse trick):
+    * both aggregates cluster on supersets of doc_id. */
+  private[graft] def tokenEntropyAggregated(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .select(col(idCol), explode(wsTokens(col(textCol))).as("__w"))

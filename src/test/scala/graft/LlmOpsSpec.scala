@@ -74,6 +74,21 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("token-entropy kernel is bit-identical to the aggregate twin") {
+    val edge = Seq(
+      (1L, ""), (2L, " "), (3L, "  a  a  b "), (4L, "a\tb\na\r\nb a"),
+      (5L, "x"), (6L, "the the the the"), (7L, "a b c d e f g h"),
+      (8L, "émigré émigré 你好 你好 .")
+    ).toDF("doc_id", "text")
+    for (df <- Seq(edge, Tables.documents(spark, sf).limit(300))) {
+      val a = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.tokenEntropyAggregated(df, "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b)
+    }
+  }
+
   test("readability kernel is bit-identical to the 3-regex twin") {
     val edge = Seq(
       (1L, ""), (2L, " "), (3L, "  a  b  "), (4L, "a\tb\nc\r\nd"),

@@ -285,13 +285,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
-  test("text_entropy: the doc-keyed repartition is the only Exchange") {
-    // the bm25 partition-reuse trick: repartition(doc_id) before the
-    // explode, then BOTH aggregates ((doc, token) count and the per-doc
-    // rollup) cluster on supersets of doc_id — no further Exchange
+  test("text_entropy: zero-shuffle kernel projection") {
+    // the TokenEntropy kernel folds the within-doc counting into the
+    // scan — no Exchange, no explode, no aggregate survives in the plan
     val p = plan("text_entropy")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
   }
 
   test("value_psi: the bucket rollup materializes once; grid joins broadcast") {
