@@ -20,6 +20,22 @@ import org.apache.spark.sql.functions.{bit_xor, col, count, lit, xxhash64}
   * `queries` reports the per-query MIN — the §7.1 noise rule ("judge bench
   * numbers by the min of n>=2 runs") applied in-harness. SPARK_GRAFT_ONLY
   * limits to a comma-separated subset for local iteration.
+  *
+  * The LAST stdout line is a compact self-sufficient summary — the driver
+  * keeps only a ~2 KB tail of the output, so the big line above survives
+  * only as a fragment; everything verdict-grade (total, per-run totals,
+  * failures, the slowest queries, regressions vs the committed baseline)
+  * must fit in the tail:
+  *   {"metric":"summary","total":S,"run_totals":[...],"failed":[...],
+  *    "slowest":[{"q":name,"sec":S},...],"regressions":[...],"runs":N,"sf":dir}
+  *
+  * `regressions` compares each per-query min against
+  * tools/bench_baseline.json (the committed min-of-2 map from the last
+  * clean run; refresh with SPARK_GRAFT_WRITE_BASELINE=1): entries where
+  * sec > 1.5 × base AND sec − base > 0.5 s (the absolute floor keeps
+  * sub-second host jitter out). Empty on a clean run; a populated array
+  * means either a code regression or a host contention window — apply the
+  * §7.1 consecutive-inflation rule to the `run` array to tell them apart.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -98,6 +114,41 @@ object Bench {
     }.mkString("[", ",", "]")
     val total = best.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"run":$runArr,"runs":$nRuns,"sf":"$sfDir"}""")
+
+    // --- compact summary as the LAST line (driver keeps a ~2 KB tail) ---
+    val runTotals = (1 to nRuns).map(r =>
+      trace.filter(_._2 == r).map(_._4).sum)
+    val failedQs = names.filter(best(_) < 0)
+    val slowest = names.sortBy(n => -best(n)).take(10)
+      .map(n => s"""{"q":"$n","sec":${f"${best(n)}%.2f"}}""")
+    val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
+    val baseMap: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val raw = new String(java.nio.file.Files.readAllBytes(baselinePath))
+        val txt = raw.substring(raw.indexOf("\"queries\"").max(0))
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.Ee+-]*)".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 >= 0) // -1 sentinel rows never become a baseline
+          .toMap - "queries"
+      } else Map.empty
+    val regressions = names.flatMap { n =>
+      baseMap.get(n).collect {
+        case b if best(n) >= 0 && best(n) > 1.5 * b && best(n) - b > 0.5 =>
+          s"""{"q":"$n","sec":${f"${best(n)}%.2f"},"base":${f"$b%.2f"}}"""
+      }
+    }
+    if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").exists(_ == "1")) {
+      java.nio.file.Files.createDirectories(baselinePath.getParent)
+      java.nio.file.Files.write(baselinePath,
+        (s"""{"sf":"$sfDir","runs":$nRuns,"queries":$qs}""" + "\n").getBytes)
+      System.err.println(s"[bench] baseline written: $baselinePath")
+    }
+    println(s"""{"metric":"summary","total":${f"$total%.1f"},""" +
+      s""""run_totals":[${runTotals.map(t => f"$t%.1f").mkString(",")}],""" +
+      s""""failed":[${failedQs.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""slowest":[${slowest.mkString(",")}],""" +
+      s""""regressions":[${regressions.mkString(",")}],""" +
+      s""""baseline_queries":${baseMap.size},"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
