@@ -38,18 +38,38 @@ object Ranking {
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = counts.map(_._2).sum
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
-      (pid, acc + n)
-    }.init.map(_._2) // offset for the i-th present pid
-    val offsetByPid = counts.map(_._1).zip(offsets).toMap
-    val offCol = offsetByPid.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // offsets as ONE constant-array literal indexed by pid — NOT a
+    // when(__pid === k, off) ladder: the chained-CASE form is
+    // numPartitions-deep PER ROW, and at a production
+    // spark.sql.shuffle.partitions of 2000+ the generated method would
+    // cross the JIT 8 KB huge-method cliff (the round-8 lesson). The
+    // array literal is a single constant object; element_at is O(1)
+    // codegen. Rows only exist in partitions that HAVE rows, so sizing
+    // to maxPid+1 covers every pid the expression can see (empty
+    // trailing partitions contribute no rows and need no slot).
+    val offCol = offsetLookup(counts, "__pid")
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
     val ranked = sorted
       .withColumn(rankCol, row_number().over(w).cast(LongType) + offCol)
       .drop("__pid")
     (ranked, total)
+  }
+
+  /** Exclusive running offset per partition id as a flat O(1)-per-row
+    * expression: a BIGINT array literal (one constant object, sized
+    * maxPid+1, gaps = empty partitions carry the running total so any
+    * pid indexes correctly) read via element_at. Shared by
+    * [[withGlobalRank]] and [[withPrefixSums]]. */
+  private def offsetLookup(perPid: Seq[(Int, Long)], pidCol: String): Column = {
+    if (perPid.isEmpty) return lit(0L)
+    val byPid = perPid.toMap
+    val arr = new Array[Long](perPid.map(_._1).max + 1)
+    var acc = 0L
+    for (pid <- arr.indices) {
+      arr(pid) = acc
+      acc += byPid.getOrElse(pid, 0L)
+    }
+    element_at(lit(arr), col(pidCol) + 1)
   }
 
   /** `df` plus an inclusive prefix sum (`<c>_cum`) of each BIGINT column
@@ -83,13 +103,11 @@ object Ranking {
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sumCols.zipWithIndex.foldLeft(sorted) { case (acc, (c, i)) =>
-      val offsets = partTotals.scanLeft((0, 0L)) { case ((_, run), (pid, t)) =>
-        (pid, run + t(i))
-      }.init
-      val offByPid = partTotals.map(_._1).zip(offsets.map(_._2)).toMap
-      val offCol = offByPid.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-        when(col("__pid") === pid, lit(off)).otherwise(e)
-      }
+      // same flat array-literal offset dissemination as withGlobalRank
+      // (one constant per sum column, never a partitions-deep CASE)
+      val offCol = offsetLookup(partTotals.map { case (pid, t) =>
+        pid -> t(i)
+      }, "__pid")
       acc.withColumn(s"${c}_cum", sum(col(c)).over(w) + offCol)
     }.drop("__pid")
   }

@@ -826,6 +826,42 @@ class PropertiesSpec extends AnyFunSuite {
     assert(b == Map(2L -> 1L, 1L -> 2L))
   }
 
+  test("rank/prefix-sum offset dissemination is flat — no partitions-deep CASE ladder") {
+    // the round-10 verdict seam: at production shuffle.partitions (2000+)
+    // a chained when(__pid === k, off) ladder is an O(partitions)-deep
+    // CASE per row and risks the JIT 8 KB huge-method cliff; the flat
+    // form is one array literal + element_at. Assert NO CaseWhen anywhere
+    // in either frame's plan (the offset is the only conditional these
+    // builders could emit).
+    import graft.operators.Ranking
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    def caseDepth(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      df.queryExecution.analyzed.foreach { p =>
+        p.expressions.foreach(_.foreach {
+          case c: CaseWhen => n = math.max(n, c.branches.size)
+          case _ => ()
+        })
+      }
+      n
+    }
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 13).as("v"))
+      .repartition(8)
+    val (ranked, total) = Ranking.withGlobalRank(df, Seq(col("v"), col("id")), "r")
+    assert(total == 1000L)
+    assert(caseDepth(ranked) == 0, "rank frame carries a CASE ladder")
+    val sums = Ranking.withPrefixSums(
+      df.withColumn("one", lit(1L)), Seq(col("v"), col("id")), Seq("one"))
+    assert(caseDepth(sums) == 0, "prefix-sum frame carries a CASE ladder")
+    // and the flat form still reconstructs the exact global prefix sum
+    val got = sums.orderBy(col("v"), col("id"))
+      .select("one_cum").collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 1000L), "prefix sums wrong under flat offsets")
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(ranked)
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(sums)
+  }
+
   test("bucketed id-gap report equals the flat scan on random sparse key sets") {
     import graft.operators.Quality
     val keysGen: Gen[List[Long]] =
