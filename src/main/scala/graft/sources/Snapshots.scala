@@ -1,0 +1,202 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Versioned snapshot reads over the staged lake — the time-travel verb
+  * the maintenance family (z-order / compaction / MOR / CDC / SCD2 /
+  * erasure) composes with: every commit writes NEW immutable data files
+  * plus a manifest listing the files live at that version, so any past
+  * version stays readable until [[vacuum]] reclaims it. This is the
+  * Iceberg/Delta snapshot posture (manifest = per-file partition tuple,
+  * planning = manifest pruning) re-expressed over plain parquet; the
+  * reference analog is the idempotent re-run semantics of its staged
+  * hourly loads (rust_twitter_steam_pipeline.py staging), which this
+  * generalizes from "re-run replaces the slice" to "every run is a
+  * readable version".
+  *
+  * Layout:
+  *   path/files/b<v>/y=…/m=…/d=…/part-*.parquet   (immutable data files)
+  *   path/_manifests/v<v>/part-*.parquet           (batch, file, y, m, d)
+  *
+  * Scale notes: a commit lists only ITS OWN new files (one leaf-dir walk
+  * of the just-written batch); the carry-forward of prior manifest rows
+  * is a DataFrame union, never a per-file driver loop over the whole
+  * lake. Reads prune at the MANIFEST — a y/m/d predicate filters manifest
+  * rows before any data file is opened, which is exactly the min/max
+  * rectangle trick of zorder_scan lifted to the file catalog (Iceberg's
+  * partition-tuple pruning). The file-path collect at read-planning time
+  * is manifest-rows-after-pruning-sized — the same driver-side state
+  * every table format's planner carries. Copy-on-write commits rewrite
+  * only the partitions that contain a matching key (the deleteKeys
+  * posture) and leave old files on disk for older versions.
+  */
+object Snapshots {
+
+  private def manifestDir(path: String, v: Long) = s"$path/_manifests/v$v"
+  private def batchDir(path: String, v: Long) = s"$path/files/b$v"
+
+  private def fs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed version (0 = empty lake, no commits yet). */
+  def currentVersion(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/_manifests")
+    val f = fs(spark, path)
+    if (!f.exists(root)) 0L
+    else f.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+      .foldLeft(0L)(math.max)
+  }
+
+  /** The manifest of version `v`: one row per live data file —
+    * (batch BIGINT, file STRING, y BIGINT, m BIGINT, d BIGINT). */
+  def manifest(spark: SparkSession, path: String, v: Long): DataFrame = {
+    require(v >= 1, s"no version $v: versions start at 1")
+    spark.read.parquet(manifestDir(path, v))
+  }
+
+  /** Read snapshot `v`, optionally pruned by a predicate over the
+    * manifest's y/m/d partition columns (manifest pruning: files whose
+    * partition tuple fails the predicate are never opened). Partition
+    * columns come back on every row, directory-derived per batch. */
+  def readSnapshot(spark: SparkSession, path: String, v: Long,
+      prune: Option[Column] = None): DataFrame = {
+    val m = prune.foldLeft(manifest(spark, path, v))(_ filter _)
+    val files = m.select(col("batch"), col("file"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    require(files.nonEmpty, s"snapshot v$v has no live files under $prune")
+    files.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, fl) =>
+      // per-batch basePath so the y=/m=/d= segments below it parse back
+      // into partition columns on every batch's rows
+      spark.read.option("basePath", batchDir(path, b))
+        .parquet(fl.map(_._2).toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Write a batch's rows as version `v`'s new files and return their
+    * manifest rows (one leaf-dir walk of the just-written batch only). */
+  private def writeBatch(spark: SparkSession, path: String, v: Long,
+      rows: DataFrame): DataFrame = {
+    val dir = batchDir(path, v)
+    rows.write.partitionBy("y", "m", "d").parquet(dir)
+    val f = fs(spark, path)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toString
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        def part(k: String): Long = {
+          val seg = p.split("/").find(_.startsWith(s"$k=")).getOrElse(
+            sys.error(s"no $k= segment in $p"))
+          seg.drop(2).toLong
+        }
+        out += ((v, p, part("y"), part("m"), part("d")))
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("batch", "file", "y", "m", "d")
+  }
+
+  private def writeManifest(path: String, v: Long, rows: DataFrame): Long = {
+    rows.write.parquet(manifestDir(path, v))
+    v
+  }
+
+  /** Append `df` as a new version: new files = the batch's, manifest =
+    * previous live set + the new files. Returns the new version. */
+  def commitAppend(spark: SparkSession, path: String, df: DataFrame,
+      tsCol: String): Long = {
+    val v = currentVersion(spark, path) + 1
+    val added = writeBatch(spark, path, v, Staging.withDateParts(df, tsCol))
+    val live = if (v == 1) added else manifest(spark, path, v - 1).unionByName(added)
+    writeManifest(path, v, live)
+  }
+
+  /** Copy-on-write keyed delete as a new version (the GDPR erasure verb
+    * with history): partitions containing a matching key are rewritten
+    * into new survivor files; untouched partitions carry their OLD file
+    * entries forward unread; deleted rows stay readable at prior
+    * versions until [[vacuum]]. Returns the new version. */
+  def commitDeleteKeys(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): Long =
+    commitReplace(spark, path, keyCol, keys.select(col(keyCol)).distinct(),
+      insert = None)
+
+  /** Keyed upsert as a new version: current rows whose key appears in
+    * the batch are replaced, the batch's rows (updates + brand-new keys)
+    * are inserted — MERGE with whole-row UPDATE + INSERT semantics, as
+    * one copy-on-write commit. `df` must carry `tsCol` for partition
+    * derivation. Returns the new version. */
+  def commitUpsert(spark: SparkSession, path: String, df: DataFrame,
+      tsCol: String, keyCol: String): Long = {
+    val batch = Staging.withDateParts(df, tsCol)
+    commitReplace(spark, path, keyCol,
+      batch.select(col(keyCol)).distinct(), insert = Some(batch))
+  }
+
+  /** Shared copy-on-write core: drop every current row whose `keyCol`
+    * is in `keys` (broadcast — erasure/upsert key sets are
+    * request-scale), add `insert`'s rows, rewriting ONLY partitions that
+    * hold a matching key or receive inserted rows. */
+  private def commitReplace(spark: SparkSession, path: String,
+      keyCol: String, keys: DataFrame, insert: Option[DataFrame]): Long = {
+    val prev = currentVersion(spark, path)
+    require(prev >= 1, "commitReplace on an empty lake: commitAppend first")
+    val v = prev + 1
+    val cur = readSnapshot(spark, path, prev)
+    val k = broadcast(keys)
+    val enc = (col("y").cast(LongType) * 10000L +
+      col("m").cast(LongType) * 100L + col("d").cast(LongType))
+    // affected = partitions holding a matching key ∪ partitions gaining
+    // inserted rows (partition-count-sized collect, the deleteKeys shape)
+    val affected = (cur.join(k, Seq(keyCol), "left_semi").select(enc.as("__p"))
+        .unionByName(insert.map(_.select(enc.as("__p")))
+          .getOrElse(spark.emptyDataFrame.withColumn("__p", lit(0L)).limit(0))))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val survivors = cur.filter(enc.isInCollection(affected))
+      .join(k, Seq(keyCol), "left_anti")
+    val rewritten = insert match {
+      case Some(b) => survivors.unionByName(b)
+      case None => survivors
+    }
+    val added = writeBatch(spark, path, v, rewritten)
+    val carried = manifest(spark, path, prev).filter(!(
+      (col("y") * 10000L + col("m") * 100L + col("d")).isInCollection(affected)))
+    writeManifest(path, v, carried.unionByName(added))
+  }
+
+  /** Reclaim history: delete every data file not referenced by any
+    * manifest of version >= `keepFrom`, and the older manifests
+    * themselves. Snapshots >= keepFrom remain byte-identical; older
+    * versions become unreadable (the retention trade every table format
+    * makes). Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, path: String, keepFrom: Long): Long = {
+    val cu = currentVersion(spark, path)
+    require(keepFrom >= 1 && keepFrom <= cu, s"keepFrom=$keepFrom out of [1,$cu]")
+    val keep = (keepFrom to cu).map(v =>
+        manifest(spark, path, v).select(col("file")))
+      .reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSet
+    val f = fs(spark, path)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$path/files"), true)
+    var deleted = 0L
+    val toDelete = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".") &&
+          !keep.contains(s.getPath.toString))
+        toDelete += s.getPath
+    }
+    toDelete.foreach { p => f.delete(p, false); deleted += 1 }
+    (1L until keepFrom).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(manifestDir(path, v)), true)
+    }
+    deleted
+  }
+}

@@ -264,4 +264,71 @@ class IngestDaySpec extends AnyFunSuite {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("time travel: snapshot isolation across erasure + upsert, manifest " +
+      "pruning, and vacuum convergence") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt_spec_").toString
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      val v1rows = Seq(
+        (1L, 10L, ts("2024-01-01 01:00:00")),
+        (2L, 97L, ts("2024-01-01 02:00:00")),
+        (3L, 20L, ts("2024-01-02 01:00:00")),
+        (4L, 97L, ts("2024-01-02 02:00:00")),
+        (5L, 30L, ts("2024-01-03 01:00:00")))
+      val v1df = v1rows.toDF("event_id", "user_id", "ts")
+      assert(Snapshots.commitAppend(spark, dir, v1df, "ts") == 1L)
+      // v2: erase user 97 (touches days 1 and 2, not 3)
+      assert(Snapshots.commitDeleteKeys(spark, dir, "user_id",
+        Seq(97L).toDF("user_id")) == 2L)
+      // v3: upsert — update event 3's user, insert event 6 on day 3
+      assert(Snapshots.commitUpsert(spark, dir,
+        Seq((3L, 21L, ts("2024-01-02 01:00:00")),
+          (6L, 40L, ts("2024-01-03 02:00:00"))).toDF("event_id", "user_id", "ts"),
+        "ts", "event_id") == 3L)
+
+      def snap(v: Long, prune: Option[org.apache.spark.sql.Column] = None) =
+        Snapshots.readSnapshot(spark, dir, v, prune)
+          .select("event_id", "user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      // SNAPSHOT ISOLATION: v1 read AFTER both commits is the original
+      assert(snap(1) == v1rows.map(t => (t._1, t._2)).sorted)
+      assert(snap(2) == Seq((1L, 10L), (3L, 20L), (5L, 30L)))
+      assert(snap(3) == Seq((1L, 10L), (3L, 21L), (5L, 30L), (6L, 40L)))
+
+      // MANIFEST PRUNING: a y/m/d predicate reads only that day's files
+      val pruned = Snapshots.readSnapshot(spark, dir, 3,
+        Some(col("d") === 1L))
+      assert(pruned.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L))
+      // normalize URI rendering (file:/ vs file:///) before comparing
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val day1Files = Snapshots.manifest(spark, dir, 3)
+        .filter(col("d") === 1L).select("file").as[String].collect()
+        .map(norm).toSet
+      val touched = pruned.inputFiles.map(norm).toSet
+      assert(touched.subsetOf(day1Files),
+        s"pruned read touched ${touched -- day1Files}")
+
+      // untouched-partition file REUSE across versions: day 3's original
+      // file is still live in v2's manifest (no rewrite of unaffected data)
+      val d3v1 = Snapshots.manifest(spark, dir, 1)
+        .filter(col("d") === 3L).select("file").as[String].collect().toSet
+      val d3v2 = Snapshots.manifest(spark, dir, 2)
+        .filter(col("d") === 3L).select("file").as[String].collect().toSet
+      assert(d3v1 == d3v2 && d3v1.nonEmpty)
+
+      // VACUUM: keep only v3 — v3 stays byte-identical, old versions gone
+      val v3Before = snap(3)
+      val deleted = Snapshots.vacuum(spark, dir, keepFrom = 3L)
+      assert(deleted > 0L, "vacuum reclaimed nothing")
+      assert(snap(3) == v3Before)
+      assert(Snapshots.currentVersion(spark, dir) == 3L)
+      intercept[Exception](Snapshots.manifest(spark, dir, 1).collect())
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
