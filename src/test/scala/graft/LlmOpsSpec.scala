@@ -1275,6 +1275,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(self.length == 4 && self.forall(_.getLong(1) == 5L), self.toSeq)
   }
 
+  test("ann_eval_cached equals ann_eval with and without the prepared index frames") {
+    def rowsOf(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(_.toSeq).toSeq
+    val live = rowsOf("ann_eval")
+    // standalone (no prepare): builds in-query, result-identical
+    assert(rowsOf("ann_eval_cached") == live)
+    // with the prepared candidate frames (the bench path): identical too
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.prepares("ann_eval_cached")(spark, sf)
+    try assert(rowsOf("ann_eval_cached") == live)
+    finally {
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).foreach(id =>
+        spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = false))
+      Seq("graft_ann_exact", "graft_ann_ivf", "graft_ann_ivfpq",
+        "graft_ann_lsh", "graft_ann_lsh_multi", "graft_ann_pq")
+        .foreach(spark.catalog.dropTempView)
+    }
+  }
+
   test("classifier_agreement: confusion matrix partitions the corpus; kappa recomputes from the counts") {
     val r = SparkEntry.queries("classifier_agreement")(spark, sf).collect().head
     val Seq(n, n11, n10, n01, n00) =
