@@ -169,6 +169,16 @@ object Quality {
       trailing: Int = 24, k: Int = 5, minN: Int = 8): DataFrame = {
     require(trailing >= 2 && minN >= 2 && minN <= trailing && k >= 1,
       s"bad mad params: trailing=$trailing minN=$minN k=$k")
+    // CONTRACT: the band self-join below fans the hourly frame out by a
+    // factor of `trailing` — safe because the frame is hours×types-sized,
+    // but `trailing` is a MULTIPLIER on that bounded frame (at
+    // trailing=10k the "tiny" frame stops being tiny: a year of hourly
+    // data × 10k ≈ 1e8 rows per type). Cap it where the fan-out stays
+    // comfortably sub-data-sized; wider baselines belong in a coarser
+    // bucket granularity, not a wider band.
+    require(trailing <= 1000,
+      s"trailing=$trailing: band-join fan-out × the hourly frame — " +
+        "use coarser buckets instead of a wider trailing window")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(typeCol)).orderBy(col("hour_ts"))
     // the frame MEDIAN is a plain window aggregate (one sorted pass);
@@ -386,20 +396,29 @@ object Quality {
     * double. Safe while |u−v| < 1e18, i.e. obs·buckets below ~1e18.
     *
     * Shape: the (source, bucket) re-sum is the only data-sized pass, and
-    * it runs ONCE — the reduced ≤ S×B-row frame PERSISTS (MEMORY_AND_DISK,
+    * it runs ONCE — the reduced ≤ S×B-row frame CHECKPOINTS (eager,
     * trivially bounded) because four derivations read it (pool, per-source
     * totals, grand totals, the grid's present-count join) and Spark would
     * otherwise re-run the corpus rollup for each; the pool table and the
     * one-row totals broadcast onto the S×B smoothing grid, so no Exchange
-    * after the rollup ever scales with the corpus. The persist is swept by
+    * after the rollup ever scales with the corpus. The checkpoint is swept by
     * the harness's per-query cache sweep (the lm_score_cached pattern). */
   def psiFromCounts(counts: DataFrame, sourceCol: String,
       bucketCol: String, cntCol: String): DataFrame = {
     val L = org.apache.spark.sql.types.LongType
+    // eager localCheckpoint, not persist(): four derivations read this
+    // frame and two of them JOIN — if `counts` is a non-re-instanceable
+    // source (a streaming memory sink), DeduplicateRelations cannot split
+    // the shared subtree and analysis dies with INTERNAL_ERROR
+    // "conflicting references in Join" (the round-10 events_mad class).
+    // The checkpoint rebases every reader on one LogicalRDD (a
+    // MultiInstanceRelation), which also keeps the corpus rollup from
+    // re-running per derivation; the frame is ≤ S×B rows. Swept by the
+    // harness's per-query RDD sweep like every checkpoint.
     val cnt = counts
       .groupBy(col(sourceCol), col(bucketCol).as("__b"))
       .agg(sum(col(cntCol)).cast(L).as("o"))
-      .persist()
+      .localCheckpoint(true)
     val pool = cnt.groupBy(col("__b")).agg(sum(col("o")).cast(L).as("c"))
     val srcs = cnt.groupBy(col(sourceCol)).agg(sum(col("o")).cast(L).as("ng"))
     val tot = pool.agg(sum(col("c")).cast(L).as("N"),
@@ -695,17 +714,36 @@ object Quality {
     * Totals arrive as a broadcast one-row cross join (the established
     * one-row-aggregate shape). */
   def ksStatistic(df: DataFrame, groupCol: String, valueCol: String,
-      a: String, b: String): DataFrame = {
+      a: String, b: String): DataFrame =
+    ksFromCounts(
+      df.select(col(groupCol), col(valueCol), lit(1L).as("__n")),
+      groupCol, valueCol, "__n", a, b)
+
+  /** [[ksStatistic]] over ALREADY-AGGREGATED per-(group, value) counts —
+    * the streaming entry point (the [[driftFromCounts]] playbook): a
+    * streaming `groupBy(group, value).count()` accumulates in a sink
+    * whose state is bounded by the DISTINCT (group, value) domain —
+    * that bound is the deployment contract (a continuous value stream
+    * needs a quantization upstream; an id-like value column does not
+    * belong under KS at all) — and this scores the accumulated frame
+    * without re-touching raw rows. Counts are re-summed per (group,
+    * value) first, so a sink holding several partial rows per pair
+    * (micro-batch appends) scores identically to one holding finals;
+    * summing 1s is the identical aggregate the raw path runs, so the
+    * batch and streaming faces share every downstream operand bit for
+    * bit. */
+  def ksFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
+      cntCol: String, a: String, b: String): DataFrame = {
     require(a != b, s"need two distinct groups, got '$a' twice")
-    val counts = df
+    val cnt = counts
       .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("v"))
       .agg(
-        sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("na"),
-        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("nb"))
+        sum(when(col(groupCol) === a, col(cntCol)).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === b, col(cntCol)).otherwise(0L)).as("nb"))
     val cum = graft.operators.Ranking.withPrefixSums(
-      counts, Seq(col("v")), Seq("na", "nb"))
-    val totals = broadcast(counts.agg(
+      cnt, Seq(col("v")), Seq("na", "nb"))
+    val totals = broadcast(cnt.agg(
       sum(col("na")).as("na_tot"), sum(col("nb")).as("nb_tot")))
     cum.crossJoin(totals)
       .agg(

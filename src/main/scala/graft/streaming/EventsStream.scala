@@ -68,6 +68,21 @@ object EventsStream {
       .groupBy(col(sourceCol), col("__b"))
       .agg(count(lit(1)).as("n_tok"))
 
+  /** Streaming face of the KS monitor's state — the (group, value)
+    * distinct rollup [[graft.operators.Quality.ksFromCounts]] scores:
+    * a streaming aggregation whose state is bounded by the DISTINCT
+    * (group, value) domain, NOT the feed volume. That bound is the
+    * deployment contract: KS over a continuous value column needs an
+    * upstream quantization (the caller picks the grid — the statistic is
+    * then exact ON that grid); an unbounded-cardinality id column does
+    * not belong under KS at all. Streaming == batch `ks` is spec-pinned
+    * bitwise in StreamingSpec. */
+  def valueCounts(rows: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    rows.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming exact dedup: drop re-delivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of `dedup_exact`, with state BOUNDED by the watermark instead of

@@ -295,14 +295,19 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("value_psi: the bucket rollup materializes once; grid joins broadcast") {
     // four derivations (pool, per-source totals, grand totals, the grid's
-    // present-count join) read the persisted S×B-row rollup — without the
-    // persist each would re-run the corpus scan + rollup (4× data cost)
+    // present-count join) read the S×B-row rollup — without materializing
+    // it each would re-run the corpus scan + rollup (4× data cost). Since
+    // round 11 the rollup is an eager localCheckpoint rather than a
+    // persist (the MemoryPlan self-join fix), so every reader plans as a
+    // Scan ExistingRDD over the one computed frame and the corpus parquet
+    // appears in NO reader subtree.
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val p = plan("value_psi")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 4, p)
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("events.parquet"), p) // corpus read happened pre-plan, once
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
-    // sweep ONLY this query's persist (suites share the session)
+    // sweep ONLY this query's checkpoint (suites share the session)
     val rdds = spark.sparkContext.getPersistentRDDs
     (rdds.keySet -- baseline).foreach(id => rdds(id).unpersist(blocking = false))
   }

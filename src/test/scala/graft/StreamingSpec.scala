@@ -231,6 +231,131 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KS over the streamed (group, value) counts equals the batch statistic bitwise") {
+    // the KS monitor's streaming face: state = the distinct (group, value)
+    // rollup (bounded by the value domain — the documented contract), and
+    // ksFromCounts scores the ACCUMULATED sink. Summing accumulated 1s is
+    // the identical aggregate the raw batch path runs, so d_num and the
+    // final division match bit for bit.
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = EventsStream.valueCounts(
+        input.toDF().toDF("event_type", "value"), "event_type", "value")
+      .writeStream.format("memory").queryName("ks_counts")
+      .outputMode("complete").start()
+    try {
+      // values on a 1/16 grid (the registered query's quantization);
+      // click shifted right of view — two micro-batches so accumulated
+      // partials must re-sum before scoring
+      val feed = (0 until 40).map(i => ("click", (i % 8 + 4) / 16.0)) ++
+        (0 until 30).map(i => ("view", (i % 8) / 16.0)) ++
+        Seq(("click", 1.0), ("view", 0.25), ("error", 9.9))
+      input.addData(feed.take(25): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(25): _*)
+      q.processAllAvailable()
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+      val streamed = rows(graft.operators.Quality.ksFromCounts(
+        spark.table("ks_counts"), "event_type", "value", "n", "click", "view"))
+      val batch = rows(graft.operators.Quality.ksStatistic(
+        feed.toDF("event_type", "value"), "event_type", "value", "click", "view"))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // sanity: the planted shift is visible (D well away from 0)
+      assert(streamed.head._6 > 0.3, streamed)
+    } finally q.stop()
+  }
+
+  test("PSI over the streamed bucket counts equals the batch score bitwise") {
+    // PSI rides the SAME accumulating bucket-count sink as the TV drift
+    // leg (one state, every distribution monitor scores it); the add-1
+    // smoothed decimal-accumulated arithmetic is identical on the
+    // re-summed counts, so the doubles match bitwise
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = EventsStream.driftCounts(
+        input.toDF().toDF("source", "text"), "source", "text", buckets = 64)
+      .writeStream.format("memory").queryName("psi_counts")
+      .outputMode("complete").start()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      val feed = Seq(
+        ("s0", "alpha beta gamma delta"), ("s0", "alpha beta epsilon"),
+        ("s1", "zeta zeta eta theta iota"), ("s1", "iota kappa"),
+        ("s2", "alpha beta gamma delta epsilon zeta"))
+      input.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(2): _*)
+      q.processAllAvailable()
+
+      def rows(counts: org.apache.spark.sql.DataFrame) =
+        graft.operators.Quality.psiFromCounts(counts, "source", "__b", "n_tok")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getBoolean(3))).toSeq.sortBy(_._1)
+      val streamed = rows(spark.table("psi_counts"))
+      val batch = rows(
+        graft.operators.Quality.tokenBuckets(
+            feed.toDF("source", "text"), "source", "text", buckets = 64)
+          .groupBy(col("source"), col("__b"))
+          .agg(count(lit(1)).as("n_tok")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.map(_._1) == Seq("s0", "s1", "s2"))
+    } finally {
+      q.stop()
+      val rdds = spark.sparkContext.getPersistentRDDs
+      (rdds.keySet -- before).foreach(id => rdds(id).unpersist(blocking = false))
+    }
+  }
+
+  test("a user-defined scorer rides the MonitorSeam; partial sink rows re-sum before scoring") {
+    // the generalized accumulating-rollup + scorer seam: a NEW monitor is
+    // just a (frame, key, hour, cnt) => flags function. The user scorer
+    // here flags FLATLINE hours (count identical to the previous hour —
+    // a stuck upstream emitting the exact same volume). The sink gets a
+    // deliberate PARTIAL row pair for one hour (a backfill landing beside
+    // live data); the seam's re-sum must score it as the single total.
+    import graft.streaming.MonitorSeam
+    import org.apache.spark.sql.expressions.Window
+    def flatline(df: org.apache.spark.sql.DataFrame, key: String,
+        hour: String, cnt: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(col(hour))
+      df.withColumn("is_flat", col(cnt) === lag(col(cnt), 1).over(w))
+        .filter(col("is_flat"))
+        .select(col(key), date_format(col(hour), "yyyy-MM-dd HH:mm:ss").as("h"))
+    }
+    // sink shape = the streamed hourly rollup's (strings for hours), with
+    // hour 02 split across two partial appends (6 + 4 = the 10 of hour 01)
+    val sink = Seq(
+      ("click", "2024-01-01 00:00:00", 7L),
+      ("click", "2024-01-01 01:00:00", 10L),
+      ("click", "2024-01-01 02:00:00", 6L),
+      ("click", "2024-01-01 02:00:00", 4L),
+      ("click", "2024-01-01 03:00:00", 9L),
+      ("view", "2024-01-01 01:00:00", 3L),
+      ("view", "2024-01-01 02:00:00", 5L)).toDF("event_type", "hour_start", "n")
+    val got = MonitorSeam.scoreHourly(sink, "event_type", "hour_start", "n")(flatline)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq("click" -> "2024-01-01 02:00:00"), got)
+    // and the BUILT-IN monitors ride the same seam unchanged: the spike
+    // scorer through the seam equals calling spikesFromHourly directly
+    // on pre-summed finals (bitwise — same operands after the re-sum)
+    val viaSeam = MonitorSeam.scoreHourly(sink, "event_type", "hour_start", "n")(
+        graft.operators.Quality.spikesFromHourly(_, _, _, _,
+          trailing = 3, z = 1, minN = 2))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getBoolean(r.fieldIndex("is_spike")))).toSet
+    val direct = graft.operators.Quality.spikesFromHourly(
+        sink.groupBy(col("event_type"),
+            to_timestamp(col("hour_start")).as("h"))
+          .agg(sum(col("n")).as("cnt")),
+        "event_type", "h", "cnt", trailing = 3, z = 1, minN = 2)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getBoolean(r.fieldIndex("is_spike")))).toSet
+    assert(viaSeam == direct, s"seam=$viaSeam direct=$direct")
+  }
+
   test("stateful session tracker closes sessions across micro-batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[SessionEvent]
