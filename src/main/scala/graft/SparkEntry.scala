@@ -381,6 +381,123 @@ object SparkEntry {
         col("size_band"))
   }
 
+  /** TPC-H Q2-style minimum-cost supplier in a region — the correlated
+    * min-subquery shape, completing the TPC-H join-pattern set (adapted:
+    * this schema has no partsupp, so the supply cost is the minimum
+    * observed sale price per (part, supplier) from lineitem): for every
+    * small LARGE-type part, the EUROPE suppliers offering the part at
+    * its region-wide minimum cost, TIE-PRESERVING like the spec (every
+    * supplier matching the min survives — an argmin struct would keep
+    * one). Exactness: MIN over doubles involves no accumulation and the
+    * tie compare is IEEE equality on identical operands — engine-exact
+    * with no decimal dance.
+    *
+    * Shape: both dim chains broadcast (region suppliers and the filtered
+    * part list are dim-sized), so lineitem never shuffles whole; the
+    * explicit repartition(l_partkey) ahead of the chain is the bm25
+    * partition-reuse trick — HashPartitioning(part) satisfies the
+    * (part, supp) rollup AND the per-part min, which is a WINDOW min
+    * over the pair-reduced frame rather than a decorrelated self-join
+    * (the join form re-plans `min_cost = best` into the join keys,
+    * breaking the partkey clustering into a sort-merge join with two
+    * fresh Exchanges and a duplicated corpus subtree) — so the whole
+    * query rides ONE data-sized Exchange, plan-guarded. */
+  private def q2MinCostRegion(s: SparkSession, d: String): DataFrame = {
+    val rs = broadcast(supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    val pp = broadcast(part(s, d)
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select("p_partkey"))
+    val cost = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(pp, col("l_partkey") === col("p_partkey"))
+      .join(rs.select("s_suppkey"), col("l_suppkey") === col("s_suppkey"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("min_cost"))
+    cost
+      .withColumn("__best",
+        min(col("min_cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("min_cost") === col("__best"))
+      .join(rs, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-style important parts — the fraction-of-global-total gate
+    * (adapted: value per part = the decimal-exact revenue supplied by
+    * AFRICA-region suppliers, no partsupp in this schema): parts whose
+    * value exceeds 1/1000 of the region's total. The HAVING-over-scalar
+    * shape: the gate compares two exact DECIMALs (value·1000 > total —
+    * integer cents both engines), so no float threshold can flip a
+    * boundary part; the emitted value is the one decimal→double cast.
+    *
+    * Shape: the supplier chain broadcasts; per-part values are ONE
+    * map-side-combined rollup; the grand total re-aggregates the
+    * part-sized frame and broadcasts back as a one-row cross join (the
+    * q22 scalar pattern) — nothing after the rollup scales with data. */
+  private def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val rs = broadcast(supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey"))
+    val v = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(rs, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__v"))
+    val total = v.agg(sum(col("__v")).as("__total"))
+    v.crossJoin(broadcast(total))
+      .filter(col("__v") * 1000 > col("__total"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("__v").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q20-style excess shippers — the nested-semi-join shape
+    * (adapted: no partsupp, so "excess stock" becomes shipping
+    * ACCELERATION: (part, supplier) pairs whose 1997 shipped quantity
+    * exceeds half their all-time quantity): ASIA suppliers owning at
+    * least one such pair, with the count. Both conditional quantity
+    * sums are BIGINT (quantities are integer-valued; the 2·q97 > qall
+    * gate is pure integer), so the flag is engine-portable.
+    *
+    * Shape: the pair rollup computes BOTH sums in ONE map-side-combined
+    * pass (the q12 conditional-aggregate pattern — never two scans);
+    * the part filter broadcasts into the scan side; the excess-pair
+    * frame is pair-sized and its supplier rollup joins the broadcast
+    * dim chain. */
+  private def q20ExcessShippers(s: SparkSession, d: String): DataFrame = {
+    val pp = broadcast(part(s, d).filter(col("p_size") <= 25)
+      .select("p_partkey"))
+    val pair = lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast(LongType).as("qty"),
+        (year(col("l_shipdate")) === 1997).as("__in97"))
+      .join(pp, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(when(col("__in97"), col("qty")).otherwise(0L)).as("q97"),
+        sum(col("qty")).as("qall"))
+    val ex = pair.filter(col("q97") > 0L && lit(2L) * col("q97") > col("qall"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_excess"))
+    ex.join(broadcast(supplier(s, d)
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_excess"))
+      .orderBy("s_suppkey")
+  }
+
   /** TPC-H Q6-style forecasting revenue change: one year of shipments in
     * a discount band below a quantity cap. The simplest decision-support
     * shape — and the purest pushdown test: ALL THREE predicates (date
@@ -3320,6 +3437,84 @@ object SparkEntry {
       .orderBy("segment")
   }
 
+  /** mtime-keyed staging dir for a one-time format round-trip of a source
+    * table (the csvStagePath pattern, parameterized by table + format). */
+  private[graft] def formatStagePath(d: String, table: String,
+      format: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:$table:$format:${src.lastModified}:${src.length}:v1"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_${format}_stage_$tag"
+  }
+
+  /** ORC round-trip — the second COLUMNAR leg of the source/sink family
+    * beside parquet (the Hive-legacy lake format Spark ships natively):
+    * orders round-trips through ORC once (mtime-keyed staging), and the
+    * read-back is scanned WITH a pushable date predicate so the format's
+    * own stats-based filter pushdown is exercised, not just its codec
+    * (PlanShapeSpec pins the filter on the ORC scan). Hash equality of
+    * the per-priority decimal-exact rollup against the parquet-truth
+    * oracle proves longs, doubles, strings and timestamps all survived
+    * the format change bit-for-bit. */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = formatStagePath(d, "orders", "orc")
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .coalesce(4).write.mode("overwrite").orc(path)
+    }
+    orcRoundtripRead(s, path)
+  }
+
+  /** The read half, exposed so the plan guard inspects the same frame. */
+  private[graft] def orcRoundtripRead(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("o_totalprice"), 18, 2).as("total_price"))
+      .orderBy("o_orderpriority")
+
+  /** JSON-lines round-trip — the semi-structured text leg of the source
+    * family (the interchange format most scraped/API corpora actually
+    * arrive in): documents round-trip through JSONL once (mtime-keyed
+    * staging) with two injected malformed lines; the PERMISSIVE
+    * schema-enforced read captures each bad line whole in `_corrupt`
+    * (never a silent drop), and the per-source rollup sums a 32-bit
+    * md5-prefix hash of every document's text — hash equality against
+    * the parquet-truth oracle proves every text BYTE survived JSON
+    * string escaping (embedded quotes/newlines round-trip exactly). */
+  private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = formatStagePath(d, "documents", "jsonl")
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      documents(s, d).select("doc_id", "source", "lang", "text")
+        .coalesce(4).write.mode("overwrite").json(path)
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "part-99999-injected.json").toPath,
+        "{\"doc_id\": notjson}\nnot json at all\n")
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("text", StringType),
+      StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .select(
+        when(col("_corrupt").isNotNull, lit("(corrupt)"))
+          .otherwise(col("source")).as("source"),
+        when(col("_corrupt").isNotNull, lit(null).cast(LongType))
+          .otherwise(conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast(LongType)).as("__h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("__h")).as("text_hash_sum"))
+      .orderBy("source")
+  }
+
   /** y/m/d partitioned staging round-trip: write events staged, read back,
     * per-partition counts prove layout + pruning columns. */
   private def stagedPartitionedWrite(s: SparkSession, d: String): DataFrame = {
@@ -3820,6 +4015,8 @@ object SparkEntry {
     "multimodal_resize" -> (multimodalResize _),
     "staged_partitioned_write" -> (stagedPartitionedWrite _),
     "csv_roundtrip" -> (csvRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
@@ -3891,6 +4088,9 @@ object SparkEntry {
     "q9_product_profit" -> (q9ProductProfit _),
     "q10_returns" -> (q10Returns _),
     "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q2_min_cost_region" -> (q2MinCostRegion _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q20_excess_shippers" -> (q20ExcessShippers _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q12_late_priority" -> (q12LatePriority _),
     "q13_order_distribution" -> (q13OrderDistribution _),
@@ -4167,6 +4367,57 @@ object SparkEntry {
         | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, size_band""".stripMargin,
+    // MIN over doubles has no accumulation and the tie compare is IEEE
+    // equality on identical operands — engine-exact, no decimal dance
+    "q2_min_cost_region" ->
+      """WITH rs AS (
+        | SELECT s_suppkey, s_name, s_acctbal, n_name
+        | FROM supplier, nation, region
+        | WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'),
+        |pp AS (SELECT p_partkey FROM part WHERE p_size <= 10 AND p_type = 'LARGE'),
+        |cost AS (
+        | SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_cost
+        | FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  JOIN rs ON l_suppkey = s_suppkey
+        | GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, MIN(min_cost) AS best_cost FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, min_cost
+        |FROM cost JOIN best USING (l_partkey) JOIN rs ON l_suppkey = s_suppkey
+        |WHERE min_cost = best_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    // the gate compares exact DECIMALs (value·1000 > total — integer
+    // cents both engines); the emitted value is the one decimal→double cast
+    "q11_important_parts" ->
+      """WITH rs AS (
+        | SELECT s_suppkey FROM supplier, nation, region
+        | WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'AFRICA'),
+        |v AS (
+        | SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        | FROM lineitem JOIN rs ON l_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT SUM(val) AS total FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v, t WHERE val * 1000 > total
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    // both conditional quantity sums are BIGINT (quantities are
+    // integer-valued doubles; CAST agrees on integers) — pure integer gate
+    "q20_excess_shippers" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_size <= 25),
+        |pair AS (
+        | SELECT l_partkey, l_suppkey,
+        |  SUM(CASE WHEN year(l_shipdate) = 1997 THEN CAST(l_quantity AS BIGINT)
+        |      ELSE 0 END) AS q97,
+        |  SUM(CAST(l_quantity AS BIGINT)) AS qall
+        | FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2),
+        |ex AS (SELECT l_suppkey, COUNT(*) AS n_excess FROM pair
+        |       WHERE q97 > 0 AND 2 * q97 > qall GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_excess
+        |FROM ex JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |ORDER BY s_suppkey""".stripMargin,
     "q10_returns" ->
       """WITH pc AS (
         | SELECT o_custkey,
@@ -5539,6 +5790,23 @@ object SparkEntry {
         | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY 1
         |UNION ALL SELECT '(corrupt)', 3, NULL
+        |ORDER BY 1""".stripMargin,
+    // parquet truth over the same pushed date predicate: hash equality
+    // proves longs/doubles/strings/timestamps survived the ORC round trip
+    "orc_roundtrip" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // parquet truth + the 2 injected bad lines; the 32-bit md5-prefix
+    // hash sum (the proven hex-prefix fragment) proves every text byte
+    // survived JSON string escaping
+    "jsonl_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+        | CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |  AS text_hash_sum
+        |FROM documents GROUP BY 1
+        |UNION ALL SELECT '(corrupt)', 2, NULL
         |ORDER BY 1""".stripMargin,
     "scrape_profiles" ->
       """SELECT c_custkey AS profile_id, 'player_' || c_custkey AS name,

@@ -948,4 +948,50 @@ class PlanShapeSpec extends AnyFunSuite {
     val s = exec.toString
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
+
+  test("q2: window min rides the ONE partkey Exchange — no decorrelated self-join") {
+    val p = plan("q2_min_cost_region")
+    // the join form re-plans min_cost=best into the join keys, breaking
+    // the partkey clustering into an SMJ with two fresh Exchanges and a
+    // duplicated corpus subtree; the window form is one Exchange total
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    // part filter and region chain broadcast into the corpus scan
+    assert(p.contains("EqualTo(p_type,LARGE)"), p)
+  }
+
+  test("q11: the corpus rollup runs ONCE — AQE reuses the stage under the scalar total") {
+    val df = SparkEntry.queries("q11_important_parts")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the grand total derives from the per-part rollup, so the initial
+    // plan carries the subtree twice; at runtime the shuffle stage must
+    // dedupe (lineitem is scanned once) — the contract this guard pins
+    assert("ReusedQueryStage|ReusedExchange".r.findAllIn(p).nonEmpty, p)
+    // the total joins back as a one-row broadcast, never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q20: both conditional sums ride ONE corpus rollup; dims broadcast") {
+    val p = plan("q20_excess_shippers")
+    // pair rollup (corpus-sized) + supplier rollup (pair-reduced) — the
+    // q97/qall sums must share one pass, never two scans of lineitem
+    assert("Scan parquet".r.findAllIn(p).size == 5, p) // lineitem+part+supplier+nation+region
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("orc_roundtrip: the date predicate reaches the ORC scan's pushed filters") {
+    val path = SparkEntry.formatStagePath(sf, "orders", "orc")
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      SparkEntry.queries("orc_roundtrip")(spark, sf).collect() // materialize the stage
+    }
+    val p = SparkEntry.orcRoundtripRead(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Scan orc"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
 }
