@@ -1273,6 +1273,51 @@ object SparkEntry {
       .agg(sum(col("k")).cast(LongType).as("sum_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Spark 4 VARIANT semi-structured extraction — the shredded
+    * semi-structured posture for payloads whose schema is open-ended or
+    * heterogeneous (the case `from_json` + a fixed StructType cannot
+    * express: a field that is an integer in one record and a string in
+    * the next). `parse_json` encodes each record ONCE into the binary
+    * VARIANT form; every `variant_get` path access then reads the
+    * encoded tree directly — no per-access text re-parse, which is the
+    * scale difference vs chained `get_json_object` calls over 100 TB of
+    * raw JSON. The payload here is synthesized deterministically from
+    * event columns (integer-rendered fields only, so the JSON text is
+    * byte-identical in both engines): nested object, array, and a
+    * heterogeneously-typed field `x` (odd event_ids carry a bare
+    * integer, even a quoted string) that `try_variant_get` surfaces as
+    * value-or-null — the typed-or-null contract a fixed schema can't.
+    *
+    * Shape: synthesis + parse + all extractions are ONE zero-shuffle
+    * codegen'd projection; the only Exchange is the type-bounded rollup
+    * (plan-guarded). */
+  private def variantExtract(s: SparkSession, d: String): DataFrame = {
+    val payload = concat(
+      lit("{\"u\":{\"id\":"), col("user_id"),
+      lit(",\"seg\":\""), col("event_type"), lit("\"},\"m\":["),
+      get_json_object(col("props"), "$.k"), lit(","), col("event_id") % 7,
+      lit("],\"x\":"),
+      when(col("event_id") % 2 === 1, col("user_id").cast(StringType))
+        .otherwise(concat(lit("\""), col("event_type"), lit("\""))),
+      lit("}"))
+    events(s, d)
+      .withColumn("v", parse_json(payload))
+      .select(
+        variant_get(col("v"), "$.u.seg", "string").as("seg"),
+        variant_get(col("v"), "$.u.id", "bigint").as("uid"),
+        variant_get(col("v"), "$.m[0]", "bigint").as("k"),
+        variant_get(col("v"), "$.m[1]", "bigint").as("m1"),
+        try_variant_get(col("v"), "$.x", "bigint").as("xnum"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("uid")).as("sum_uid"),
+        sum(col("k")).as("sum_k"),
+        sum(col("m1")).as("sum_m1"),
+        count(col("xnum")).as("n_x_numeric"),
+        sum(col("xnum")).as("sum_x_numeric"))
+      .orderBy("seg")
+  }
+
   /** Tumbling-window rollup — the batch form of the hourly cadence; the
     * SAME transform drives the Structured Streaming job. */
   def hourlyRollupTransform(df: DataFrame): DataFrame =
@@ -2998,6 +3043,35 @@ object SparkEntry {
       .orderBy("source", "rnd", "doc_id")
   }
 
+  /** k-anonymity audit — the privacy gate BESIDE redaction (pii_scrub
+    * removes direct identifiers; this measures RE-IDENTIFICATION risk
+    * from quasi-identifier combinations): per generalization level
+    * (n_chars bucketed at 100 vs 1000), how many (lang, source,
+    * size-band) equivalence classes fall in each k band and how many
+    * rows they hold — the "rows at risk" (k=1 / k<5 classes) a release
+    * review reads, and the coarsening ladder showing how generalization
+    * buys anonymity. Bands use integer `div` (DuckDB `//` parity on
+    * non-negative BIGINTs, the §6 rule).
+    *
+    * Shape: one map-side-combined rollup per level over the same scan
+    * (class counts), then a class-bounded band rollup — nothing after
+    * the first aggregate scales with the corpus. */
+  private def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    def level(bucket: Int, name: String): DataFrame = doc
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars DIV $bucket").as("size_band"))
+      .agg(count(lit(1)).as("g"))
+      .select(lit(name).as("level"),
+        when(col("g") === 1, "k=1").when(col("g") < 5, "k<5")
+          .when(col("g") < 10, "k<10").otherwise("k>=10").as("band"),
+        col("g"))
+      .groupBy("level", "band")
+      .agg(count(lit(1)).as("n_classes"), sum(col("g")).as("n_rows"))
+    level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+      .orderBy("level", "band")
+  }
+
   /** PII redaction, exercised end-to-end: the fixture column appends a
     * deterministic synthetic email + IP + phone derived from doc_id (the
     * test corpus contains no natural PII), the operator scrubs them, and
@@ -3515,6 +3589,46 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Schema-evolution read — the add-column lakehouse migration every
+    * long-lived corpus lake performs: batch 1 landed BEFORE the
+    * `o_orderpriority` column existed, batch 2 after. `mergeSchema`
+    * unions the file schemas BY NAME at read time, so the old files are
+    * never rewritten (at 100 TB a backfill rewrite is the cost being
+    * avoided — evolution must be a read-side contract) and the absent
+    * column surfaces as typed nulls. `batch` is a PARTITION column, so
+    * version-scoped reads prune at the directory level
+    * (IngestDaySpec pins inputFiles ⊆ the selected batch's directory).
+    * Writes are mtime-keyed one-time staging (csv_roundtrip convention);
+    * the oracle recomputes both batches from the parquet truth by the
+    * same parity split — hash equality proves the merged read loses
+    * neither rows, values, nor the old batch's null semantics. */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = formatStagePath(d, "orders", "evo")
+    val root = new java.io.File(path)
+    if (!new java.io.File(root, "_DONE").exists) {
+      val o = orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .coalesce(2).write.mode("overwrite").parquet(s"$path/batch=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .coalesce(2).write.mode("overwrite").parquet(s"$path/batch=2")
+      java.nio.file.Files.writeString(new java.io.File(root, "_DONE").toPath, "")
+    }
+    schemaEvolutionRead(s, path)
+      .groupBy(col("batch").cast(LongType).as("batch"))
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("o_totalprice"), 18, 2).as("total_price"),
+        count(col("o_orderpriority")).as("n_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("batch")
+  }
+
+  /** The merged read, exposed so IngestDaySpec pins partition pruning. */
+  private[graft] def schemaEvolutionRead(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").option("basePath", path)
+      .parquet(s"$path/batch=1", s"$path/batch=2")
+
   /** y/m/d partitioned staging round-trip: write events staged, read back,
     * per-partition counts prove layout + pruning columns. */
   private def stagedPartitionedWrite(s: SparkSession, d: String): DataFrame = {
@@ -3995,6 +4109,7 @@ object SparkEntry {
     "corpus_stats" -> (corpusStats _),
     "doc_chunks_cdc" -> (docChunksCdc _),
     "pii_scrub" -> (piiScrubQ _),
+    "k_anonymity" -> (kAnonymity _),
     "doc_chunks" -> (docChunks _),
     "corpus_mix" -> (corpusMix _),
     "epoch_plan" -> (epochPlanQ _),
@@ -4017,6 +4132,8 @@ object SparkEntry {
     "csv_roundtrip" -> (csvRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
+    "variant_extract" -> (variantExtract _),
+    "schema_evolution" -> (schemaEvolution _),
     "scrape_profiles" -> (scrapeProfiles _),
     "decontaminate" -> (decontaminateQ _),
     "decontaminate_bloom" -> (decontaminateBloomQ _),
@@ -5678,6 +5795,25 @@ object SparkEntry {
         | FROM r3)
         |SELECT doc_id, md5(scrubbed) AS scrub_hash, CAST(n_pii AS BIGINT) AS n_pii
         |FROM s ORDER BY doc_id""".stripMargin,
+    // DuckDB // == Spark DIV on non-negative BIGINTs (the §6 rule);
+    // SUM casts back to BIGINT (DuckDB widens BIGINT sums to HUGEINT)
+    "k_anonymity" ->
+      """WITH g1 AS (SELECT lang, source, n_chars // 100 AS b, COUNT(*) AS g
+        |            FROM documents GROUP BY 1, 2, 3),
+        |g2 AS (SELECT lang, source, n_chars // 1000 AS b, COUNT(*) AS g
+        |       FROM documents GROUP BY 1, 2, 3),
+        |b1 AS (SELECT 'chars_100' AS level,
+        |        CASE WHEN g = 1 THEN 'k=1' WHEN g < 5 THEN 'k<5'
+        |             WHEN g < 10 THEN 'k<10' ELSE 'k>=10' END AS band,
+        |        COUNT(*) AS n_classes, CAST(SUM(g) AS BIGINT) AS n_rows
+        |       FROM g1 GROUP BY 1, 2),
+        |b2 AS (SELECT 'chars_1000' AS level,
+        |        CASE WHEN g = 1 THEN 'k=1' WHEN g < 5 THEN 'k<5'
+        |             WHEN g < 10 THEN 'k<10' ELSE 'k>=10' END AS band,
+        |        COUNT(*) AS n_classes, CAST(SUM(g) AS BIGINT) AS n_rows
+        |       FROM g2 GROUP BY 1, 2)
+        |SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |ORDER BY level, band""".stripMargin,
     "corpus_mix" ->
       // FLOOR mirrors Spark's double->long truncation of weight * 2^32 (a
       // bare CAST would round-to-nearest in DuckDB); weights are eighths so
@@ -5808,6 +5944,35 @@ object SparkEntry {
         |FROM documents GROUP BY 1
         |UNION ALL SELECT '(corrupt)', 2, NULL
         |ORDER BY 1""".stripMargin,
+    // the synthesized JSON is integer-rendered-only, so the text is
+    // byte-identical in both engines; the heterogeneous field `x`
+    // surfaces as TRY_CAST value-or-null on both sides
+    "variant_extract" ->
+      """WITH j AS (
+        | SELECT '{"u":{"id":' || user_id || ',"seg":"' || event_type ||
+        |  '"},"m":[' || json_extract_string(props, '$.k') || ',' ||
+        |  (event_id % 7) || '],"x":' ||
+        |  CASE WHEN event_id % 2 = 1 THEN CAST(user_id AS VARCHAR)
+        |       ELSE '"' || event_type || '"' END || '}' AS js
+        | FROM events)
+        |SELECT json_extract_string(js, '$.u.seg') AS seg, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract(js, '$.u.id') AS BIGINT)) AS BIGINT) AS sum_uid,
+        | CAST(SUM(CAST(json_extract(js, '$.m[0]') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(SUM(CAST(json_extract(js, '$.m[1]') AS BIGINT)) AS BIGINT) AS sum_m1,
+        | COUNT(TRY_CAST(json_extract_string(js, '$.x') AS BIGINT)) AS n_x_numeric,
+        | CAST(SUM(TRY_CAST(json_extract_string(js, '$.x') AS BIGINT)) AS BIGINT)
+        |  AS sum_x_numeric
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // parquet truth recomputed by the same parity split: batch 1 landed
+    // without o_orderpriority, so its column stats must be null/zero
+    "schema_evolution" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS batch,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        | COUNT(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_priority,
+        | COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+        |  AS n_priorities
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "scrape_profiles" ->
       """SELECT c_custkey AS profile_id, 'player_' || c_custkey AS name,
         | c_custkey % 3 AS visibility, c_custkey % 100 AS steam_level

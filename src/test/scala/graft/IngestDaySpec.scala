@@ -331,4 +331,28 @@ class IngestDaySpec extends AnyFunSuite {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("schema evolution: merged read types the absent column as nulls; batch reads prune") {
+    // materialize the staged batches via the registered query
+    SparkEntry.queries("schema_evolution")(spark, sf).collect()
+    val path = SparkEntry.formatStagePath(sf, "orders", "evo")
+    val merged = SparkEntry.schemaEvolutionRead(spark, path)
+    // the pre-evolution batch surfaces the new column as typed nulls
+    assert(merged.schema("o_orderpriority").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(merged.filter(col("batch") === 1 && col("o_orderpriority").isNotNull)
+      .isEmpty)
+    // a batch predicate prunes at the DIRECTORY level: the filter lands
+    // in the scan's partitionFilters (inputFiles ignores pruning — it
+    // lists the whole location; the round-3 rule: assert on the exec)
+    val scans = merged.filter(col("batch") === 2)
+      .queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.exists(_.references.exists(
+      _.name == "batch"))), scans.map(_.partitionFilters).mkString("; "))
+    assert(scans.forall(_.dataFilters.isEmpty),
+      scans.map(_.dataFilters).mkString("; "))
+  }
 }

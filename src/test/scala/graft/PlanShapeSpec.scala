@@ -984,6 +984,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("variant_extract: parse + every path access is one zero-shuffle projection") {
+    val p = plan("variant_extract")
+    // one encode (parse_json) + N variant_get reads, all map-side; the
+    // only Exchange is the type-bounded rollup
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("orc_roundtrip: the date predicate reaches the ORC scan's pushed filters") {
     val path = SparkEntry.formatStagePath(sf, "orders", "orc")
     if (!new java.io.File(s"$path/_SUCCESS").exists) {
