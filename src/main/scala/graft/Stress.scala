@@ -1006,6 +1006,118 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    // VARIANT extraction: parse + path reads are one projection — expect
+    // scan-shaped growth (props synthesized; the bench query's shape)
+    time("variant_extract") {
+      val payload = concat(
+        lit("{\"u\":{\"id\":"), col("user_id"),
+        lit(",\"seg\":\""), col("event_type"), lit("\"},\"m\":["),
+        pmod(xxhash64(col("event_id")), lit(100L)), lit(","),
+        col("event_id") % 7, lit("],\"x\":"),
+        when(col("event_id") % 2 === 1, col("user_id").cast("string"))
+          .otherwise(concat(lit("\""), col("event_type"), lit("\""))))
+        .alias("payload")
+      val out = ev.withColumn("v", parse_json(concat(payload, lit("}"))))
+        .select(
+          variant_get(col("v"), "$.u.seg", "string").as("seg"),
+          variant_get(col("v"), "$.u.id", "bigint").as("uid"),
+          variant_get(col("v"), "$.m[0]", "bigint").as("k"),
+          variant_get(col("v"), "$.m[1]", "bigint").as("m1"),
+          try_variant_get(col("v"), "$.x", "bigint").as("xnum"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("uid")).as("sum_uid"),
+          sum(col("k")).as("sum_k"), sum(col("m1")).as("sum_m1"),
+          count(col("xnum")).as("n_x"), sum(col("xnum")).as("sum_x"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // the text-re-parse alternative VARIANT replaces: the SAME payload
+    // and rollup, but every path access is a get_json_object that
+    // re-parses the JSON text — the per-access cost VARIANT amortizes
+    time("json_chain") {
+      val payload = concat(
+        lit("{\"u\":{\"id\":"), col("user_id"),
+        lit(",\"seg\":\""), col("event_type"), lit("\"},\"m\":["),
+        pmod(xxhash64(col("event_id")), lit(100L)), lit(","),
+        col("event_id") % 7, lit("],\"x\":"),
+        when(col("event_id") % 2 === 1, col("user_id").cast("string"))
+          .otherwise(concat(lit("\""), col("event_type"), lit("\""))),
+        lit("}"))
+      val out = ev.withColumn("js", payload)
+        .select(
+          get_json_object(col("js"), "$.u.seg").as("seg"),
+          get_json_object(col("js"), "$.u.id").cast("long").as("uid"),
+          get_json_object(col("js"), "$.m[0]").cast("long").as("k"),
+          get_json_object(col("js"), "$.m[1]").cast("long").as("m1"),
+          // the heterogeneous field needs the tolerant cast (ANSI)
+          get_json_object(col("js"), "$.x").try_cast("long").as("xnum"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum(col("uid")).as("sum_uid"),
+          sum(col("k")).as("sum_k"), sum(col("m1")).as("sum_m1"),
+          count(col("xnum")).as("n_x"), sum(col("xnum")).as("sum_x"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // q20 shape at fact scale: both conditional sums in ONE pair rollup
+    // (partkey/suppkey/quantity synthesized the scorecard way)
+    time("q20_excess") {
+      val pair = liSd
+        .select(col("l_orderkey"), col("l_shipdate"),
+          pmod(xxhash64(col("l_orderkey"), lit(5)), lit(20000L)).as("l_partkey"),
+          pmod(xxhash64(col("l_orderkey"), col("l_shipdate")), lit(10000L))
+            .as("l_suppkey"),
+          (pmod(xxhash64(col("l_orderkey"), lit(7)), lit(50L)) + 1L).as("qty"),
+          (year(col("l_shipdate")) === 1997).as("__in97"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(when(col("__in97"), col("qty")).otherwise(0L)).as("q97"),
+          sum(col("qty")).as("qall"))
+      val out = pair
+        .filter(col("q97") > 0L && lit(2L) * col("q97") > col("qall"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_excess"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // q2 shape at fact scale: ONE partkey Exchange serves the pair
+    // rollup AND the window min (price synthesized)
+    time("q2_min_cost") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_partkey"))
+      val cost = liSd
+        .select(
+          pmod(xxhash64(col("l_orderkey"), lit(5)), lit(20000L)).as("l_partkey"),
+          pmod(xxhash64(col("l_orderkey"), col("l_shipdate")), lit(10000L))
+            .as("l_suppkey"),
+          (pmod(xxhash64(col("l_orderkey"), lit(11)), lit(1000000L)) / 100.0)
+            .as("price"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("price")).as("min_cost"))
+      val out = cost.withColumn("__best", min(col("min_cost")).over(w))
+        .filter(col("min_cost") === col("__best"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // k-anonymity audit: two map-side rollups over one corpus scan —
+    // expect scan-shaped (quasi-identifiers synthesized per doc)
+    time("k_anonymity") {
+      val doc = docs.select(col("doc_id"),
+        concat(lit("l"), pmod(col("doc_id"), lit(5L))).as("lang"),
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+        length(col("text")).as("n_chars"))
+      def level(bucket: Int, nm: String): DataFrame = doc
+        .groupBy(col("lang"), col("source"),
+          expr(s"n_chars DIV $bucket").as("size_band"))
+        .agg(count(lit(1)).as("g"))
+        .select(lit(nm).as("level"),
+          when(col("g") === 1, "k=1").when(col("g") < 5, "k<5")
+            .when(col("g") < 10, "k<10").otherwise("k>=10").as("band"),
+          col("g"))
+        .groupBy("level", "band")
+        .agg(count(lit(1)).as("n_classes"), sum(col("g")).as("n_rows"))
+      val out = level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     // kappa agreement: one corpus scan + a single-row confusion rollup
     time("classifier_agreement") {
       val base = TextAnalysis.quality(docs, "text")
