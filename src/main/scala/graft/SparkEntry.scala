@@ -3997,6 +3997,204 @@ object SparkEntry {
   }
 
   // ------------------------------------------------------------------
+  // Round-11 session 3: ACF seasonality, concentration audit, blocklist
+  // kernel, URL canonicalization, metadata-only stats
+  // ------------------------------------------------------------------
+
+  private val acfLags = Seq(1, 2, 3, 6, 12, 24)
+
+  /** Autocorrelation of the hourly per-type event-count series at fixed
+    * lags ([[Quality.acf]]) — the seasonality DETECTOR beside
+    * `events_seasonal`'s fixed-period scorer: a daily rhythm peaks at
+    * lag 24, an ingest echo at lag 1. Zero-filled on the dense hour
+    * spine first (a sparse lag would pair across silent gaps); exact
+    * BIGINT/DECIMAL moments, IEEE tail over VARCHAR-mediated doubles;
+    * everything after the hourly rollup is hours×types-bounded. */
+  private def eventsAcf(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Quality.acf(hourly, "event_type", "h", "n", acfLags)
+      .orderBy("event_type", "lag")
+  }
+
+  /** Source-concentration audit ([[Quality.concentration]]): Gini + HHI
+    * of the per-source document distribution, exact num/den BIGINT pairs
+    * beside the IEEE ratios — the one-number corpus-balance gate a
+    * "diverse" training mix is judged by. */
+  private def sourceConcentration(s: SparkSession, d: String): DataFrame =
+    Quality.concentration(documents(s, d), "source")
+
+  /** Border-free by construction (no term has a proper prefix that is
+    * also a suffix), so occurrences cannot self-overlap and the oracle's
+    * non-overlapping replace-count formula is exact — the
+    * [[graft.functions.BlocklistCounts]] contract. `al`/`can`/`low` hit
+    * mid-word (inside value/scan/slow); `windowing` pins the zero-hit
+    * path. */
+  private val blocklistTerms =
+    Seq("a", "al", "can", "low", "scan", "slow", "value", "windowing")
+
+  /** Per-(source, term) blocklist audit over ONE Aho–Corasick scan of
+    * the corpus ([[graft.functions.blocklistCounts]]): docs hit and
+    * total occurrences per term — the safety/blocklist filter's
+    * measurement leg. The kernel makes it one pass regardless of term
+    * count (the naive form is one replace-scan PER TERM — the oracle
+    * deliberately pays that to stay independent); everything after the
+    * scan is sources×terms-bounded. */
+  private def blocklistHits(s: SparkSession, d: String): DataFrame = {
+    val termArr = array(blocklistTerms.map(lit): _*)
+    documents(s, d)
+      .select(col("source"),
+        posexplode(blocklistCounts(lower(col("text")), blocklistTerms))
+          .as(Seq("i", "cnt")))
+      .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
+        col("cnt"))
+      .groupBy("source", "term")
+      .agg(sum((col("cnt") > 0).cast("long")).as("n_docs"),
+        sum(col("cnt")).as("total_hits"))
+      .orderBy("source", "term")
+  }
+
+  /** Generated from the SAME term list as the query (one source of
+    * truth): per term, DuckDB's independent instr/replace-count pass. */
+  private def blocklistOracle: String = {
+    val rows = blocklistTerms.map { t =>
+      s"""SELECT source, '$t' AS term,
+         | CAST(SUM(CASE WHEN instr(t, '$t') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         | CAST(SUM((length(t) - length(replace(t, '$t', ''))) // ${t.length}) AS BIGINT) AS total_hits
+         |FROM lt GROUP BY source""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lt AS (SELECT source, lower(text) AS t FROM documents)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY source, term""".stripMargin
+  }
+
+  /** Crawl URL dedup: deterministic messy-URL synthesis (scheme/WWW
+    * case, default ports, trailing slash, param order, utm_* noise,
+    * fragments — all keyed off doc_id) + [[graft.functions.canonicalizeUrl]]
+    * + exact dedup on the canonical form. The synthesis IS the test: 500
+    * raw variants collapse to the canonical groups both engines must
+    * agree on byte-for-byte. Zero-shuffle until the canonical-key
+    * rollup. */
+  private def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 4 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      lit("Site-"), id % 50, lit(".Example.COM"),
+      when(id % 5 === 0,
+        when(id % 4 === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit("")),
+      lit("/Docs/"), id % 200,
+      when(id % 7 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(id % 2 === 0, lit("b=2&a=1")).otherwise(lit("a=1&b=2")),
+      when(id % 3 === 0, lit("&utm_source=feed&utm_campaign=x"))
+        .otherwise(lit("")),
+      when(id % 11 === 0, concat(lit("&c="), id % 3)).otherwise(lit("")),
+      when(id % 6 === 0, lit("#Section-2")).otherwise(lit("")))
+    documents(s, d)
+      .select(id.as("doc_id"), canonicalizeUrl(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
+  /** DuckDB twin of [[urlDedup]] — same synthesis arithmetic, same
+    * anchored-regex canonicalization steps (anchors make first-match and
+    * global replace coincide), list_sort/list_filter mirroring
+    * array_sort/filter. */
+  private val urlDedupOracle: String =
+    """WITH u AS (
+      | SELECT doc_id,
+      |  (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  'Site-' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM' ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE ':80' END) ELSE '' END) ||
+      |  '/Docs/' || CAST(doc_id % 200 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      |  '?' ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'b=2&a=1' ELSE 'a=1&b=2' END) ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN '&c=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END) AS url
+      | FROM documents),
+      |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS s FROM u),
+      |p AS (SELECT doc_id,
+      |  lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_replace(lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS auth1,
+      |  regexp_replace(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/+$', '') AS path0,
+      |  regexp_extract(s, '\?([^#]*)', 1) AS q0
+      | FROM nf),
+      |c AS (SELECT doc_id,
+      |  scheme || '://' ||
+      |  (CASE WHEN scheme = 'http' THEN regexp_replace(auth1, ':80$', '')
+      |        WHEN scheme = 'https' THEN regexp_replace(auth1, ':443$', '')
+      |        ELSE auth1 END) ||
+      |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |  (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canonical_url
+      | FROM (SELECT *, list_sort(list_filter(string_split(q0, '&'),
+      |        x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS ps FROM p))
+      |SELECT canonical_url, COUNT(*) AS n_variants,
+      | CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Metadata-only table statistics: COUNT/MIN/MAX answered from parquet
+    * FOOTER stats via Spark's V2 aggregate pushdown — zero row groups
+    * decoded. At 100 TB this is the difference between a catalog lookup
+    * and a full scan for the "how big / what key range" questions every
+    * pipeline run asks first. The session keeps the default V1 parquet
+    * path (stable for every other query); this query flips the two confs
+    * and EAGERLY materializes its one-row result inside the try/finally
+    * (plans read session conf at execution, not construction — a lazy
+    * return would escape the scope), so nothing leaks.
+    * PlanShapeSpec pins `PushedAggregation` on the scan. */
+  private def parquetStatsAgg(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
+    try {
+      parquetStatsFrame(s, d).localCheckpoint(true)
+    } finally {
+      prevAgg.fold(conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        conf.set("spark.sql.parquet.aggregatePushdown", _))
+      prevV1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+        conf.set("spark.sql.sources.useV1SourceList", _))
+    }
+  }
+
+  /** Rank-based distribution-shift monitor: exact Mann–Whitney U / AUC
+    * between event-type value distributions ([[Quality.mwuStatistic]]) —
+    * the robust twin of `value_ks` on the same distinct-value prefix-sum
+    * machinery (KS reacts to any single CDF divergence; U answers "did
+    * the distribution MOVE", outlier-insensitive). */
+  private def valueMwu(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    Quality.mwuStatistic(ev, "event_type", "value", "click", "view")
+      .unionByName(
+        Quality.mwuStatistic(ev, "event_type", "value", "click", "error"))
+      .orderBy("type_b")
+  }
+
+  /** The un-checkpointed stats aggregate (PlanShapeSpec's seam: the
+    * guard builds it under the pushdown confs and asserts
+    * `PushedAggregation` on the V2 scan). */
+  private[graft] def parquetStatsFrame(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_suppkey")).as("min_suppkey"),
+        max(col("l_suppkey")).as("max_suppkey"),
+        min(col("l_linenumber")).cast("long").as("min_linenumber"),
+        max(col("l_linenumber")).cast("long").as("max_linenumber"))
+
+  // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
@@ -4220,7 +4418,13 @@ object SparkEntry {
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "supplier_scorecard" -> (supplierScorecard _),
-    "monitor_report" -> (monitorReport _)
+    "monitor_report" -> (monitorReport _),
+    "events_acf" -> (eventsAcf _),
+    "source_concentration" -> (sourceConcentration _),
+    "blocklist_hits" -> (blocklistHits _),
+    "url_dedup" -> (urlDedup _),
+    "parquet_stats_agg" -> (parquetStatsAgg _),
+    "value_mwu" -> (valueMwu _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4258,6 +4462,22 @@ object SparkEntry {
       ("table_profile" -> Quality.tableProfileSql("orders", orderProfileCols)) +
       ("numeric_corr" -> Quality.corrMatrixSql("lineitem", corrCols)) +
       ("dq_rules" -> Quality.checkRulesSql("orders", orderRules)) +
+      ("events_acf" -> Quality.acfSql("events", "ts", "event_type", acfLags)) +
+      ("source_concentration" ->
+        Quality.concentrationSql("documents", "source")) +
+      ("blocklist_hits" -> blocklistOracle) +
+      ("url_dedup" -> urlDedupOracle) +
+      ("value_mwu" -> Quality.mwuSql("events", "event_type", "value",
+        Seq(("click", "view"), ("click", "error")))) +
+      ("parquet_stats_agg" ->
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          | CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+          | CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey,
+          | CAST(MIN(l_suppkey) AS BIGINT) AS min_suppkey,
+          | CAST(MAX(l_suppkey) AS BIGINT) AS max_suppkey,
+          | CAST(MIN(l_linenumber) AS BIGINT) AS min_linenumber,
+          | CAST(MAX(l_linenumber) AS BIGINT) AS max_linenumber
+          |FROM lineitem""".stripMargin) +
       // the proven row-25 Jaccard-pair CTEs reduced to an edge list,
       // chained into the shared census body (one source, two engines)
       ("graph_transitivity" ->

@@ -1118,6 +1118,93 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    // blocklist: ONE Aho-Corasick walk per doc for ALL 24 terms — expect
+    // scan-shaped; compare against the naive per-term replace twin below
+    val stressTerms = Seq("a", "al", "can", "low", "scan", "slow", "value",
+      "windowing", "key", "row", "fast", "table", "part", "hash", "merge",
+      "batch", "sort", "order", "data", "column", "join", "small", "query",
+      "stream")
+    time("blocklist_hits") {
+      val termArr = array(stressTerms.map(lit): _*)
+      val out = docs
+        .select(col("source"),
+          posexplode(graft.functions.blocklistCounts(lower(col("text")),
+            stressTerms)).as(Seq("i", "cnt")))
+        .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
+          col("cnt"))
+        .groupBy("source", "term")
+        .agg(sum((col("cnt") > 0).cast("long")).as("n_docs"),
+          sum(col("cnt")).as("total_hits"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // the naive alternative the kernel replaces: one replace() pass PER
+    // TERM (24 string rewrites per row) — same scan count, T× the per-row
+    // string work
+    time("blocklist_naive") {
+      val lt = docs.select(col("source"), lower(col("text")).as("t"))
+      val counted = lt.select(col("source") +: stressTerms.zipWithIndex.map {
+        case (t, i) =>
+          ((length(col("t")) - length(expr(s"replace(t, '$t', '')")))
+            / t.length).cast("long").as(s"c$i")
+      }: _*)
+      val out = counted.groupBy("source")
+        .agg(sum(col("c0")).as("s0"),
+          stressTerms.indices.tail.map(i => sum(col(s"c$i")).as(s"s$i")): _*)
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // ACF over 24 lags: everything after the hourly rollup rides the
+    // checkpointed hours×types frame — expect near-flat past the rollup
+    time("events_acf") {
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val out = graft.operators.Quality.acf(hourly, "event_type", "h", "n",
+        (1 to 24))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // URL canonicalization + dedup: zero-shuffle regex/sort projection +
+    // one canonical-key rollup — expect scan-shaped
+    time("url_dedup") {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 4 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+        when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Site-"), id % 50, lit(".Example.COM"),
+        when(id % 5 === 0,
+          when(id % 4 === 0, lit(":443")).otherwise(lit(":80")))
+          .otherwise(lit("")),
+        lit("/Docs/"), id % 200,
+        when(id % 7 === 0, lit("/")).otherwise(lit("")),
+        lit("?"),
+        when(id % 2 === 0, lit("b=2&a=1")).otherwise(lit("a=1&b=2")),
+        when(id % 3 === 0, lit("&utm_source=feed&utm_campaign=x"))
+          .otherwise(lit("")),
+        when(id % 11 === 0, concat(lit("&c="), id % 3)).otherwise(lit("")),
+        when(id % 6 === 0, lit("#Section-2")).otherwise(lit("")))
+      val out = docs
+        .select(id.as("doc_id"), graft.functions.canonicalizeUrl(url).as("cu"))
+        .groupBy("cu")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // Mann-Whitney: distinct-value rollup + distributed prefix sums (the
+    // value_ks machinery) — expect the same shape as value_ks
+    time("value_mwu") {
+      val out = graft.operators.Quality.mwuStatistic(
+          ev.withColumn("value",
+            (pmod(xxhash64(col("event_id")), lit(100000L)) / 16.0)),
+          "event_type", "value", "click", "view")
+        .unionByName(graft.operators.Quality.mwuStatistic(
+          ev.withColumn("value",
+            (pmod(xxhash64(col("event_id")), lit(100000L)) / 16.0)),
+          "event_type", "value", "click", "error"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     // kappa agreement: one corpus scan + a single-row confusion rollup
     time("classifier_agreement") {
       val base = TextAnalysis.quality(docs, "text")

@@ -181,6 +181,44 @@ package object functions {
     column(SubwordTokens(expression(words), vocab))
   }
 
+  /** Crawl-style URL canonicalization — the key a URL-level dedup/frontier
+    * groups on: drop the fragment, lowercase scheme+host, strip a leading
+    * `www.` and the scheme's default port, drop trailing path slashes
+    * (empty path → `/`; path CASE is preserved per RFC 3986), drop
+    * `utm_*` tracking params and sort the rest. A pure zero-shuffle
+    * Column expression (regex extracts + one small-array sort — the
+    * interpreted-HOF rule allows per-row small arrays); the DuckDB twin
+    * in [[graft.SparkEntry]] mirrors every step with anchored regexes so
+    * first-match-vs-global replace semantics cannot diverge. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth1 = regexp_replace(
+      lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    val auth = when(scheme === "http", regexp_replace(auth1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth1, ":443$", ""))
+      .otherwise(auth1)
+    val path0 = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1),
+      "/+$", "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = array_sort(filter(split(
+      regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    concat(scheme, lit("://"), auth, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Per-term occurrence counts of a fixed blocklist in one Aho–Corasick
+    * scan — the native [[BlocklistCounts]] kernel. Returns
+    * array<long> aligned with `terms`. */
+  def blocklistCounts(text: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(BlocklistCounts(expression(text), terms))
+  }
+
   /** `n` nearest IVF cell names for a float vector against a driver-built
     * centroid matrix — the native one-pass [[NearestCells]] kernel. */
   def nearestCells(vec: Column, centroids: Array[Array[Double]],

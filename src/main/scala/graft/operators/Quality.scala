@@ -759,6 +759,101 @@ object Quality {
             (col("n_a") * col("n_b")).cast("double")).as("ks"))
   }
 
+  /** Exact two-sample Mann–Whitney U between the `valueCol` distributions
+    * of groups `a` and `b` — the monitoring family's RANK-BASED shift leg
+    * beside KS: KS is the sup-CDF-distance (sensitive to any shape
+    * change, but a single point of divergence decides it); U is the
+    * pairwise win count #{x∈A > y∈B} (+ half-ties), i.e. the
+    * AUC/common-language effect size — robust to outliers and the
+    * natural "did the distribution MOVE" statistic.
+    *
+    * Exact integer form: per distinct value, 2·midrank = 2·(rows
+    * strictly below) + cnt + 1 — ties get their exact midrank with no
+    * halves; 2·U_A = Σ na·2midrank − n_a·(n_a+1), all BIGINT/DECIMAL, so
+    * `u2_a` is engine-exact and AUC_A = U_A/(n_a·n_b) is ONE IEEE
+    * division over exact operands (u2 < 2·n_a·n_b must stay < 2^63 —
+    * ~2e9 rows per side; past that emit the decimal). Identity
+    * U_A + U_B = n_a·n_b is property-pinned.
+    *
+    * SCALE: identical shape to [[ksFromCounts]] — corpus reduces FIRST
+    * to distinct (value → na, nb) counts, running totals ride
+    * [[Ranking.withPrefixSums]] (range-repartition + offsets, NO
+    * single-task window even with a continuous domain), one single-row
+    * aggregate ends it. */
+  def mwuFromCounts(counts: DataFrame, groupCol: String, valueCol: String,
+      cntCol: String, a: String, b: String): DataFrame = {
+    require(a != b, s"need two distinct groups, got '$a' twice")
+    val cnt = counts
+      .filter(col(groupCol).isin(a, b) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(col(groupCol) === a, col(cntCol)).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === b, col(cntCol)).otherwise(0L)).as("nb"))
+    val cum = graft.operators.Ranking.withPrefixSums(
+      cnt, Seq(col("v")), Seq("na", "nb"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val mid2 = lit(2) * (col("na_cum") - col("na") + col("nb_cum") - col("nb")) +
+      col("na") + col("nb") + 1
+    val s = cum.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(dec(col("na")) * mid2).as("r2a"))
+    s.select(col("n_a"), col("n_b"),
+        (col("r2a") - dec(col("n_a")) * (col("n_a") + 1)).cast("long").as("u2"))
+      .select(
+        lit(a).as("type_a"), lit(b).as("type_b"), col("n_a"), col("n_b"),
+        col("u2").as("u2_a"),
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("u2").cast(DoubleType) /
+            (lit(2L) * col("n_a") * col("n_b")).cast(DoubleType)).as("auc_a"))
+  }
+
+  /** Raw-rows face of [[mwuFromCounts]] (counts of 1 — the identical
+    * aggregate the streaming (group, value) sink accumulates, so both
+    * faces share every downstream operand bit for bit, the KS design). */
+  def mwuStatistic(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame =
+    mwuFromCounts(
+      df.select(col(groupCol), col(valueCol), lit(1L).as("__n")),
+      groupCol, valueCol, "__n", a, b)
+
+  /** Generated DuckDB oracle for [[mwuStatistic]] over several group
+    * pairs (same distinct-value rollup, same 2·midrank integers, HUGEINT
+    * accumulation, same single IEEE division). CTEs are tag-suffixed and
+    * hoisted into ONE top-level WITH — DuckDB rejects WITH inside a
+    * FROM-subquery (the value_ks oracle's layout). */
+  def mwuSql(table: String, groupCol: String, valueCol: String,
+      pairs: Seq[(String, String)]): String = {
+    require(pairs.nonEmpty, "need at least one group pair")
+    val ctes = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"""f$i AS (SELECT $groupCol g, $valueCol v FROM $table
+         |        WHERE $groupCol IN ('$a', '$b') AND $valueCol IS NOT NULL),
+         |c$i AS (SELECT v,
+         |       CAST(SUM(CASE WHEN g = '$a' THEN 1 ELSE 0 END) AS BIGINT) na,
+         |       CAST(SUM(CASE WHEN g = '$b' THEN 1 ELSE 0 END) AS BIGINT) nb
+         |      FROM f$i GROUP BY v),
+         |cum$i AS (SELECT na, nb,
+         |        SUM(na + nb) OVER (ORDER BY v
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - (na + nb) AS bef
+         |        FROM c$i),
+         |s$i AS (SELECT CAST(SUM(na) AS BIGINT) n_a, CAST(SUM(nb) AS BIGINT) n_b,
+         |       SUM(CAST(na AS HUGEINT) * (2*bef + na + nb + 1)) r2a FROM cum$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sels = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"""SELECT '$a' AS type_a, '$b' AS type_b, n_a, n_b,
+         | CAST(r2a - CAST(n_a AS HUGEINT)*(n_a+1) AS BIGINT) AS u2_a,
+         | CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |  ELSE CAST(CAST(r2a - CAST(n_a AS HUGEINT)*(n_a+1) AS BIGINT) AS DOUBLE)
+         |       / CAST(2*n_a*n_b AS DOUBLE) END AS auc_a
+         |FROM s$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |SELECT * FROM (
+       |$sels)
+       |ORDER BY type_b""".stripMargin
+  }
+
   /** Per-key OLS trend over a pre-aggregated (key, bucket, count) frame —
     * the monitoring family's TREND leg: the z-test/MAD/EWMA monitors all
     * re-baseline on slow change BY DESIGN, so a gradual decline (a dying
@@ -1086,4 +1181,185 @@ object Quality {
        |     - CASE $consts END) > CAST('$flagEps' AS DOUBLE) AS flagged
        |FROM g, t ORDER BY digit""".stripMargin
   }
+
+  /** Autocorrelation of an hourly count series at fixed lags — the
+    * seasonality DETECTOR beside [[seasonalFromHourly]]'s fixed-period
+    * scorer: a daily-rhythm feed shows the ACF peak at lag 24, a broken
+    * dedup upstream shows it at lag 1, and a flat feed shows none. Input
+    * is any (key, hour, cnt) rollup (the monitor-seam shape).
+    *
+    * Semantics: the series is ZERO-FILLED on the dense global [min,max]
+    * hour spine per key first (the [[Temporal.gapFill]] posture) — a lag
+    * over the sparse frame would pair values across silent gaps and the
+    * "lag" would stop being a time lag. Pearson ACF per (key, lag) over
+    * the aligned pairs (x_t, x_{t-lag}); keys with a constant series
+    * yield NULL.
+    *
+    * Exactness: counts are BIGINT; per-pair products stay BIGINT
+    * (codegen'd, ANSI-checked — per-hour counts must keep |x·y| < 2^63,
+    * i.e. each below ~3e9 rows/hour), only the accumulation widens to
+    * DECIMAL; the ACF tail is a fixed IEEE expression over exact
+    * operands with VARCHAR-mediated double conversion on both engines
+    * (the corrMatrix parity route). [[acfSql]] generates the DuckDB twin
+    * from the SAME lag list.
+    *
+    * SCALE: everything after the caller's hourly rollup is
+    * hours×keys-bounded — ONE fused window pass emits every lag column
+    * (no interleaved projections, the round-9 rule), ONE key rollup
+    * carries all 6·|lags| conditional sums, then a row-per-lag explode. */
+  def acf(hourly: DataFrame, keyCol: String, hourCol: String,
+      cntCol: String, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
+    require(lags.distinct.size == lags.size, s"duplicate lags: $lags")
+    // three derivations (bounds, key set, the join) read the rollup — an
+    // eager checkpoint of the hours×keys frame keeps the CORPUS scan at
+    // exactly one (the psiFromCounts posture); broadcast hints keep the
+    // tiny joins exchange-free regardless of the checkpoint's inherited
+    // size estimate
+    val hk = hourly.localCheckpoint(true)
+    val bounds = hk.agg(min(col(hourCol)).as("lo"), max(col(hourCol)).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("INTERVAL 1 HOUR"))).as(hourCol))
+    val keys = hk.select(col(keyCol)).distinct()
+    val dense = spine.crossJoin(broadcast(keys))
+      .join(broadcast(hk), Seq(hourCol, keyCol), "left")
+      .select(col(keyCol), col(hourCol),
+        coalesce(col(cntCol), lit(0L)).cast("long").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(hourCol))
+    val lagCols = lags.map(l => lag(col("x"), l).over(w).as(s"y$l"))
+    val framed = dense.select(col(keyCol) +: col("x") +: lagCols: _*)
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val sums = lags.flatMap { l =>
+      val y = col(s"y$l")
+      Seq(
+        count(y).as(s"n$l"),
+        sum(when(y.isNotNull, dec(col("x")))).as(s"sx$l"),
+        sum(dec(y)).as(s"sy$l"),
+        sum(dec(col("x") * y)).as(s"sxy$l"),
+        sum(when(y.isNotNull, dec(col("x") * col("x")))).as(s"sxx$l"),
+        sum(dec(y * y)).as(s"syy$l"))
+    }
+    val agg = framed.groupBy(col(keyCol)).agg(sums.head, sums.tail: _*)
+    def vmd(c: Column) = c.cast("string").cast(DoubleType)
+    val rows = lags.map { l =>
+      val n = col(s"n$l")
+      val num = n * col(s"sxy$l") - col(s"sx$l") * col(s"sy$l")
+      val dx = n * col(s"sxx$l") - col(s"sx$l") * col(s"sx$l")
+      val dy = n * col(s"syy$l") - col(s"sy$l") * col(s"sy$l")
+      struct(lit(l).cast("long").as("lag"), n.as("n_pairs"),
+        when(dx === 0 || dy === 0, lit(null).cast(DoubleType))
+          .otherwise(vmd(num) / sqrt(vmd(dx) * vmd(dy))).as("acf"))
+    }
+    agg.select(col(keyCol), explode(array(rows: _*)).as("r"))
+      .select(col(keyCol), col("r.lag").as("lag"),
+        col("r.n_pairs").as("n_pairs"), col("r.acf").as("acf"))
+  }
+
+  /** Generated DuckDB oracle for [[acf]] over an events-style table —
+    * same spine zero-fill (the hourly_gapfill fragment), same lag list,
+    * HUGEINT sums for the decimal exactness, identical IEEE tail. */
+  def acfSql(table: String, tsCol: String, keyCol: String,
+      lags: Seq[Int]): String = {
+    val lagSel = lags.map(l =>
+      s"lag(x, $l) OVER (PARTITION BY k ORDER BY h) AS y$l").mkString(", ")
+    val moments = lags.flatMap { l =>
+      Seq(
+        s"CAST(COUNT(y$l) AS BIGINT) AS n$l",
+        s"SUM(CASE WHEN y$l IS NOT NULL THEN CAST(x AS HUGEINT) END) AS sx$l",
+        s"SUM(CAST(y$l AS HUGEINT)) AS sy$l",
+        s"SUM(CAST(x AS HUGEINT) * y$l) AS sxy$l",
+        s"SUM(CASE WHEN y$l IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS sxx$l",
+        s"SUM(CAST(y$l AS HUGEINT) * y$l) AS syy$l")
+    }.mkString(", ")
+    val rows = lags.map { l =>
+      val num = s"n$l*sxy$l - sx$l*sy$l"
+      val dx = s"n$l*sxx$l - sx$l*sx$l"
+      val dy = s"n$l*syy$l - sy$l*sy$l"
+      s"""SELECT k AS $keyCol, CAST($l AS BIGINT) AS lag, n$l AS n_pairs,
+         | CASE WHEN ($dx) = 0 OR ($dy) = 0 THEN NULL
+         |  ELSE CAST(CAST($num AS VARCHAR) AS DOUBLE)
+         |   / sqrt(CAST(CAST($dx AS VARCHAR) AS DOUBLE)
+         |          * CAST(CAST($dy AS VARCHAR) AS DOUBLE)) END AS acf
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hourly AS (
+       | SELECT date_trunc('hour', $tsCol) h, $keyCol k, COUNT(*) n
+       | FROM $table GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(h) lo, MAX(h) hi FROM hourly),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+       |grid AS (SELECT s.h, t.k
+       |         FROM spine s CROSS JOIN (SELECT DISTINCT k FROM hourly) t),
+       |dense AS (SELECT g.k, g.h, COALESCE(hh.n, 0) AS x
+       |          FROM grid g LEFT JOIN hourly hh ON g.h = hh.h AND g.k = hh.k),
+       |lagged AS (SELECT k, x, $lagSel FROM dense),
+       |m AS (SELECT k, $moments FROM lagged GROUP BY k)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY $keyCol, lag""".stripMargin
+  }
+
+  /** Concentration audit of a categorical key — the corpus-BALANCE gate
+    * beside [[corpusStats-style profiling|tableProfile]]: Gini
+    * coefficient and Herfindahl–Hirschman index of the per-key row
+    * distribution. A training mix that believes it is source-diverse but
+    * carries G≈0.8 is dominated by a few sources — this makes that one
+    * number, exactly.
+    *
+    * Exactness: per-key counts are BIGINT; Gini over ascending
+    * (count, key) ranks uses G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc) — ties
+    * commute in the sum, so the key tie-break fixes determinism without
+    * affecting the value; HHI = Σc² / (Σc)². Both emitted as exact
+    * num/den BIGINT pairs PLUS the IEEE ratio over VARCHAR-mediated
+    * doubles (the corrMatrix route).
+    *
+    * SCALE: one map-side-combined rollup to the key-bounded frame, then
+    * a single-task rank window EXPLICITLY bounded by the key domain (a
+    * few thousand sources at most — never data-sized; the data-sized
+    * global-rank form is [[graft.operators.Ranking]]'s job), then one
+    * single-row aggregate. */
+  def concentration(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c"), col(keyCol))
+    val ranked = counts.select(col("c"),
+      row_number().over(w).cast("long").as("i"))
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val s = ranked.agg(count(lit(1)).as("n"), sum(dec(col("c"))).as("t"),
+      sum(dec(col("i") * col("c"))).as("sic"),
+      sum(dec(col("c") * col("c"))).as("scc"))
+    def vmd(c: Column) = c.cast("string").cast(DoubleType)
+    val gnum = lit(2) * col("sic") - (col("n") + 1) * col("t")
+    val gden = col("n") * col("t")
+    val hden = col("t") * col("t")
+    s.select(
+      col("n").as("n_keys"), col("t").cast("long").as("n_rows"),
+      gnum.cast("long").as("gini_num"), gden.cast("long").as("gini_den"),
+      when(gden === 0, lit(null).cast(DoubleType))
+        .otherwise(vmd(gnum) / vmd(gden)).as("gini"),
+      col("scc").cast("long").as("hhi_num"),
+      hden.cast("long").as("hhi_den"),
+      when(hden === 0, lit(null).cast(DoubleType))
+        .otherwise(vmd(col("scc")) / vmd(hden)).as("hhi"))
+  }
+
+  /** Generated DuckDB oracle for [[concentration]] (same rank order,
+    * HUGEINT sums, same num/den emission and IEEE ratios). */
+  def concentrationSql(table: String, keyCol: String): String =
+    s"""WITH c AS (SELECT $keyCol, COUNT(*) c FROM $table GROUP BY 1),
+       |r AS (SELECT c, row_number() OVER (ORDER BY c, $keyCol) i FROM c),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) n, SUM(CAST(c AS HUGEINT)) t,
+       |             SUM(CAST(i AS HUGEINT) * c) sic,
+       |             SUM(CAST(c AS HUGEINT) * c) scc FROM r)
+       |SELECT n AS n_keys, CAST(t AS BIGINT) AS n_rows,
+       | CAST(2*sic - (n+1)*t AS BIGINT) AS gini_num,
+       | CAST(n*t AS BIGINT) AS gini_den,
+       | CASE WHEN n*t = 0 THEN NULL
+       |  ELSE CAST(CAST(2*sic - (n+1)*t AS VARCHAR) AS DOUBLE)
+       |       / CAST(CAST(n*t AS VARCHAR) AS DOUBLE) END AS gini,
+       | CAST(scc AS BIGINT) AS hhi_num, CAST(t*t AS BIGINT) AS hhi_den,
+       | CASE WHEN t*t = 0 THEN NULL
+       |  ELSE CAST(CAST(scc AS VARCHAR) AS DOUBLE)
+       |       / CAST(CAST(t*t AS VARCHAR) AS DOUBLE) END AS hhi
+       |FROM s""".stripMargin
 }

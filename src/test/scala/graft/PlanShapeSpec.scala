@@ -993,6 +993,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
 
+  test("blocklist_hits: one Aho-Corasick corpus scan; only the sources×terms rollup shuffles") {
+    val p = plan("blocklist_hits")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("blocklist_counts"), p)
+  }
+
+  test("url_dedup: zero-shuffle canonicalization; only the canonical-key rollup shuffles") {
+    val p = plan("url_dedup")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+  }
+
+  test("events_acf: corpus scanned once (checkpointed hourly); lags fused in ONE window") {
+    val p = plan("events_acf")
+    // the three derivations (bounds, key set, join) read the eager
+    // checkpoint — the events parquet scan happened exactly once, inside
+    // the hourly rollup that produced it
+    assert(!p.contains("Scan parquet"), p)
+    assert("Window".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("parquet_stats_agg: COUNT/MIN/MAX answered from footer stats, zero row groups") {
+    val conf = spark.conf
+    val pa = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val v1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    try {
+      val p = SparkEntry.parquetStatsFrame(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+      assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_suppkey)"), p)
+    } finally {
+      pa.fold(conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        conf.set("spark.sql.parquet.aggregatePushdown", _))
+      v1.fold(conf.unset("spark.sql.sources.useV1SourceList"))(
+        conf.set("spark.sql.sources.useV1SourceList", _))
+    }
+  }
+
   test("orc_roundtrip: the date predicate reaches the ORC scan's pushed filters") {
     val path = SparkEntry.formatStagePath(sf, "orders", "orc")
     if (!new java.io.File(s"$path/_SUCCESS").exists) {

@@ -1037,4 +1037,116 @@ class PropertiesSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(shuffled == out)
   }
+
+  test("blocklist kernel counts every overlapping occurrence like the naive scan") {
+    import graft.functions.blocklistCounts
+    // deliberately includes BORDERED terms (aa, aba) whose occurrences
+    // overlap, nested terms (a < al < value), and a never-hit term — the
+    // kernel's contract is ALL occurrences per term, independently
+    val terms = Seq("a", "aa", "aba", "al", "can", "scan", "value", "zzz")
+    val edge = Seq("", "aaaa", "abababa", "scan can value al scans",
+      "aa aa aaa", "value valuevalue", "zz z zz")
+    val gen = Gen.listOfN(40, Gen.listOfN(30,
+      Gen.oneOf("a", "b", "c", "an", "ca", "sc", "val", "ue", "l", " "))
+      .map(_.mkString))
+    forAll(gen, n = 3) { rand =>
+      val all = (edge ++ rand).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = all.toDF("id", "t")
+        .select(col("id"), blocklistCounts(col("t"), terms).as("c"))
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toList
+      val want = all.map { case (i, t) =>
+        (i, graft.functions.BlocklistCounts.reference(t, terms).toList) }.toList
+      assert(got == want)
+    }
+  }
+
+  test("url canonicalization: fragment, default ports, www, utm, order, slash") {
+    val cases = Seq(
+      "HTTP://WWW.Ex.COM:80/A/b/?b=2&a=1#f" -> "http://ex.com/A/b?a=1&b=2",
+      "https://Ex.com:443/" -> "https://ex.com/",
+      "https://Ex.com:8443/x" -> "https://ex.com:8443/x", // non-default port kept
+      "http://ex.com" -> "http://ex.com/",
+      "http://ex.com/p?utm_source=a&utm_campaign=b" -> "http://ex.com/p",
+      "http://ex.com/p//" -> "http://ex.com/p",
+      "ftp://User.Host/p" -> "ftp://user.host/p") // unknown scheme: port untouched
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.functions.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), got.mkString(" | "))
+  }
+
+  test("acf: exact ±1 on alternating series, null on constant, spine zero-fill") {
+    val rows =
+      (0 until 9).map(h =>
+        ("alt", f"2024-01-01 $h%02d:00:00", if (h % 2 == 0) 10L else 20L)) ++
+      (0 until 9).map(h => ("con", f"2024-01-01 $h%02d:00:00", 5L)) ++
+      Seq(0, 1, 2, 3, 5, 6, 7, 8).map(h =>
+        ("gap", f"2024-01-01 $h%02d:00:00", 5L)) // hour 4 missing
+    val hourly = rows.toDF("k", "hs", "n")
+      .select(col("k"), to_timestamp(col("hs")).as("h"), col("n"))
+    val out = graft.operators.Quality.acf(hourly, "k", "h", "n", Seq(1, 2))
+      .orderBy("k", "lag").collect()
+    val alt = out.filter(_.getString(0) == "alt")
+    // 8 aligned pairs at lag 1 are all (10,20)/(20,10) -> exactly -1;
+    // 7 pairs at lag 2 are same-parity -> exactly +1 (integer-exact
+    // moments, sqrt of an exact square)
+    assert(alt(0).getLong(2) == 8L && alt(0).getDouble(3) == -1.0)
+    assert(alt(1).getLong(2) == 7L && alt(1).getDouble(3) == 1.0)
+    val con = out.filter(_.getString(0) == "con")
+    assert(con.forall(_.isNullAt(3))) // zero variance -> NULL
+    // the missing hour 4 is ZERO-FILLED on the dense spine: pair counts
+    // reflect the 9-hour span (not the 8 present rows) and the dip makes
+    // adjacent hours anticorrelate
+    val gap = out.filter(_.getString(0) == "gap")
+    assert(gap(0).getLong(2) == 8L && gap(1).getLong(2) == 7L)
+    assert(!gap(0).isNullAt(3) && gap(0).getDouble(3) < 0)
+  }
+
+  test("mann-whitney u2 equals the quadratic pair count; U_A + U_B = n_a*n_b") {
+    val g = Gen.listOfN(60, Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0, 12)))
+    forAll(g, n = 5) { rows =>
+      val df = rows.map { case (gp, v) => (gp, v.toDouble) }.toDF("g", "v")
+      val out = graft.operators.Quality.mwuStatistic(df, "g", "v", "A", "B")
+        .collect()(0)
+      val as = rows.collect { case ("A", v) => v }
+      val bs = rows.collect { case ("B", v) => v }
+      // 2·U_A = 2·#{x>y} + #{x==y} over all (x∈A, y∈B) pairs — the
+      // quadratic definition the rank form must equal exactly
+      val wins = (for (x <- as; y <- bs)
+        yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+      assert(out.getAs[Long]("n_a") == as.size.toLong)
+      assert(out.getAs[Long]("n_b") == bs.size.toLong)
+      assert(out.getAs[Long]("u2_a") == wins, s"rows=$rows")
+      val ba = graft.operators.Quality.mwuStatistic(df, "g", "v", "B", "A")
+        .collect()(0)
+      assert(out.getAs[Long]("u2_a") + ba.getAs[Long]("u2_a") ==
+        2L * as.size * bs.size)
+      if (as.nonEmpty && bs.nonEmpty)
+        assert(out.getAs[Double]("auc_a") ==
+          wins.toDouble / (2.0 * as.size * bs.size))
+    }
+  }
+
+  test("concentration: gini num/den match mean-absolute-difference; uniform is zero") {
+    val cg = Gen.listOfN(12, Gen.choose(1, 30))
+    forAll(cg, n = 5) { counts =>
+      val rows = counts.zipWithIndex.flatMap { case (c, i) => Seq.fill(c)(s"k$i") }
+      val r = graft.operators.Quality.concentration(rows.toDF("k"), "k").collect()(0)
+      val n = counts.size.toLong
+      val t = counts.map(_.toLong).sum
+      // identity: sum over ORDERED pairs |ci-cj| = 2 * (2*sum(i*c_asc) - (n+1)*T)
+      val mad = (for (a <- counts; b <- counts) yield math.abs(a - b).toLong).sum
+      assert(r.getAs[Long]("n_keys") == n && r.getAs[Long]("n_rows") == t)
+      assert(2L * r.getAs[Long]("gini_num") == mad, s"counts=$counts")
+      assert(r.getAs[Long]("gini_den") == n * t)
+      assert(math.abs(r.getAs[Double]("gini") - mad.toDouble / (2.0 * n * t)) < 1e-12)
+      assert(r.getAs[Long]("hhi_num") == counts.map(c => c.toLong * c).sum)
+    }
+    // uniform distribution: gini exactly 0, hhi exactly 1/n
+    val uni = (0 until 8).flatMap(i => Seq.fill(5)(s"k$i"))
+    val u = graft.operators.Quality.concentration(uni.toDF("k"), "k").collect()(0)
+    assert(u.getAs[Long]("gini_num") == 0L && u.getAs[Double]("gini") == 0.0)
+    assert(u.getAs[Double]("hhi") == 1.0 / 8)
+  }
 }

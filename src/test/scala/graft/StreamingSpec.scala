@@ -268,6 +268,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MWU over the streamed (group, value) counts equals the batch U bitwise") {
+    // Mann–Whitney rides the SAME accumulating (group, value) sink as KS
+    // (one state, both rank/CDF monitors score it); re-summed partials
+    // feed the identical distinct-value rollup, so u2 and the single AUC
+    // division match bit for bit
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = EventsStream.valueCounts(
+        input.toDF().toDF("event_type", "value"), "event_type", "value")
+      .writeStream.format("memory").queryName("mwu_counts")
+      .outputMode("complete").start()
+    try {
+      val feed = (0 until 40).map(i => ("click", (i % 8 + 4) / 16.0)) ++
+        (0 until 30).map(i => ("view", (i % 8) / 16.0)) ++
+        Seq(("click", 1.0), ("view", 0.25), ("error", 9.9))
+      input.addData(feed.take(25): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(25): _*)
+      q.processAllAvailable()
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+      val streamed = rows(graft.operators.Quality.mwuFromCounts(
+        spark.table("mwu_counts"), "event_type", "value", "n", "click", "view"))
+      val batch = rows(graft.operators.Quality.mwuStatistic(
+        feed.toDF("event_type", "value"), "event_type", "value", "click", "view"))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // click planted right of view -> AUC decisively above 0.5
+      assert(streamed.head._6 > 0.7, streamed)
+    } finally q.stop()
+  }
+
   test("PSI over the streamed bucket counts equals the batch score bitwise") {
     // PSI rides the SAME accumulating bucket-count sink as the TV drift
     // leg (one state, every distribution monitor scores it); the add-1
