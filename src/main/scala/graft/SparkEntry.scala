@@ -4077,36 +4077,76 @@ object SparkEntry {
     * raw variants collapse to the canonical groups both engines must
     * agree on byte-for-byte. Zero-shuffle until the canonical-key
     * rollup. */
+  /** The deterministic messy-URL synthesis shared by `url_dedup` and
+    * `decontaminate_url` (scheme/WWW case, default ports, trailing slash,
+    * param order, utm_* noise, fragments — all keyed off doc_id). */
+  private def messyUrl(id: Column): Column = concat(
+    when(id % 4 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
+    when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    lit("Site-"), id % 50, lit(".Example.COM"),
+    when(id % 5 === 0,
+      when(id % 4 === 0, lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit("")),
+    lit("/Docs/"), id % 200,
+    when(id % 7 === 0, lit("/")).otherwise(lit("")),
+    lit("?"),
+    when(id % 2 === 0, lit("b=2&a=1")).otherwise(lit("a=1&b=2")),
+    when(id % 3 === 0, lit("&utm_source=feed&utm_campaign=x"))
+      .otherwise(lit("")),
+    when(id % 11 === 0, concat(lit("&c="), id % 3)).otherwise(lit("")),
+    when(id % 6 === 0, lit("#Section-2")).otherwise(lit("")))
+
   private def urlDedup(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
-    val url = concat(
-      when(id % 4 === 0, lit("HTTPS")).otherwise(lit("http")), lit("://"),
-      when(id % 3 === 0, lit("WWW.")).otherwise(lit("")),
-      lit("Site-"), id % 50, lit(".Example.COM"),
-      when(id % 5 === 0,
-        when(id % 4 === 0, lit(":443")).otherwise(lit(":80")))
-        .otherwise(lit("")),
-      lit("/Docs/"), id % 200,
-      when(id % 7 === 0, lit("/")).otherwise(lit("")),
-      lit("?"),
-      when(id % 2 === 0, lit("b=2&a=1")).otherwise(lit("a=1&b=2")),
-      when(id % 3 === 0, lit("&utm_source=feed&utm_campaign=x"))
-        .otherwise(lit("")),
-      when(id % 11 === 0, concat(lit("&c="), id % 3)).otherwise(lit("")),
-      when(id % 6 === 0, lit("#Section-2")).otherwise(lit("")))
     documents(s, d)
-      .select(id.as("doc_id"), canonicalizeUrl(url).as("canonical_url"))
+      .select(id.as("doc_id"), canonicalizeUrl(messyUrl(id)).as("canonical_url"))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
       .orderBy("canonical_url")
   }
 
-  /** DuckDB twin of [[urlDedup]] — same synthesis arithmetic, same
-    * anchored-regex canonicalization steps (anchors make first-match and
-    * global replace coincide), list_sort/list_filter mirroring
-    * array_sort/filter. */
-  private val urlDedupOracle: String =
-    """WITH u AS (
+  /** URL-level cross-corpus decontamination — the FIRST decontamination
+    * pass a web corpus runs (before any content shingle): a train doc
+    * whose CANONICAL URL appears in the benchmark's canonical set is
+    * contaminated, however its fetched bytes differ (mirrors, tracking
+    * params, re-crawls). Split convention: doc_id % 7 == 0 is the
+    * benchmark slice (%50 would give the bench slice its own host — no
+    * cross-split canonical collisions to detect). The bench set is
+    * corpus-scaled, so the membership test is a keyed shuffle join on
+    * the canonical key — never a broadcast assumption. */
+  private def decontaminateUrl(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val withUrl = documents(s, d)
+      .select(id.as("doc_id"), canonicalizeUrl(messyUrl(id)).as("cu"))
+    val bench = withUrl.filter(col("doc_id") % 7 === 0)
+      .select(col("cu")).distinct().withColumn("__hit", lit(1L))
+    withUrl.filter(col("doc_id") % 7 =!= 0)
+      .join(bench, Seq("cu"), "left")
+      .select(col("doc_id"), col("__hit").isNotNull.as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Change-point locator over the hourly per-type event series
+    * ([[Quality.changepointFromHourly]]) — WHERE the level shifted:
+    * the binary-segmentation argmax of the cleared-denominator deviation
+    * |T·S_t − t·S|, zero-filled on the dense spine, every decision
+    * BIGINT-exact, beside `events_cusum`'s "did it shift". */
+  private def eventsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Quality.changepointFromHourly(hourly, "event_type", "h", "n")
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[messyUrl]] + [[graft.functions.canonicalizeUrl]]
+    * as a WITH body ending in `c(doc_id, canonical_url)` — same synthesis
+    * arithmetic, same anchored-regex canonicalization steps (anchors make
+    * first-match and global replace coincide), list_sort/list_filter
+    * mirroring array_sort/filter. Shared by the url_dedup and
+    * decontaminate_url oracles. */
+  private val urlCanonCtes: String =
+    """u AS (
       | SELECT doc_id,
       |  (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
       |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
@@ -4135,10 +4175,20 @@ object SparkEntry {
       |  (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
       |  (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS canonical_url
       | FROM (SELECT *, list_sort(list_filter(string_split(q0, '&'),
-      |        x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS ps FROM p))
-      |SELECT canonical_url, COUNT(*) AS n_variants,
-      | CAST(MIN(doc_id) AS BIGINT) AS first_doc
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+      |        x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS ps FROM p))""".stripMargin
+
+  private def urlDedupOracle: String =
+    s"""WITH $urlCanonCtes
+       |SELECT canonical_url, COUNT(*) AS n_variants,
+       | CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private def decontaminateUrlOracle: String =
+    s"""WITH $urlCanonCtes,
+       |bench AS (SELECT DISTINCT canonical_url FROM c WHERE doc_id % 7 = 0)
+       |SELECT t.doc_id, (b.canonical_url IS NOT NULL) AS contaminated
+       |FROM c t LEFT JOIN bench b ON t.canonical_url = b.canonical_url
+       |WHERE t.doc_id % 7 <> 0 ORDER BY t.doc_id""".stripMargin
 
   /** Metadata-only table statistics: COUNT/MIN/MAX answered from parquet
     * FOOTER stats via Spark's V2 aggregate pushdown — zero row groups
@@ -4424,7 +4474,9 @@ object SparkEntry {
     "blocklist_hits" -> (blocklistHits _),
     "url_dedup" -> (urlDedup _),
     "parquet_stats_agg" -> (parquetStatsAgg _),
-    "value_mwu" -> (valueMwu _)
+    "value_mwu" -> (valueMwu _),
+    "decontaminate_url" -> (decontaminateUrl _),
+    "events_changepoint" -> (eventsChangepoint _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4467,6 +4519,9 @@ object SparkEntry {
         Quality.concentrationSql("documents", "source")) +
       ("blocklist_hits" -> blocklistOracle) +
       ("url_dedup" -> urlDedupOracle) +
+      ("decontaminate_url" -> decontaminateUrlOracle) +
+      ("events_changepoint" ->
+        Quality.changepointSql("events", "ts", "event_type")) +
       ("value_mwu" -> Quality.mwuSql("events", "event_type", "value",
         Seq(("click", "view"), ("click", "error")))) +
       ("parquet_stats_agg" ->

@@ -1127,7 +1127,7 @@ object Stress {
     time("blocklist_hits") {
       val termArr = array(stressTerms.map(lit): _*)
       val out = docs
-        .select(col("source"),
+        .select(concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
           posexplode(graft.functions.blocklistCounts(lower(col("text")),
             stressTerms)).as(Seq("i", "cnt")))
         .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
@@ -1142,7 +1142,9 @@ object Stress {
     // TERM (24 string rewrites per row) — same scan count, T× the per-row
     // string work
     time("blocklist_naive") {
-      val lt = docs.select(col("source"), lower(col("text")).as("t"))
+      val lt = docs.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+        lower(col("text")).as("t"))
       val counted = lt.select(col("source") +: stressTerms.zipWithIndex.map {
         case (t, i) =>
           ((length(col("t")) - length(expr(s"replace(t, '$t', '')")))

@@ -1211,20 +1211,7 @@ object Quality {
       cntCol: String, lags: Seq[Int]): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), s"lags must be >= 1: $lags")
     require(lags.distinct.size == lags.size, s"duplicate lags: $lags")
-    // three derivations (bounds, key set, the join) read the rollup — an
-    // eager checkpoint of the hours×keys frame keeps the CORPUS scan at
-    // exactly one (the psiFromCounts posture); broadcast hints keep the
-    // tiny joins exchange-free regardless of the checkpoint's inherited
-    // size estimate
-    val hk = hourly.localCheckpoint(true)
-    val bounds = hk.agg(min(col(hourCol)).as("lo"), max(col(hourCol)).as("hi"))
-    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
-      expr("INTERVAL 1 HOUR"))).as(hourCol))
-    val keys = hk.select(col(keyCol)).distinct()
-    val dense = spine.crossJoin(broadcast(keys))
-      .join(broadcast(hk), Seq(hourCol, keyCol), "left")
-      .select(col(keyCol), col(hourCol),
-        coalesce(col(cntCol), lit(0L)).cast("long").as("x"))
+    val dense = denseHourly(hourly, keyCol, hourCol, cntCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(hourCol))
     val lagCols = lags.map(l => lag(col("x"), l).over(w).as(s"y$l"))
@@ -1254,6 +1241,27 @@ object Quality {
     agg.select(col(keyCol), explode(array(rows: _*)).as("r"))
       .select(col(keyCol), col("r.lag").as("lag"),
         col("r.n_pairs").as("n_pairs"), col("r.acf").as("acf"))
+  }
+
+  /** Zero-fill an (key, hour, cnt) rollup on the dense global [min,max]
+    * hour spine per key — the shared substrate of the series monitors
+    * that are wrong across silent gaps ([[acf]], [[changepointFromHourly]]).
+    * Three derivations (bounds, key set, the join) read the rollup — an
+    * eager checkpoint of the hours×keys frame keeps the CORPUS scan at
+    * exactly one (the psiFromCounts posture); broadcast hints keep the
+    * tiny joins exchange-free regardless of the checkpoint's inherited
+    * size estimate. Returns (keyCol, hourCol, x: long). */
+  private def denseHourly(hourly: DataFrame, keyCol: String,
+      hourCol: String, cntCol: String): DataFrame = {
+    val hk = hourly.localCheckpoint(true)
+    val bounds = hk.agg(min(col(hourCol)).as("lo"), max(col(hourCol)).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("INTERVAL 1 HOUR"))).as(hourCol))
+    val keys = hk.select(col(keyCol)).distinct()
+    spine.crossJoin(broadcast(keys))
+      .join(broadcast(hk), Seq(hourCol, keyCol), "left")
+      .select(col(keyCol), col(hourCol),
+        coalesce(col(cntCol), lit(0L)).cast("long").as("x"))
   }
 
   /** Generated DuckDB oracle for [[acf]] over an events-style table —
@@ -1298,6 +1306,98 @@ object Quality {
        |$rows)
        |ORDER BY $keyCol, lag""".stripMargin
   }
+
+  /** Single change-point locator over an hourly count series — the
+    * monitor family's WHERE leg: CUSUM ([[cusum|cusumFromHourly]]) says a
+    * level shift HAPPENED; this says WHEN, as the binary-segmentation
+    * argmax every changepoint stack starts with. For each key the split
+    * t* maximizes the cleared-denominator deviation |T·S_t − t·S| (the
+    * exact integer form of |mean_before(t) − global mean| · t·T), with
+    * the smallest-t tie-break fixing determinism.
+    *
+    * Zero-filled on the dense hour spine ([[denseHourly]]) — a missing
+    * hour is a rate of zero, not an absent sample, exactly the shift a
+    * dying feed shows. All decisions BIGINT-exact: products need
+    * T·S < 2^63 (at 720 hourly buckets that is ~1.2e16 rows — beyond
+    * 100 TB of events); the two emitted means are single IEEE divisions
+    * of exact operands, and `flagged` compares d·flagDen > flagNum·T·S
+    * in integers (default 1/4 of the theoretical max).
+    *
+    * SCALE: everything after the caller's hourly rollup is
+    * hours×keys-bounded — ONE fused window pass (position + prefix over
+    * one spec), a key-sized total rollup broadcast back, and a struct
+    * argmax on the reduced frame (SortAggregate there is the documented
+    * acceptable shape). */
+  def changepointFromHourly(hourly: DataFrame, keyCol: String,
+      hourCol: String, cntCol: String,
+      flagNum: Long = 1L, flagDen: Long = 4L): DataFrame = {
+    require(flagNum >= 0L && flagDen >= 1L,
+      s"bad flag threshold $flagNum/$flagDen")
+    val dense = denseHourly(hourly, keyCol, hourCol, cntCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(hourCol))
+    val pre = dense.select(col(keyCol), col(hourCol),
+      row_number().over(w).cast("long").as("t"),
+      sum(col("x")).over(w).as("st"))
+    val tot = pre.groupBy(col(keyCol))
+      .agg(max(col("t")).as("bigT"), max(col("st")).as("s"))
+    val d = abs(col("bigT") * col("st") - col("t") * col("s"))
+    val scored = pre.join(broadcast(tot), Seq(keyCol))
+      .filter(col("t") < col("bigT") || col("bigT") === 1L)
+      .select(col(keyCol), col("bigT"), col("s"),
+        struct(d.as("d"), (-col("t")).as("negt"), col("t").as("t"),
+          col(hourCol).as("h"), col("st").as("st")).as("cand"))
+    scored.groupBy(col(keyCol))
+      .agg(max(col("bigT")).as("bigT"), max(col("s")).as("s"),
+        max(col("cand")).as("m"))
+      .select(
+        col(keyCol), col("bigT").as("n_hours"), col("s").as("total"),
+        col("m.t").as("split_t"),
+        date_format(col("m.h"), "yyyy-MM-dd HH:mm:ss").as("split_hour"),
+        col("m.d").as("d_max"),
+        (col("m.st").cast(DoubleType) / col("m.t").cast(DoubleType))
+          .as("mean_before"),
+        when(col("bigT") === col("m.t"), lit(null).cast(DoubleType))
+          .otherwise((col("s") - col("m.st")).cast(DoubleType) /
+            (col("bigT") - col("m.t")).cast(DoubleType)).as("mean_after"),
+        (col("m.d") * flagDen > lit(flagNum) * col("bigT") * col("s"))
+          .as("flagged"))
+  }
+
+  /** Generated DuckDB oracle for [[changepointFromHourly]] over an
+    * events-style table (same dense spine, same integer argmax with the
+    * t-ascending tie-break, same IEEE divisions). */
+  def changepointSql(table: String, tsCol: String, keyCol: String,
+      flagNum: Long = 1L, flagDen: Long = 4L): String =
+    s"""WITH hourly AS (
+       | SELECT date_trunc('hour', $tsCol) h, $keyCol k, COUNT(*) n
+       | FROM $table GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(h) lo, MAX(h) hi FROM hourly),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+       |grid AS (SELECT s.h, t.k
+       |         FROM spine s CROSS JOIN (SELECT DISTINCT k FROM hourly) t),
+       |dense AS (SELECT g.k, g.h, COALESCE(hh.n, 0) AS x
+       |          FROM grid g LEFT JOIN hourly hh ON g.h = hh.h AND g.k = hh.k),
+       |pre AS (SELECT k, h,
+       |        CAST(row_number() OVER (PARTITION BY k ORDER BY h) AS BIGINT) t,
+       |        CAST(SUM(x) OVER (PARTITION BY k ORDER BY h
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) st
+       |        FROM dense),
+       |tot AS (SELECT k, MAX(t) bigT, MAX(st) s FROM pre GROUP BY k),
+       |j AS (SELECT p.k, p.h, p.t, p.st, o.bigT, o.s,
+       |       abs(o.bigT*p.st - p.t*o.s) AS d
+       |      FROM pre p JOIN tot o ON p.k = o.k
+       |      WHERE p.t < o.bigT OR o.bigT = 1),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY d DESC, t ASC) rn
+       |         FROM j)
+       |SELECT k AS $keyCol, bigT AS n_hours, s AS total,
+       | t AS split_t, strftime(h, '%Y-%m-%d %H:%M:%S') AS split_hour,
+       | d AS d_max,
+       | CAST(st AS DOUBLE) / CAST(t AS DOUBLE) AS mean_before,
+       | CASE WHEN bigT = t THEN NULL
+       |  ELSE CAST(s - st AS DOUBLE) / CAST(bigT - t AS DOUBLE) END AS mean_after,
+       | (d * $flagDen > $flagNum * bigT * s) AS flagged
+       |FROM best WHERE rn = 1 ORDER BY $keyCol""".stripMargin
 
   /** Concentration audit of a categorical key — the corpus-BALANCE gate
     * beside [[corpusStats-style profiling|tableProfile]]: Gini

@@ -1128,6 +1128,47 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint finds a planted level shift exactly; rides the monitor seam") {
+    // "a": 10,10,...(h 0-9) then 100,...(h 10-19) — the argmax must land
+    // at t=10 (the last pre-shift hour) with the exact means and the flag
+    // ON (d=9000, T·S=22000: 4·9000 > 22000); "flat" is constant -> d=0
+    // everywhere, tie-break picks t=1, no flag
+    val rows =
+      (0 until 20).map(h =>
+        ("a", f"2024-01-01 $h%02d:00:00", if (h < 10) 10L else 100L)) ++
+      (0 until 20).map(h => ("flat", f"2024-01-01 $h%02d:00:00", 7L))
+    val hourly = rows.toDF("k", "hs", "n")
+      .select(col("k"), to_timestamp(col("hs")).as("h"), col("n"))
+    val out = graft.operators.Quality
+      .changepointFromHourly(hourly, "k", "h", "n")
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("split_t") == 10L, a)
+    assert(a.getAs[String]("split_hour") == "2024-01-01 09:00:00", a)
+    assert(a.getAs[Long]("d_max") == 9000L, a)
+    assert(a.getAs[Double]("mean_before") == 10.0 &&
+      a.getAs[Double]("mean_after") == 100.0, a)
+    assert(a.getAs[Boolean]("flagged"), a)
+    val flat = out(1)
+    assert(flat.getAs[Long]("split_t") == 1L && !flat.getAs[Boolean]("flagged"),
+      flat)
+    assert(flat.getAs[Double]("mean_before") == 7.0, flat)
+    // repartition-invariant (retried tasks must agree)
+    val re = graft.operators.Quality
+      .changepointFromHourly(hourly.repartition(7), "k", "h", "n")
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(re == out.map(_.toSeq).toSeq)
+    // the scorer shape rides MonitorSeam unchanged: partial sink rows
+    // (6+4 for one hour) re-sum before scoring == direct on finals
+    val sink = rows.map { case (k, hs, n) => (k, hs, n - 2L) } ++
+      rows.map { case (k, hs, _) => (k, hs, 2L) }
+    val viaSeam = graft.streaming.MonitorSeam.scoreHourly(
+        sink.toDF("k", "hs", "n"), "k", "hs", "n")(
+        graft.operators.Quality.changepointFromHourly(_, _, _, _))
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(viaSeam == out.map(_.toSeq).toSeq, viaSeam)
+  }
+
   test("concentration: gini num/den match mean-absolute-difference; uniform is zero") {
     val cg = Gen.listOfN(12, Gen.choose(1, 30))
     forAll(cg, n = 5) { counts =>
