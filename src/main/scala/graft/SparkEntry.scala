@@ -3441,6 +3441,21 @@ object SparkEntry {
       .orderBy("q_id", "rk")
   }
 
+  /** Filtered vector search ([[Similarity.ivfTopKFiltered]]): top-k among
+    * even-label vectors only, nProbe doubled to compensate the ~1/2
+    * selectivity (rows-only — approximate by design; LlmOpsSpec pins
+    * label correctness, score parity with brute cosine, determinism). */
+  private def simIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = Similarity
+      .groupCentroids(emb.withColumn("label", col("label").cast(StringType)),
+        "label", "embedding")
+    Similarity.ivfTopKFiltered(emb, emb.filter(col("vec_id") < 8), centroids,
+        "vec_id", "embedding", k = 10, nProbe = 4, col("label") % 2 === 0)
+      .withColumnRenamed("rank", "rk")
+      .orderBy("q_id", "rk")
+  }
+
   // ------------------------------------------------------------------
   // Sources (SURVEY §2 #2, #4)
   // ------------------------------------------------------------------
@@ -3628,6 +3643,50 @@ object SparkEntry {
   private[graft] def schemaEvolutionRead(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").option("basePath", path)
       .parquet(s"$path/batch=1", s"$path/batch=2")
+
+  /** Binary-blob ingestion via Spark's `binaryFile` source — the real
+    * multimodal LANDING path at 100 TB: a directory of opaque per-item
+    * blobs (images/audio/shards) becomes (path, length, content) rows
+    * with no custom reader, and the item key comes FROM THE PATH (the
+    * universal blob-store convention). Staged once, mtime-keyed: one
+    * .bin per document whose bytes are the doc's UTF-8 text —
+    * deterministic, so the DuckDB oracle recomputes the byte totals from
+    * the parquet truth without reading a single blob. The read joins the
+    * catalog row KEYED (never broadcast-assumed) and verifies content
+    * integrity per blob (md5(bytes) == md5(utf8(text))): `n_match` <
+    * `n_files` in the gate would mean the source mangled bytes. Staging
+    * IO runs DISTRIBUTED (foreachPartition — fixture-only imperative
+    * writes, the multimodal-stub convention). */
+  private def binaryIngest(s: SparkSession, d: String): DataFrame = {
+    val path = formatStagePath(d, "documents", "bin")
+    val done = new java.io.File(path, "_done")
+    if (!done.exists) {
+      new java.io.File(path).mkdirs()
+      documents(s, d).select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      java.nio.file.Files.writeString(done.toPath, "ok")
+    }
+    val blobs = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast(LongType).as("doc_id"),
+        col("length"), md5(col("content")).as("__h"))
+    blobs
+      .join(documents(s, d).select(col("doc_id"), col("source"),
+        md5(col("text").cast(BinaryType)).as("__th")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_files"), sum(col("length")).as("total_bytes"),
+        sum((col("__h") === col("__th")).cast(LongType)).as("n_match"))
+      .orderBy("source")
+  }
 
   /** y/m/d partitioned staging round-trip: write events staged, read back,
     * per-partition counts prove layout + pruning columns. */
@@ -4047,11 +4106,14 @@ object SparkEntry {
       .select(col("source"),
         posexplode(blocklistCounts(lower(col("text")), blocklistTerms))
           .as(Seq("i", "cnt")))
-      .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
-        col("cnt"))
-      .groupBy("source", "term")
+      // roll up on the INTEGER term index — the corpus-sized shuffle keys
+      // stay (string, int) and the term-literal array is built only on
+      // the sources×terms result, never per exploded row
+      .groupBy("source", "i")
       .agg(sum((col("cnt") > 0).cast("long")).as("n_docs"),
         sum(col("cnt")).as("total_hits"))
+      .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
+        col("n_docs"), col("total_hits"))
       .orderBy("source", "term")
   }
 
@@ -4228,6 +4290,20 @@ object SparkEntry {
       .unionByName(
         Quality.mwuStatistic(ev, "event_type", "value", "click", "error"))
       .orderBy("type_b")
+  }
+
+  /** Lead/lag cross-correlation between the purchase and click hourly
+    * series ([[Quality.xcorr]], signed lags ±6h) — the pairwise
+    * completion of `events_acf`: a peak at lag l > 0 means clicks LEAD
+    * purchases by l hours (the funnel's time constant, read from the
+    * volume series alone). */
+  private def eventsXcorr(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Quality.xcorr(hourly, "event_type", "h", "n", "purchase", "click",
+        maxLag = 6)
+      .orderBy("lag")
   }
 
   /** The un-checkpointed stats aggregate (PlanShapeSpec's seam: the
@@ -4476,7 +4552,10 @@ object SparkEntry {
     "parquet_stats_agg" -> (parquetStatsAgg _),
     "value_mwu" -> (valueMwu _),
     "decontaminate_url" -> (decontaminateUrl _),
-    "events_changepoint" -> (eventsChangepoint _)
+    "events_changepoint" -> (eventsChangepoint _),
+    "binary_ingest" -> (binaryIngest _),
+    "sim_ivf_filtered" -> (simIvfFiltered _),
+    "events_xcorr" -> (eventsXcorr _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4515,6 +4594,8 @@ object SparkEntry {
       ("numeric_corr" -> Quality.corrMatrixSql("lineitem", corrCols)) +
       ("dq_rules" -> Quality.checkRulesSql("orders", orderRules)) +
       ("events_acf" -> Quality.acfSql("events", "ts", "event_type", acfLags)) +
+      ("events_xcorr" -> Quality.xcorrSql("events", "ts", "event_type",
+        "purchase", "click", maxLag = 6)) +
       ("source_concentration" ->
         Quality.concentrationSql("documents", "source")) +
       ("blocklist_hits" -> blocklistOracle) +
@@ -4522,6 +4603,14 @@ object SparkEntry {
       ("decontaminate_url" -> decontaminateUrlOracle) +
       ("events_changepoint" ->
         Quality.changepointSql("events", "ts", "event_type")) +
+      // the blobs ARE the text bytes (deterministic staging), so the
+      // oracle recomputes file counts and byte totals from the parquet
+      // truth; n_match == n_files is the integrity assertion
+      ("binary_ingest" ->
+        """SELECT source, COUNT(*) AS n_files,
+          | CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+          | COUNT(*) AS n_match
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin) +
       ("value_mwu" -> Quality.mwuSql("events", "event_type", "value",
         Seq(("click", "view"), ("click", "error")))) +
       ("parquet_stats_agg" ->

@@ -1130,6 +1130,31 @@ object Stress {
         .select(concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
           posexplode(graft.functions.blocklistCounts(lower(col("text")),
             stressTerms)).as(Seq("i", "cnt")))
+        .groupBy("source", "i")
+        .agg(sum((col("cnt") > 0).cast("long")).as("n_docs"),
+          sum(col("cnt")).as("total_hits"))
+        .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
+          col("n_docs"), col("total_hits"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
+    // probe: kernel scan alone (no explode/rollup) — isolates the
+    // automaton cost from the downstream shape
+    time("blocklist_scan") {
+      val out = docs.select(
+        graft.functions.blocklistCounts(lower(col("text")), stressTerms)
+          .as("c"))
+        .select(element_at(col("c"), 5).as("x"), element_at(col("c"), 1).as("y"))
+      out.agg(sum(col("x")), sum(col("y")), count(lit(1))).head().getLong(2)
+    }
+    // probe: explode + rollup alone over a constant array (no kernel) —
+    // isolates the downstream shape cost
+    time("blocklist_explode_const") {
+      val termArr = array(stressTerms.map(lit): _*)
+      val constArr = array(stressTerms.indices.map(i => lit(i.toLong)): _*)
+      val out = docs
+        .select(concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+          posexplode(constArr).as(Seq("i", "cnt")))
         .select(col("source"), element_at(termArr, col("i") + 1).as("term"),
           col("cnt"))
         .groupBy("source", "term")

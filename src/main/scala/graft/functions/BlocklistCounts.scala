@@ -81,10 +81,20 @@ object BlocklistCounts {
     }
 }
 
-/** Aho–Corasick automaton over the term list; built once per deserialized
-  * expression (executor-local). Nodes are HashMap-goto (arbitrary
-  * alphabet); fail links by BFS; each node's emit list carries every term
-  * index ending there (its own terminals plus the fail-chain's). */
+/** Aho–Corasick automaton over the term list, flattened to a full DFA;
+  * built once per deserialized expression (executor-local). Two-level
+  * layout keeps the per-char step branch-free and allocation-free (the
+  * HashMap<Character>-per-char draft measured 15× SLOWER than the naive
+  * per-term replace chain — boxing on every input character):
+  *
+  *  - `code`: a 64 K byte table mapping any char to a dense alphabet
+  *    code (0 = "appears in no term" — one shared column of the DFA);
+  *  - `delta`: the fail-resolved transition table
+  *    (numStates × (alphabet+1) ints, built BFS so delta[fail] is ready);
+  *  - `emit`: per state, the term indices ending there (own terminals ++
+  *    emit[fail]) — empty for almost every state, so the scan's inner
+  *    loop is one array-length check per char.
+  */
 final class AhoCorasick(terms: Array[String]) extends Serializable {
 
   require(terms.nonEmpty, "blocklist_counts needs at least one term")
@@ -92,64 +102,91 @@ final class AhoCorasick(terms: Array[String]) extends Serializable {
   require(terms.distinct.length == terms.length,
     s"duplicate blocklist terms: ${terms.mkString(",")}")
 
-  @transient private lazy val root: AhoCorasick.Node = {
-    val r = new AhoCorasick.Node
+  @transient private lazy val dfa: AhoCorasick.Dfa = {
+    // trie with dense codes: alphabet = distinct chars over all terms
+    val code = new Array[Byte](Character.MAX_VALUE + 1)
+    var alpha = 0
+    terms.foreach(_.foreach { ch =>
+      if (code(ch) == 0) { alpha += 1; code(ch) = alpha.toByte }
+    })
+    require(alpha <= 127, s"blocklist alphabet too large: $alpha distinct chars")
+    val width = alpha + 1
+    // trie build over (state, code) — goto as a growable array of rows
+    val rows = scala.collection.mutable.ArrayBuffer(new Array[Int](width))
+    val terminals = scala.collection.mutable.ArrayBuffer(List.empty[Int])
     var i = 0
     while (i < terms.length) {
-      var node = r
-      val t = terms(i)
-      var j = 0
-      while (j < t.length) {
-        var next = node.next.get(t.charAt(j))
-        if (next == null) {
-          next = new AhoCorasick.Node
-          node.next.put(t.charAt(j), next)
+      var s = 0
+      terms(i).foreach { ch =>
+        val c = code(ch)
+        if (rows(s)(c) == 0) {
+          rows += new Array[Int](width)
+          terminals += Nil
+          rows(s)(c) = rows.length - 1
         }
-        node = next
-        j += 1
+        s = rows(s)(c)
       }
-      node.terminals = i :: node.terminals
+      terminals(s) = i :: terminals(s)
       i += 1
     }
-    // BFS fail links; emit = own terminals ++ fail.emit (precomputed so
-    // the scan never walks fail chains for output)
-    val queue = new java.util.ArrayDeque[AhoCorasick.Node]
-    r.fail = r
-    r.emit = r.terminals.toArray
-    r.next.forEach { (_, child) =>
-      child.fail = r
-      child.emit = (child.terminals ++ r.terminals).toArray
-      queue.add(child)
-    }
-    while (!queue.isEmpty) {
-      val node = queue.poll()
-      node.next.forEach { (ch, child) =>
-        var f = node.fail
-        while (f != r && f.next.get(ch) == null) f = f.fail
-        val fnext = if (f.next.get(ch) != null && f.next.get(ch) != child)
-          f.next.get(ch) else r
-        child.fail = fnext
-        child.emit = (child.terminals ++ fnext.emit.toList).toArray
+    // BFS: resolve fails into a full DFA and precompute emit lists
+    val n = rows.length
+    val delta = Array.ofDim[Int](n, width)
+    val fail = new Array[Int](n)
+    val emit = new Array[Array[Int]](n)
+    emit(0) = terminals(0).toArray
+    val queue = new java.util.ArrayDeque[Integer]
+    var c = 1
+    while (c < width) {
+      val child = rows(0)(c)
+      delta(0)(c) = child // 0 when absent -> stay at root
+      if (child != 0) {
+        fail(child) = 0
+        emit(child) = (terminals(child) ++ emit(0).toList).toArray
         queue.add(child)
       }
+      c += 1
     }
-    r
+    while (!queue.isEmpty) {
+      val s = queue.poll().intValue()
+      var c = 1
+      while (c < width) {
+        val child = rows(s)(c)
+        if (child != 0) {
+          fail(child) = delta(fail(s))(c)
+          emit(child) = (terminals(child) ++ emit(fail(child)).toList).toArray
+          delta(s)(c) = child
+          queue.add(child)
+        } else {
+          delta(s)(c) = delta(fail(s))(c)
+        }
+        c += 1
+      }
+    }
+    // flatten delta for locality; code-0 column is all zeros already
+    val flat = new Array[Int](n * width)
+    var s = 0
+    while (s < n) {
+      System.arraycopy(delta(s), 0, flat, s * width, width); s += 1
+    }
+    new AhoCorasick.Dfa(code, flat, width, emit)
   }
 
   /** Called from generated code — one virtual call per row. */
   def counts(text: UTF8String): ArrayData = {
+    val d = dfa
     val s = text.toString
     val out = new Array[Long](terms.length)
-    var node = root
+    var state = 0
     var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      var n = node.next.get(ch)
-      while (n == null && node != root) { node = node.fail; n = node.next.get(ch) }
-      node = if (n == null) root else n
-      val em = node.emit
-      var k = 0
-      while (k < em.length) { out(em(k)) += 1L; k += 1 }
+    val len = s.length
+    while (i < len) {
+      state = d.flat(state * d.width + d.code(s.charAt(i)))
+      val em = d.emit(state)
+      if (em.length != 0) {
+        var k = 0
+        while (k < em.length) { out(em(k)) += 1L; k += 1 }
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -157,10 +194,6 @@ final class AhoCorasick(terms: Array[String]) extends Serializable {
 }
 
 object AhoCorasick {
-  final class Node {
-    val next = new java.util.HashMap[Character, Node](4)
-    var terminals: List[Int] = Nil
-    var fail: Node = _
-    var emit: Array[Int] = Array.emptyIntArray
-  }
+  final class Dfa(val code: Array[Byte], val flat: Array[Int],
+      val width: Int, val emit: Array[Array[Int]])
 }

@@ -1307,6 +1307,122 @@ object Quality {
        |ORDER BY $keyCol, lag""".stripMargin
   }
 
+  /** Cross-correlation between TWO keys' hourly count series at signed
+    * lags — the pairwise completion of [[acf]] (self-similarity says "is
+    * there a rhythm"; cross-correlation says "does A LEAD B, and by how
+    * many hours" — clicks leading purchases, scrape volume leading
+    * ingest volume). Positive lag l pairs x_t (key a) with y_{t-l}
+    * (key b): a peak at l > 0 means B LEADS A by l hours.
+    *
+    * Same contract as [[acf]]: dense-spine zero-fill, ONE fused window
+    * pass emitting every signed-lag column (`lag` for l ≥ 0, `lead` for
+    * l < 0 — both engines share those two verbs; negative offsets
+    * don't), exact BIGINT products / DECIMAL accumulation, IEEE tail
+    * over VARCHAR-mediated doubles, everything after the hourly rollup
+    * hours-bounded. */
+  def xcorr(hourly: DataFrame, keyCol: String, hourCol: String,
+      cntCol: String, a: String, b: String, maxLag: Int): DataFrame = {
+    require(a != b, s"need two distinct keys, got '$a' twice")
+    require(maxLag >= 0, s"need maxLag >= 0, got $maxLag")
+    val dense = denseHourly(
+      hourly.filter(col(keyCol).isin(a, b)), keyCol, hourCol, cntCol)
+    val side = dense.groupBy(col(hourCol))
+      .agg(
+        sum(when(col(keyCol) === a, col("x")).otherwise(0L)).as("xa"),
+        sum(when(col(keyCol) === b, col("x")).otherwise(0L)).as("xb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(hourCol))
+    val lags = (-maxLag to maxLag)
+    val lagCols = lags.map { l =>
+      val c = if (l >= 0) lag(col("xb"), l).over(w)
+              else lead(col("xb"), -l).over(w)
+      c.as(s"y_${if (l < 0) "m" + (-l) else l.toString}")
+    }
+    // hours-bounded frame: the single-task global-order window is the
+    // documented acceptable shape here (the data-sized form is Ranking's)
+    val framed = side.select(col("xa") +: lagCols: _*)
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def nm(l: Int) = if (l < 0) "m" + (-l) else l.toString
+    val sums = lags.flatMap { l =>
+      val y = col(s"y_${nm(l)}")
+      Seq(
+        count(y).as(s"n_${nm(l)}"),
+        sum(when(y.isNotNull, dec(col("xa")))).as(s"sx_${nm(l)}"),
+        sum(dec(y)).as(s"sy_${nm(l)}"),
+        sum(dec(col("xa") * y)).as(s"sxy_${nm(l)}"),
+        sum(when(y.isNotNull, dec(col("xa") * col("xa")))).as(s"sxx_${nm(l)}"),
+        sum(dec(y * y)).as(s"syy_${nm(l)}"))
+    }
+    val agg = framed.agg(sums.head, sums.tail: _*)
+    def vmd(c: Column) = c.cast("string").cast(DoubleType)
+    val rows = lags.map { l =>
+      val n = col(s"n_${nm(l)}")
+      val num = n * col(s"sxy_${nm(l)}") - col(s"sx_${nm(l)}") * col(s"sy_${nm(l)}")
+      val dx = n * col(s"sxx_${nm(l)}") - col(s"sx_${nm(l)}") * col(s"sx_${nm(l)}")
+      val dy = n * col(s"syy_${nm(l)}") - col(s"sy_${nm(l)}") * col(s"sy_${nm(l)}")
+      struct(lit(l).cast("long").as("lag"), n.as("n_pairs"),
+        when(dx === 0 || dy === 0, lit(null).cast(DoubleType))
+          .otherwise(vmd(num) / sqrt(vmd(dx) * vmd(dy))).as("xcorr"))
+    }
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(lit(a).as("key_a"), lit(b).as("key_b"),
+        col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
+        col("r.xcorr").as("xcorr"))
+  }
+
+  /** Generated DuckDB oracle for [[xcorr]] (same spine, same lag/lead
+    * split, HUGEINT sums, identical IEEE tail). */
+  def xcorrSql(table: String, tsCol: String, keyCol: String,
+      a: String, b: String, maxLag: Int): String = {
+    val lags = (-maxLag to maxLag)
+    def nm(l: Int) = if (l < 0) "m" + (-l) else l.toString
+    val lagSel = lags.map { l =>
+      val e = if (l >= 0) s"lag(xb, $l) OVER (ORDER BY h)"
+              else s"lead(xb, ${-l}) OVER (ORDER BY h)"
+      s"$e AS y_${nm(l)}"
+    }.mkString(", ")
+    val moments = lags.flatMap { l =>
+      val y = s"y_${nm(l)}"
+      Seq(
+        s"CAST(COUNT($y) AS BIGINT) AS n_${nm(l)}",
+        s"SUM(CASE WHEN $y IS NOT NULL THEN CAST(xa AS HUGEINT) END) AS sx_${nm(l)}",
+        s"SUM(CAST($y AS HUGEINT)) AS sy_${nm(l)}",
+        s"SUM(CAST(xa AS HUGEINT) * $y) AS sxy_${nm(l)}",
+        s"SUM(CASE WHEN $y IS NOT NULL THEN CAST(xa AS HUGEINT) * xa END) AS sxx_${nm(l)}",
+        s"SUM(CAST($y AS HUGEINT) * $y) AS syy_${nm(l)}")
+    }.mkString(", ")
+    val rows = lags.map { l =>
+      val n = s"n_${nm(l)}"
+      val num = s"$n*sxy_${nm(l)} - sx_${nm(l)}*sy_${nm(l)}"
+      val dx = s"$n*sxx_${nm(l)} - sx_${nm(l)}*sx_${nm(l)}"
+      val dy = s"$n*syy_${nm(l)} - sy_${nm(l)}*sy_${nm(l)}"
+      s"""SELECT '$a' AS key_a, '$b' AS key_b, CAST($l AS BIGINT) AS lag,
+         | $n AS n_pairs,
+         | CASE WHEN ($dx) = 0 OR ($dy) = 0 THEN NULL
+         |  ELSE CAST(CAST($num AS VARCHAR) AS DOUBLE)
+         |   / sqrt(CAST(CAST($dx AS VARCHAR) AS DOUBLE)
+         |          * CAST(CAST($dy AS VARCHAR) AS DOUBLE)) END AS xcorr
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hourly AS (
+       | SELECT date_trunc('hour', $tsCol) h, $keyCol k, COUNT(*) n
+       | FROM $table WHERE $keyCol IN ('$a', '$b') GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(h) lo, MAX(h) hi FROM hourly),
+       |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+       |grid AS (SELECT s.h, t.k
+       |         FROM spine s CROSS JOIN (SELECT DISTINCT k FROM hourly) t),
+       |dense AS (SELECT g.k, g.h, COALESCE(hh.n, 0) AS x
+       |          FROM grid g LEFT JOIN hourly hh ON g.h = hh.h AND g.k = hh.k),
+       |side AS (SELECT h,
+       |         CAST(SUM(CASE WHEN k = '$a' THEN x ELSE 0 END) AS BIGINT) xa,
+       |         CAST(SUM(CASE WHEN k = '$b' THEN x ELSE 0 END) AS BIGINT) xb
+       |        FROM dense GROUP BY h),
+       |lagged AS (SELECT xa, $lagSel FROM side),
+       |m AS (SELECT $moments FROM lagged)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY lag""".stripMargin
+  }
+
   /** Single change-point locator over an hourly count series — the
     * monitor family's WHERE leg: CUSUM ([[cusum|cusumFromHourly]]) says a
     * level shift HAPPENED; this says WHEN, as the binary-segmentation

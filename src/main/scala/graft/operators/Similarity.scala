@@ -227,6 +227,20 @@ object Similarity {
     rankTopK(scored, idCol, k)
   }
 
+  /** Label-filtered IVF search — the "filtered vector search" verb every
+    * production vector store grows (search only docs matching a
+    * predicate: a language, a license, a date range). PRE-filter: the
+    * predicate prunes the corpus BEFORE the cell join (the index prunes
+    * cells, the predicate prunes within them), so no post-filter
+    * under-fill pathology; callers RAISE `nProbe` to compensate for the
+    * thinner cells (at selectivity s, cells hold ~s× the vectors, so
+    * probing ~1/s× the cells restores the candidate budget). Same
+    * deterministic contract as [[ivfTopK]]. */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int, pred: Column): DataFrame =
+    ivfTopK(corpus.filter(pred), queries, centroids, idCol, vecCol, k, nProbe)
+
   /** Deterministic random-hyperplane matrix (nPlanes x dim), generated from
     * a fixed seed on the driver and shipped as a broadcast literal — no
     * per-row randomness, so signatures are reproducible run to run. */

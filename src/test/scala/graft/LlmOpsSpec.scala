@@ -267,6 +267,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L))) // cell "a" probed, neighbor 2 found
   }
 
+  test("filtered IVF returns only matching labels with brute-exact scores") {
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = Similarity.groupCentroids(
+      emb.withColumn("label", col("label").cast("string")), "label", "embedding")
+    val queries = emb.filter($"vec_id" < 4)
+    val out = Similarity.ivfTopKFiltered(emb, queries, centroids,
+      "vec_id", "embedding", k = 5, nProbe = 4, col("label") % 2 === 0)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor satisfies the predicate
+    val evenIds = emb.filter($"label" % 2 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => evenIds.contains(r.getLong(2))), rows.mkString(","))
+    // scores are the TRUE cosines: the filtered-brute ranking over the
+    // same pairs carries identical values (the index prunes candidates,
+    // never perturbs scores)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter($"label" % 2 === 0), queries,
+        "vec_id", "embedding", k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(rows.forall(r =>
+      brute((r.getLong(0), r.getLong(2))) == r.getDouble(3)), "score drift")
+    // deterministic under repartition (retried tasks must agree)
+    val re = Similarity.ivfTopKFiltered(emb.repartition(7), queries, centroids,
+        "vec_id", "embedding", k = 5, nProbe = 4, col("label") % 2 === 0)
+      .collect().map(_.toSeq).toSet
+    assert(re == rows.map(_.toSeq).toSet)
+  }
+
   test("langid scores stopwords and tie-breaks deterministically") {
     val d = Seq(
       (1L, "the cat was on the mat"),

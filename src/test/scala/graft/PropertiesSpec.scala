@@ -1128,6 +1128,29 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("xcorr peaks at exactly +1.0 on a planted lead; lag sign convention holds") {
+    // b_s = p(s+2): b LEADS a by 2 hours, so at lag +2 the aligned pairs
+    // are identical series -> xcorr exactly 1.0 (integer moments, sqrt of
+    // an exact square); elsewhere the pattern decorrelates
+    def p(t: Int): Long = 3L + (t * t) % 17 // aperiodic-ish positive counts
+    def hs(h: Int) = f"2024-01-0${1 + h / 24} ${h % 24}%02d:00:00"
+    val rows =
+      (0 until 30).map(h => ("a", hs(h), p(h))) ++
+      (0 until 30).map(h => ("b", hs(h), p(h + 2)))
+    val hourly = rows.toDF("k", "hs", "n")
+      .select(col("k"), to_timestamp(col("hs")).as("h"), col("n"))
+    val out = graft.operators.Quality.xcorr(hourly, "k", "h", "n", "a", "b", 4)
+      .orderBy("lag").collect()
+    assert(out.length == 9)
+    val at2 = out.find(_.getAs[Long]("lag") == 2L).get
+    assert(at2.getAs[Double]("xcorr") == 1.0, at2)
+    assert(at2.getAs[Long]("n_pairs") == 28L, at2) // 30-hour spine, lag 2
+    // no other lag reaches the planted peak
+    assert(out.filter(_.getAs[Long]("lag") != 2L)
+      .forall(r => r.isNullAt(r.fieldIndex("xcorr")) ||
+        r.getAs[Double]("xcorr") < 1.0), out.mkString(","))
+  }
+
   test("changepoint finds a planted level shift exactly; rides the monitor seam") {
     // "a": 10,10,...(h 0-9) then 100,...(h 10-19) — the argmax must land
     // at t=10 (the last pre-shift hour) with the exact means and the flag
