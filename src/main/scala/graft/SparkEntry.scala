@@ -3618,6 +3618,19 @@ object SparkEntry {
     * same parity split — hash equality proves the merged read loses
     * neither rows, values, nor the old batch's null semantics. */
   private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val path = ensureEvoStaged(s, d)
+    schemaEvolutionRead(s, path)
+      .groupBy(col("batch").cast(LongType).as("batch"))
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("o_totalprice"), 18, 2).as("total_price"),
+        count(col("o_orderpriority")).as("n_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("batch")
+  }
+
+  /** One-time staging of the two-batch evolved lake (shared by
+    * `schema_evolution` and `schema_drift`). */
+  private[graft] def ensureEvoStaged(s: SparkSession, d: String): String = {
     val path = formatStagePath(d, "orders", "evo")
     val root = new java.io.File(path)
     if (!new java.io.File(root, "_DONE").exists) {
@@ -3630,13 +3643,100 @@ object SparkEntry {
         .coalesce(2).write.mode("overwrite").parquet(s"$path/batch=2")
       java.nio.file.Files.writeString(new java.io.File(root, "_DONE").toPath, "")
     }
-    schemaEvolutionRead(s, path)
-      .groupBy(col("batch").cast(LongType).as("batch"))
-      .agg(count(lit(1)).as("n"),
-        sumExact(col("o_totalprice"), 18, 2).as("total_price"),
-        count(col("o_orderpriority")).as("n_priority"),
-        countDistinct(col("o_orderpriority")).as("n_priorities"))
-      .orderBy("batch")
+    path
+  }
+
+  /** Schema-drift report over the evolved lake — the MONITORING face of
+    * `schema_evolution` (that row proves the read contract; this one
+    * watches the lake): per column across two batch versions, the
+    * resolved dtype, row/null counts, and a status verdict
+    * (stable / added / removed / type_changed). The column set comes
+    * from the batches' FILE schemas (schema-sized driver metadata — the
+    * justified collect class); counts are one profile aggregate per
+    * batch. The oracle pins the expected verdicts and counts from the
+    * parquet truth by the same parity split. */
+  private def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val path = ensureEvoStaged(s, d)
+    def profile(df: DataFrame, sfx: String): DataFrame = {
+      val aggs = count(lit(1)).as("__n") +:
+        df.columns.toSeq.map(c => sum(col(c).isNull.cast("long")).as(s"__nl_$c"))
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val rows = df.schema.fields.toSeq.map { f =>
+        struct(lit(f.name).as("col_name"),
+          lit(f.dataType.simpleString).as(s"dtype_$sfx"),
+          col("__n").as(s"n_$sfx"), col(s"__nl_${f.name}").as(s"nulls_$sfx"))
+      }
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+    }
+    profile(s.read.parquet(s"$path/batch=1"), "v1")
+      .join(profile(s.read.parquet(s"$path/batch=2"), "v2"),
+        Seq("col_name"), "full_outer")
+      .select(col("col_name"), col("dtype_v1"), col("dtype_v2"),
+        col("n_v1"), col("nulls_v1"), col("n_v2"), col("nulls_v2"),
+        when(col("dtype_v1").isNull, "added")
+          .when(col("dtype_v2").isNull, "removed")
+          .when(col("dtype_v1") =!= col("dtype_v2"), "type_changed")
+          .otherwise("stable").as("status"))
+      .orderBy("col_name")
+  }
+
+  /** Poisson(1) cumulative thresholds scaled to 2^32, Scala-computed and
+    * embedded as integer literals in BOTH the Spark plan and the
+    * generated oracle (the benford constant convention) — multiplicity
+    * comparisons stay pure-integer on both engines. */
+  private val poissonCum: Seq[Long] = {
+    var c = 0.0
+    (0 until 9).map { k =>
+      c += math.exp(-1.0) / (1 to k).product.toDouble
+      (c * 4294967296.0).toLong
+    }
+  }
+
+  /** Deterministic bootstrap resampling — confidence intervals for corpus
+    * metrics WITHOUT a random sampler: each (doc, shard) pair draws its
+    * replicate multiplicity from a Poisson(1) inverse-CDF over an
+    * md5-derived uniform (`no rand()` invariant: retried tasks and both
+    * engines agree bit for bit). 20 shards × the mean-doc-length metric:
+    * the spread across shards IS the bootstrap CI of the corpus mean —
+    * the standard error every corpus-stat dashboard should carry.
+    * SCALE: one scan × S shards (the bootstrap's inherent cost, S
+    * bounded), map-side-combined rollup to S rows; sums exact BIGINT,
+    * the mean one IEEE division. */
+  private def bootstrapStats(s: SparkSession, d: String): DataFrame = {
+    val shards = 20
+    val base = documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(shards))).as("shard"))
+    val u = conv(substring(md5(concat(col("doc_id").cast(StringType), lit("#"),
+      col("shard").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val mult = poissonCum.map(t => (u >= t).cast(LongType)).reduce(_ + _)
+    base.withColumn("m", mult)
+      .groupBy(col("shard").cast(LongType).as("shard"))
+      .agg(sum(col("m")).as("n_eff"),
+        sum(col("m") * col("n_chars")).as("sum_chars"))
+      .select(col("shard"), col("n_eff"), col("sum_chars"),
+        when(col("n_eff") === 0, lit(null).cast(DoubleType))
+          .otherwise(col("sum_chars").cast(DoubleType) /
+            col("n_eff").cast(DoubleType)).as("mean_chars"))
+      .orderBy("shard")
+  }
+
+  /** Generated from the SAME threshold list as the query. */
+  private def bootstrapOracle: String = {
+    val multExpr = poissonCum.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH g AS (SELECT doc_id, n_chars, i.i AS shard
+       |           FROM documents, unnest(generate_series(1, 20)) i(i)),
+       |u AS (SELECT shard, n_chars,
+       |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+       |        CAST(shard AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM g),
+       |m AS (SELECT shard, n_chars, ($multExpr) AS m FROM u),
+       |s AS (SELECT CAST(shard AS BIGINT) shard, CAST(SUM(m) AS BIGINT) n_eff,
+       |      CAST(SUM(m * n_chars) AS BIGINT) sum_chars FROM m GROUP BY 1)
+       |SELECT shard, n_eff, sum_chars,
+       | CASE WHEN n_eff = 0 THEN NULL
+       |  ELSE CAST(sum_chars AS DOUBLE) / CAST(n_eff AS DOUBLE) END AS mean_chars
+       |FROM s ORDER BY shard""".stripMargin
   }
 
   /** The merged read, exposed so IngestDaySpec pins partition pruning. */
@@ -4555,7 +4655,9 @@ object SparkEntry {
     "events_changepoint" -> (eventsChangepoint _),
     "binary_ingest" -> (binaryIngest _),
     "sim_ivf_filtered" -> (simIvfFiltered _),
-    "events_xcorr" -> (eventsXcorr _)
+    "events_xcorr" -> (eventsXcorr _),
+    "schema_drift" -> (schemaDrift _),
+    "bootstrap_stats" -> (bootstrapStats _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4601,6 +4703,24 @@ object SparkEntry {
       ("blocklist_hits" -> blocklistOracle) +
       ("url_dedup" -> urlDedupOracle) +
       ("decontaminate_url" -> decontaminateUrlOracle) +
+      ("bootstrap_stats" -> bootstrapOracle) +
+      ("schema_drift" ->
+        """WITH s1 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 2 = 0),
+          |s2 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 2 = 1)
+          |SELECT * FROM (
+          |SELECT 'o_orderkey' AS col_name, 'bigint' AS dtype_v1,
+          | 'bigint' AS dtype_v2, s1.n AS n_v1, CAST(0 AS BIGINT) AS nulls_v1,
+          | s2.n AS n_v2, CAST(0 AS BIGINT) AS nulls_v2, 'stable' AS status
+          |FROM s1, s2
+          |UNION ALL
+          |SELECT 'o_totalprice', 'double', 'double', s1.n, 0, s2.n, 0, 'stable'
+          |FROM s1, s2
+          |UNION ALL
+          |SELECT 'o_orderpriority', NULL, 'string', NULL, NULL, s2.n,
+          | (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM orders WHERE o_orderkey % 2 = 1), 'added'
+          |FROM s1, s2
+          |) ORDER BY col_name""".stripMargin) +
       ("events_changepoint" ->
         Quality.changepointSql("events", "ts", "event_type")) +
       // the blobs ARE the text bytes (deterministic staging), so the
