@@ -4406,6 +4406,72 @@ object SparkEntry {
       .orderBy("lag")
   }
 
+  /** GDPR pseudonymization — the privacy verb between plain ids and
+    * erasure: user ids become sha2-256(pepper || id) prefixes, JOIN-
+    * CONSISTENT (one id → one pseudonym across tables and runs under the
+    * same pepper) yet irreversible without it; rotating the pepper
+    * re-keys the whole corpus (breaking linkage to old exports) with
+    * zero data rewrites. A zero-shuffle projection; the rollup proves
+    * the pseudonym keys aggregate exactly like the raw id would. */
+  private def pseudonymizeQ(s: SparkSession, d: String): DataFrame = {
+    val pseudo = substring(sha2(concat(lit("pepper-v1:"),
+      col("user_id").cast(StringType)), 256), 1, 16)
+    events(s, d)
+      .select(pseudo.as("user_pseudo"), col("event_type"))
+      .groupBy("user_pseudo")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_pseudo")
+  }
+
+  /** Token frequency spectrum — the Zipf/tokenizer-health audit: how
+    * many distinct token TYPES live in each corpus-frequency band, and
+    * how much occurrence mass each band carries. A healthy natural
+    * corpus is long-tailed (hapax band dominated by types); a synthetic
+    * or over-deduplicated one collapses into the high bands. One corpus
+    * tokenize, then everything is vocabulary-bounded. */
+  private def tokenSpectrum(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(explode(split(col("text"), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bandLo = when(col("c") === 1, 1L).when(col("c") <= 10, 2L)
+      .when(col("c") <= 100, 11L).when(col("c") <= 1000, 101L)
+      .when(col("c") <= 10000, 1001L).otherwise(10001L)
+    tok.groupBy(bandLo.as("band_lo"))
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_occurrences"))
+      .orderBy("band_lo")
+  }
+
+  /** One-row dataset card — the datasheet header every corpus release
+    * carries: sizes (docs/tokens/chars), the median doc length, source
+    * and language diversity, source-concentration Gini/HHI, and the
+    * dominant source with its share. Composed from PROVEN fragments
+    * (corpus_stats token counting, the percentile↔quantile_cont parity,
+    * [[Quality.concentration]]) — one corpus pass for the totals plus
+    * source-bounded side frames cross-joined as one-row broadcasts. */
+  private def datasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs0 = documents(s, d)
+    val base = docs0.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), "\\s+")).cast(LongType)).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      expr("percentile(n_chars, 0.5)").as("p50_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val conc = Quality.concentration(docs0, "source")
+      .select(col("gini").as("gini_source"), col("hhi").as("hhi_source"))
+    val top = docs0.groupBy(col("source")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("source")).limit(1)
+      .select(col("source").as("top_source"), col("__c").as("__top_c"))
+    base.crossJoin(broadcast(conc)).crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("p50_chars"),
+        col("n_sources"), col("n_langs"), col("gini_source"), col("hhi_source"),
+        col("top_source"),
+        (col("__top_c").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("top_source_share"))
+  }
+
   /** The un-checkpointed stats aggregate (PlanShapeSpec's seam: the
     * guard builds it under the pushdown confs and asserts
     * `PushedAggregation` on the V2 scan). */
@@ -4657,7 +4723,10 @@ object SparkEntry {
     "sim_ivf_filtered" -> (simIvfFiltered _),
     "events_xcorr" -> (eventsXcorr _),
     "schema_drift" -> (schemaDrift _),
-    "bootstrap_stats" -> (bootstrapStats _)
+    "bootstrap_stats" -> (bootstrapStats _),
+    "pseudonymize" -> (pseudonymizeQ _),
+    "token_spectrum" -> (tokenSpectrum _),
+    "dataset_card" -> (datasetCard _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4704,6 +4773,44 @@ object SparkEntry {
       ("url_dedup" -> urlDedupOracle) +
       ("decontaminate_url" -> decontaminateUrlOracle) +
       ("bootstrap_stats" -> bootstrapOracle) +
+      ("pseudonymize" ->
+        """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
+          | COUNT(*) AS n_events,
+          | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) +
+      ("token_spectrum" ->
+        """WITH toks AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS t FROM documents),
+          |tok AS (SELECT t, COUNT(*) c FROM toks WHERE t <> '' GROUP BY t),
+          |b AS (SELECT CASE WHEN c = 1 THEN 1 WHEN c <= 10 THEN 2
+          |       WHEN c <= 100 THEN 11 WHEN c <= 1000 THEN 101
+          |       WHEN c <= 10000 THEN 1001 ELSE 10001 END AS band_lo, c FROM tok)
+          |SELECT CAST(band_lo AS BIGINT) AS band_lo, COUNT(*) AS n_types,
+          | CAST(SUM(c) AS BIGINT) AS n_occurrences
+          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) +
+      ("dataset_card" ->
+        """WITH base AS (SELECT COUNT(*) AS n_docs,
+          | CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_tokens,
+          | CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+          | quantile_cont(n_chars, 0.5) AS p50_chars,
+          | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+          | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs FROM documents),
+          |c AS (SELECT source, COUNT(*) c FROM documents GROUP BY 1),
+          |r AS (SELECT c, row_number() OVER (ORDER BY c, source) i FROM c),
+          |s AS (SELECT CAST(COUNT(*) AS BIGINT) n, SUM(CAST(c AS HUGEINT)) t,
+          |      SUM(CAST(i AS HUGEINT)*c) sic, SUM(CAST(c AS HUGEINT)*c) scc FROM r),
+          |conc AS (SELECT
+          | CASE WHEN n*t = 0 THEN NULL
+          |  ELSE CAST(CAST(2*sic-(n+1)*t AS VARCHAR) AS DOUBLE)
+          |       / CAST(CAST(n*t AS VARCHAR) AS DOUBLE) END AS gini_source,
+          | CASE WHEN t*t = 0 THEN NULL
+          |  ELSE CAST(CAST(scc AS VARCHAR) AS DOUBLE)
+          |       / CAST(CAST(t*t AS VARCHAR) AS DOUBLE) END AS hhi_source FROM s),
+          |top AS (SELECT source AS top_source, c AS tc FROM c
+          |        ORDER BY c DESC, source LIMIT 1)
+          |SELECT n_docs, n_tokens, n_chars, p50_chars, n_sources, n_langs,
+          | gini_source, hhi_source, top_source,
+          | CAST(tc AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_source_share
+          |FROM base, conc, top""".stripMargin) +
       ("schema_drift" ->
         """WITH s1 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 2 = 0),
           |s2 AS (SELECT COUNT(*) n FROM orders WHERE o_orderkey % 2 = 1)
