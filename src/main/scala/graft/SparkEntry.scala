@@ -2104,6 +2104,74 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "a", "b")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** y/m/d events lake staged ONCE per source dataset for the
+    * dynamic-partition-pruning read path — mtime+size-keyed like
+    * [[zorderScanPath]] so a driver-regenerated testdata set can never
+    * be served a stale lake, while repeat calls measure the read path
+    * this row is for. */
+  private[graft] def dppLakePath(d: String): String = {
+    val src = new java.io.File(s"$d/events.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_dpp_lake_$tag"
+  }
+
+  /** The DPP read path, pre-rollup — shared with the PlanShapeSpec guard,
+    * which asserts the lake scan's partitionFilters carry a
+    * DynamicPruningExpression. The busy-day dim derives from the RAW
+    * events relation (not the lake — no shared-leaf self-join), and its
+    * gate is an AGGREGATE-derived predicate (day volume above the daily
+    * average, decided exactly: n·days > N), so no static constraint
+    * propagation can pre-prune the fact side — only RUNTIME pruning can
+    * skip lake directories. */
+  private[graft] def dppScanRead(s: SparkSession, d: String): DataFrame = {
+    val path = dppLakePath(d)
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      Staging.writeStaged(
+        events(s, d).select("event_id", "ts", "value"), "ts", path)
+    val lake = Staging.readStaged(s, path)
+    val cal = Staging.withDateParts(events(s, d).select("ts"), "ts")
+      .groupBy("y", "m", "d").agg(count(lit(1)).as("n"))
+    // the global totals ride a window over the DAY-BOUNDED frame (the
+    // documented acceptable single-task shape) rather than a scalar
+    // cross join: the gate must survive as a genuine Filter NODE on the
+    // dim side — a cross-join formulation gets its predicate absorbed
+    // into the join condition, and Spark's PartitionPruning rule only
+    // recognizes filtering sides that contain a selective Filter
+    val wAll = Window.partitionBy()
+    val busyDays = cal
+      .select(col("y"), col("m"), col("d"), col("n"),
+        sum(col("n")).over(wAll).as("nn"),
+        count(lit(1)).over(wAll).as("days"))
+      .filter(col("n") * col("days") > col("nn"))
+      // align key dtypes with the lake's directory-inferred partition
+      // column types: a cast on the PARTITIONED side would disqualify
+      // the scan from dynamic pruning
+      .select(Seq("y", "m", "d").map(c =>
+        col(c).cast(lake.schema(c).dataType).as(c)): _*)
+    lake.join(broadcast(busyDays), Seq("y", "m", "d"))
+  }
+
+  /** Dynamic partition pruning end-to-end — THE mechanism that makes a
+    * dim-filtered fact query affordable on a 100 TB partitioned lake:
+    * the days to read are known only after the busy-day dim evaluates at
+    * runtime, and Spark reuses its broadcast to prune the fact scan to
+    * those directories (no static predicate exists to push). The pruning
+    * must be semantically invisible — the oracle recomputes the same
+    * join from the raw table — while the lake scan lists only the busy
+    * days' directories (plan-guarded: DynamicPruningExpression in
+    * partitionFilters; the static-pruning twin is `incremental_interval`,
+    * the stats-skipping twin `zorder_scan`). */
+  private def dppScan(s: SparkSession, d: String): DataFrame =
+    dppScanRead(s, d)
+      .groupBy(
+        col("y").cast(LongType).as("y"),
+        col("m").cast(LongType).as("m"),
+        col("d").cast(LongType).as("d"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 2).as("total"))
+      .orderBy("y", "m", "d")
+
   /** SQ8 scalar quantization of the embedding corpus, exploded audit form
     * ([[Similarity.sq8Encode]]): per-dim corpus [mn,mx] broadcast back
     * onto one scan. The packed writer twin is property-pinned equal. */
@@ -3070,6 +3138,91 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_classes"), sum(col("g")).as("n_rows"))
     level(100, "chars_100").unionByName(level(1000, "chars_1000"))
       .orderBy("level", "band")
+  }
+
+  /** l-diversity audit — the attribute-disclosure companion of
+    * `k_anonymity`: a class can be k-anonymous yet reveal its sensitive
+    * attribute outright if every member shares one value (l=1 — the
+    * homogeneity attack). Sensitive attribute = lang, quasi-identifiers
+    * = (source, size band) per generalization level; reports class
+    * count, min l, homogeneous classes and the rows they expose, and
+    * mean l. Same shape discipline as k_anonymity: one corpus rollup
+    * per level, everything after class-bounded. */
+  private def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    def level(bucket: Int, name: String): DataFrame = doc
+      .groupBy(col("source"), expr(s"n_chars DIV $bucket").as("size_band"))
+      .agg(count(lit(1)).as("g"), countDistinct(col("lang")).as("l"))
+      .groupBy(lit(name).as("level"))
+      .agg(count(lit(1)).as("n_classes"), min(col("l")).as("min_l"),
+        sum((col("l") === 1).cast(LongType)).as("n_l1_classes"),
+        sum(when(col("l") === 1, col("g")).otherwise(0L)).as("n_l1_rows"),
+        sum(col("l")).as("sum_l"))
+      .select(col("level"), col("n_classes"), col("min_l"),
+        col("n_l1_classes"), col("n_l1_rows"), col("sum_l"),
+        (col("sum_l").cast(DoubleType) / col("n_classes").cast(DoubleType))
+          .as("mean_l"))
+    level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+      .orderBy("level")
+  }
+
+  /** t-closeness audit — the distribution-disclosure completion of the
+    * privacy trio (`k_anonymity` bounds class SIZE, `l_diversity` bounds
+    * sensitive-value VARIETY, this bounds sensitive-value SKEW): a class
+    * with l=3 still leaks when its lang mix is 98/1/1 against a uniform
+    * corpus. Per class, t = total-variation distance between the class's
+    * lang distribution and the corpus-wide one; per generalization level
+    * we report the worst class (max t) and how many classes breach
+    * t > 0.2. The breach is decided in EXACT integer arithmetic with
+    * cleared denominators — t > 1/5 iff 5·Σ|c_v·N − n_v·g| > 2·g·N —
+    * so no float rounding can flip a boundary class; the reported max_t
+    * is one IEEE division of exact integers per class (integers < 2^53
+    * at any realistic class size, and DECIMAL(38,0) accumulation keeps
+    * the numerator exact far past BIGINT).
+    *
+    * Scale shape: ONE corpus rollup to (QI, lang) cells; everything after
+    * is classes×langs-bounded (the lang domain is small and broadcast),
+    * so the audit costs one map-side-combined aggregate at any corpus
+    * size. */
+  private def tCloseness(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    def level(bucket: Int, name: String): DataFrame = {
+      // one corpus rollup: (class QI, lang) cell counts
+      val cells = doc
+        .groupBy(col("source"), expr(s"n_chars DIV $bucket").as("size_band"),
+          col("lang"))
+        .agg(count(lit(1)).as("c"))
+      // class sizes and the global lang distribution — both derived from
+      // the cell frame (class-bounded), never a second corpus scan
+      val classes = cells.groupBy("source", "size_band")
+        .agg(sum(col("c")).as("g"))
+      val langs = cells.groupBy("lang").agg(sum(col("c")).as("nv"))
+      val total = langs.agg(sum(col("nv")).as("nn"))
+      // every class × every lang in the domain (absent langs contribute
+      // |0·N − n_v·g| — the cross join is against the broadcast
+      // lang-domain frame, classes×langs rows total)
+      val grid = classes
+        .crossJoin(broadcast(langs))
+        .crossJoin(broadcast(total))
+        .join(cells, Seq("source", "size_band", "lang"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val perClass = grid
+        .groupBy(col("source"), col("size_band"), col("g"), col("nn"))
+        .agg(sum(abs(col("c").cast(DecimalType(38, 0)) * col("nn") -
+          col("nv").cast(DecimalType(38, 0)) * col("g"))).as("num"))
+      perClass
+        .groupBy(lit(name).as("level"))
+        .agg(count(lit(1)).as("n_classes"),
+          // t > 0.2 decided exactly: 5·num > 2·g·N
+          sum((col("num") * 5 >
+            col("g").cast(DecimalType(38, 0)) * col("nn") * 2)
+            .cast(LongType)).as("n_breach"),
+          max(col("num").cast(DoubleType) /
+            (col("g").cast(DoubleType) * col("nn").cast(DoubleType) * 2.0))
+            .as("max_t"))
+    }
+    level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+      .orderBy("level")
   }
 
   /** PII redaction, exercised end-to-end: the fixture column appends a
@@ -4726,7 +4879,10 @@ object SparkEntry {
     "bootstrap_stats" -> (bootstrapStats _),
     "pseudonymize" -> (pseudonymizeQ _),
     "token_spectrum" -> (tokenSpectrum _),
-    "dataset_card" -> (datasetCard _)
+    "dataset_card" -> (datasetCard _),
+    "l_diversity" -> (lDiversity _),
+    "t_closeness" -> (tCloseness _),
+    "dpp_scan" -> (dppScan _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4773,6 +4929,73 @@ object SparkEntry {
       ("url_dedup" -> urlDedupOracle) +
       ("decontaminate_url" -> decontaminateUrlOracle) +
       ("bootstrap_stats" -> bootstrapOracle) +
+      ("l_diversity" ->
+        """WITH c1 AS (SELECT source, n_chars // 100 AS b, COUNT(*) g,
+          |            CAST(COUNT(DISTINCT lang) AS BIGINT) l
+          |           FROM documents GROUP BY 1, 2),
+          |c2 AS (SELECT source, n_chars // 1000 AS b, COUNT(*) g,
+          |       CAST(COUNT(DISTINCT lang) AS BIGINT) l
+          |      FROM documents GROUP BY 1, 2),
+          |a1 AS (SELECT 'chars_100' AS level, COUNT(*) n_classes,
+          |       CAST(MIN(l) AS BIGINT) min_l,
+          |       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) n_l1_classes,
+          |       CAST(SUM(CASE WHEN l = 1 THEN g ELSE 0 END) AS BIGINT) n_l1_rows,
+          |       CAST(SUM(l) AS BIGINT) sum_l FROM c1),
+          |a2 AS (SELECT 'chars_1000' AS level, COUNT(*) n_classes,
+          |       CAST(MIN(l) AS BIGINT) min_l,
+          |       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) n_l1_classes,
+          |       CAST(SUM(CASE WHEN l = 1 THEN g ELSE 0 END) AS BIGINT) n_l1_rows,
+          |       CAST(SUM(l) AS BIGINT) sum_l FROM c2)
+          |SELECT level, n_classes, min_l, n_l1_classes, n_l1_rows, sum_l,
+          | CAST(sum_l AS DOUBLE) / CAST(n_classes AS DOUBLE) AS mean_l
+          |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+          |ORDER BY level""".stripMargin) +
+      ("t_closeness" -> {
+        // one generated fragment per generalization level, tag-suffixed
+        // CTE names hoisted into ONE top-level WITH (DuckDB rejects WITH
+        // inside a FROM-subquery — the value_mwu layout rule)
+        def lvl(b: Int, tag: String, name: String): String =
+          s"""cells$tag AS (SELECT source, n_chars // $b AS sb, lang,
+             |              COUNT(*) c FROM documents GROUP BY 1, 2, 3),
+             |cls$tag AS (SELECT source, sb, CAST(SUM(c) AS BIGINT) g
+             |           FROM cells$tag GROUP BY 1, 2),
+             |lg$tag AS (SELECT lang, CAST(SUM(c) AS BIGINT) nv
+             |          FROM cells$tag GROUP BY 1),
+             |tot$tag AS (SELECT CAST(SUM(nv) AS BIGINT) nn FROM lg$tag),
+             |grid$tag AS (SELECT k.source, k.sb, k.g, l.lang, l.nv, t.nn,
+             |             COALESCE(ce.c, 0) AS c
+             |            FROM cls$tag k CROSS JOIN lg$tag l
+             |            CROSS JOIN tot$tag t
+             |            LEFT JOIN cells$tag ce ON ce.source = k.source
+             |             AND ce.sb = k.sb AND ce.lang = l.lang),
+             |pc$tag AS (SELECT source, sb, g, nn,
+             |           SUM(ABS(c*nn - nv*g)) num
+             |          FROM grid$tag GROUP BY 1, 2, 3, 4),
+             |a$tag AS (SELECT '$name' AS level, COUNT(*) n_classes,
+             |          CAST(SUM(CASE WHEN 5*num > 2*g*nn THEN 1 ELSE 0 END)
+             |            AS BIGINT) n_breach,
+             |          MAX(CAST(num AS DOUBLE) /
+             |            (CAST(g AS DOUBLE)*CAST(nn AS DOUBLE)*2.0)) max_t
+             |         FROM pc$tag)""".stripMargin
+        s"""WITH ${lvl(100, "h", "chars_100")},
+           |${lvl(1000, "k", "chars_1000")}
+           |SELECT * FROM (SELECT * FROM ah UNION ALL SELECT * FROM ak)
+           |ORDER BY level""".stripMargin
+      }) +
+      ("dpp_scan" ->
+        """WITH cal AS (SELECT CAST(year(ts) AS BIGINT) y,
+          |             CAST(month(ts) AS BIGINT) m,
+          |             CAST(day(ts) AS BIGINT) d, COUNT(*) n
+          |            FROM events GROUP BY 1, 2, 3),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) nn, COUNT(*) nd FROM cal),
+          |busy AS (SELECT y, m, d FROM cal CROSS JOIN tot
+          |         WHERE n * nd > nn)
+          |SELECT e.y, e.m, e.d, COUNT(*) AS n,
+          | CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM (SELECT CAST(year(ts) AS BIGINT) y, CAST(month(ts) AS BIGINT) m,
+          |      CAST(day(ts) AS BIGINT) d, value FROM events) e
+          |JOIN busy ON e.y = busy.y AND e.m = busy.m AND e.d = busy.d
+          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) +
       ("pseudonymize" ->
         """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
           | COUNT(*) AS n_events,

@@ -204,6 +204,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("dpp_scan: the lake scan is pruned DYNAMICALLY by the busy-day dim") {
+    val df = SparkEntry.dppScanRead(spark, sf)
+    // collect does not descend into AdaptiveSparkPlanExec — unwrap it
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("graft_dpp_lake")) => f
+    }
+    assert(scans.size == 1, phys.toString)
+    val scan = scans.head
+    // the busy-day predicate is aggregate-derived — nothing static can
+    // reach partitionFilters; pruning must be a DynamicPruningExpression
+    // (runtime subquery against the reused broadcast)
+    assert(scan.partitionFilters.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])),
+      scan.partitionFilters.mkString("; "))
+    // and nothing leaks into post-scan dataFilters
+    assert(scan.dataFilters.isEmpty, scan.dataFilters.map(_.sql).mkString(", "))
+    // executing through the pruned scan returns only above-average days —
+    // strictly fewer than the lake holds (the pruning did something)
+    val lakeDays = sources.Staging.readStaged(spark,
+      SparkEntry.dppLakePath(sf)).select("y", "m", "d").distinct.count()
+    val gotDays = df.select("y", "m", "d").distinct.count()
+    assert(gotDays > 0 && gotDays < lakeDays, s"$gotDays vs $lakeDays")
+  }
+
   test("incremental read-back prunes to the interval's partitions") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices
