@@ -2172,6 +2172,113 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 2).as("total"))
       .orderBy("y", "m", "d")
 
+  /** The bloom-join frame, pre-materialization — shared with the
+    * PlanShapeSpec guard, which builds it under the same confs and
+    * asserts the injected runtime filter. Urgent orders join their
+    * lineitems; revenue rolls up per ship mode (the proven q3 decimal
+    * fragment). */
+  private[graft] def bloomJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val l = lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          28, 6).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The skew-join frame, pre-materialization — shared with the
+    * PlanShapeSpec guard. A deterministic hot key (60% of event rows
+    * collapse onto key 0 — the synthetic testdata is uniform, so the
+    * skew every production key distribution has is planted by rule, not
+    * by rand()) joins a per-key dim derived from orders; the rollup
+    * after the join is what the oracle recomputes. */
+  private[graft] def skewJoinFrame(s: SparkSession, d: String): DataFrame = {
+    val hot = when(col("user_id") % 10 < 6, lit(0L)).otherwise(col("user_id"))
+    // a skewed reduce partition can only be SPLIT at map-output
+    // granularity, and the single-row-group test parquet gives the join
+    // shuffle exactly ONE map task (unsplittable however skewed) — the
+    // user_id pre-hash gives the map side the multi-task shape any real
+    // corpus has; at production scale this exchange does not exist
+    val e = events(s, d).repartition(col("user_id"))
+      .select(hot.as("k"), col("value"))
+    // the dim must reach the join as a BARE shuffle stage:
+    // OptimizeSkewedJoin only matches SMJ(Sort(stage), Sort(stage)), so
+    // an aggregate-built dim (whose exchange the join would reuse, with
+    // the HashAggregate between Sort and stage) silently disqualifies
+    // the split — measured; the guard pins the working shape
+    val dim = customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_nationkey"))
+    e.join(dim, Seq("k"))
+      .groupBy((col("k") % 7).as("kb"))
+      .agg(count(lit(1)).as("n"), sumExact(col("value"), 18, 2).as("total"),
+        sum(col("c_nationkey").cast(LongType)).as("nation_weight"))
+      .orderBy("kb")
+  }
+
+  /** AQE skew-join splitting — the third runtime-adaptivity leg beside
+    * `dpp_scan` (runtime partition pruning) and `bloom_join` (runtime
+    * semi-join reduction), and the mechanism that saves a 100 TB shuffle
+    * join whose key distribution has a hot key: the planner cannot know
+    * the skew, so AQE measures the map output at the shuffle boundary
+    * and SPLITS the oversized partition across tasks, replicating the
+    * matching dim rows — without it, one straggler task carries 60% of
+    * the fact (the salting twin `counts_by_country_salted` bakes the
+    * same defense into the QUERY; this row shows the ENGINE doing it at
+    * runtime, no query rewrite). Test-scale thresholds are flipped
+    * inside try/finally with eager materialization (the
+    * parquet_stats_agg convention): the defaults are tuned for 256 MB
+    * partitions a laptop-scale corpus never reaches. The split is
+    * semantically invisible — the oracle recomputes the plain join. */
+  private def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      // the split only applies to shuffle joins; the dim would broadcast
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // coalescing would re-merge the split partitions' neighbors and
+      // muddy the guard; keep the demonstration to the skew path
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try skewJoinFrame(s, d).localCheckpoint(true)
+    finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  /** Runtime bloom-filter semi-join reduction — the shuffle-join twin of
+    * `dpp_scan`'s partition pruning, and the mechanism that keeps a
+    * fact-fact join affordable at 100 TB when the selective side is too
+    * big to broadcast: Spark builds a bloom filter over the URGENT order
+    * keys at runtime and injects `might_contain` above the lineitem scan,
+    * so ~4/5 of the fact rows die BEFORE the shuffle instead of after it
+    * (at a 1000-executor shuffle that is the difference between moving
+    * 100 TB and moving 20 TB). The session leaves the feature at its
+    * conservative defaults — this query flips the application-side size
+    * threshold (tuned for real 10 GB+ scans, unreachable at test SF)
+    * and disables auto-broadcast inside try/finally, EAGERLY materializing
+    * the result while the confs hold (plans read conf at execution — the
+    * parquet_stats_agg convention); the filter is semantically invisible,
+    * so the oracle is the plain join. */
+  private def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try bloomJoinFrame(s, d).localCheckpoint(true)
+    finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   /** SQ8 scalar quantization of the embedding corpus, exploded audit form
     * ([[Similarity.sq8Encode]]): per-dim corpus [mn,mx] broadcast back
     * onto one scan. The packed writer twin is property-pinned equal. */
@@ -3066,6 +3173,14 @@ object SparkEntry {
 
   /** Per-document top-3 TF-IDF terms, ranked by the heap TopKPerGroup
     * operator. */
+  /** Per-source distinctive terms by Dirichlet-prior weighted log-odds
+    * ([[TextAnalysis.sourceKeyness]]) — what each source actually talks
+    * about, z-scored against the rest of the corpus. */
+  private def sourceKeyness(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sourceKeyness(documents(s, d), "source", "text",
+      minCount = 5L, k = 15)
+      .orderBy(col("source"), col("z").desc, col("term"))
+
   private def tfidfTopTerms(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3)
       .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
@@ -4882,7 +4997,10 @@ object SparkEntry {
     "dataset_card" -> (datasetCard _),
     "l_diversity" -> (lDiversity _),
     "t_closeness" -> (tCloseness _),
-    "dpp_scan" -> (dppScan _)
+    "dpp_scan" -> (dppScan _),
+    "bloom_join" -> (bloomJoin _),
+    "source_keyness" -> (sourceKeyness _),
+    "skew_join" -> (skewJoin _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -4996,6 +5114,51 @@ object SparkEntry {
           |      CAST(day(ts) AS BIGINT) d, value FROM events) e
           |JOIN busy ON e.y = busy.y AND e.m = busy.m AND e.d = busy.d
           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) +
+      ("bloom_join" ->
+        """SELECT l_returnflag, COUNT(*) AS n,
+          | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))
+          |   AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+      ("source_keyness" ->
+        // every float expression mirrors the Spark column order exactly;
+        // only ln carries engine ulp risk, absorbed by round(z, 6) (the
+        // tfidf convention)
+        """WITH st AS (SELECT source,
+          |            unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+          |           FROM documents),
+          |tf AS (SELECT source, term, COUNT(*) c FROM st GROUP BY 1, 2),
+          |tot AS (SELECT term, CAST(SUM(c) AS BIGINT) cw FROM tf
+          |        GROUP BY 1 HAVING CAST(SUM(c) AS BIGINT) >= 5),
+          |stot AS (SELECT source, CAST(SUM(c) AS BIGINT) nst FROM tf GROUP BY 1),
+          |gtot AS (SELECT CAST(SUM(nst) AS BIGINT) nnt FROM stot),
+          |s AS (SELECT tf.source, tf.term, tf.c, tot.cw, stot.nst, gtot.nnt,
+          |       100.0 * CAST(tot.cw AS DOUBLE) / CAST(gtot.nnt AS DOUBLE) AS aw,
+          |       CAST(tot.cw - tf.c AS DOUBLE) AS rest_c,
+          |       CAST(gtot.nnt - stot.nst AS DOUBLE) AS rest_n
+          |      FROM tf JOIN tot USING (term) JOIN stot USING (source)
+          |      CROSS JOIN gtot),
+          |z AS (SELECT source, term, c, cw, round(
+          |       (ln((CAST(c AS DOUBLE) + aw)
+          |           / (CAST(nst AS DOUBLE) + 100.0 - CAST(c AS DOUBLE) - aw))
+          |      - ln((rest_c + aw) / (rest_n + 100.0 - rest_c - aw)))
+          |      / sqrt(1.0 / (CAST(c AS DOUBLE) + aw)
+          |           + 1.0 / (rest_c + aw)), 6) AS z
+          |      FROM s)
+          |SELECT source, term, c, cw, z FROM z
+          |QUALIFY row_number() OVER (PARTITION BY source
+          |                           ORDER BY z DESC, term) <= 15
+          |ORDER BY source, z DESC, term""".stripMargin) +
+      ("skew_join" ->
+        """WITH e AS (SELECT CASE WHEN user_id % 10 < 6 THEN 0
+          |                  ELSE user_id END AS k, value FROM events),
+          |dim AS (SELECT c_custkey AS k, c_nationkey FROM customer)
+          |SELECT e.k % 7 AS kb, COUNT(*) AS n,
+          | CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          | CAST(SUM(CAST(dim.c_nationkey AS BIGINT)) AS BIGINT) AS nation_weight
+          |FROM e JOIN dim ON e.k = dim.k
+          |GROUP BY 1 ORDER BY 1""".stripMargin) +
       ("pseudonymize" ->
         """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
           | COUNT(*) AS n_events,

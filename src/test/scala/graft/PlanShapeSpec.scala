@@ -235,6 +235,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gotDays > 0 && gotDays < lakeDays, s"$gotDays vs $lakeDays")
   }
 
+  test("bloom_join: a runtime bloom filter guards the fact scan before the shuffle") {
+    // generate the plan under the query's own confs (the round-9 rule);
+    // autoBroadcastJoinThreshold=-1 forces the shuffle join the feature
+    // exists for
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val df = SparkEntry.bloomJoinFrame(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // the injected semi-join reduction: might_contain(bloom subquery)
+      // sits on the lineitem (application) side
+      assert(p.contains("might_contain"), p)
+      // and the join itself is the designed shuffle join, not a broadcast
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
+  test("skew_join: AQE splits the hot-key partition at runtime") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val df = SparkEntry.skewJoinFrame(spark, sf)
+      df.collect() // AQE decides at runtime — the final plan needs a run
+      val p = df.queryExecution.executedPlan.toString
+      // the skew marker lands on the join node ("SortMergeJoin ... (skew=true)")
+      assert(p.contains("skew=true"), p)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("incremental read-back prunes to the interval's partitions") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices
