@@ -3340,6 +3340,84 @@ object SparkEntry {
       .orderBy("level")
   }
 
+  /** Differentially-private count release — the publish verb at the end
+    * of the privacy family (k/l/t audit the table; this is how the
+    * numbers LEAVE): per-source doc counts plus Laplace(1/ε) noise via
+    * the inverse CDF, at ε = 1 and ε = 0.1 so the privacy/utility trade
+    * is visible in one frame.
+    *
+    * HONESTY NOTE (the multimodal-stub convention): a real DP release
+    * draws its noise from SECRET randomness; the gate's determinism
+    * invariant (no rand(), reproducible re-runs) forces a plan-embedded
+    * public seed here, so this row is the complete release MACHINERY —
+    * exact counts, seeded uniform via the proven md5 hex-prefix draw,
+    * inverse-CDF Laplace, per-ε scaling — with the one secret swapped
+    * for a seed column (the bootstrap_stats posture for seeded draws).
+    *
+    * Scale shape: one map-side-combined corpus rollup; the noise is a
+    * source-bounded projection. Float parity: u is a dyadic rational
+    * (exact in double), d = u−0.5 and 1−2|d| stay exact, so ln is the
+    * only engine-divergent op — round(, 6) absorbs it (the tfidf
+    * convention); u = 0.5 (sign(0)) is unreachable since h is an
+    * integer and u needs h = 2^31 − 0.5. */
+  private def dpRelease(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_true"))
+    val u = (conv(substring(md5(concat(lit("dp-v1:"), col("source"))),
+      1, 8), 16, 10).cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
+    val dlt = u - lit(0.5)
+    def released(b: Double) = round(
+      col("n_true").cast(DoubleType) +
+        lit(-b) * signum(dlt) * log(lit(1.0) - lit(2.0) * abs(dlt)), 6)
+    counts.select(col("source"), col("n_true"),
+      released(1.0).as("released_eps1"),
+      released(10.0).as("released_eps01"))
+      .orderBy("source")
+  }
+
+  /** The shred threshold and key derivation, shared with the spec. */
+  private[graft] def shredKeys(s: SparkSession, d: String): DataFrame =
+    events(s, d).select("user_id").distinct()
+      .withColumn("key", unhex(substring(sha2(concat(lit("key-v1:"),
+        col("user_id").cast(StringType)), 256), 1, 32)))
+
+  /** Crypto-shredding — the erasure verb that needs NO data rewrite
+    * (staged_delete rewrites partitions, mor_delete stacks delete
+    * vectors; at 100 TB both still touch data): every user's payload is
+    * encrypted under that user's OWN key, and erasure is deleting the
+    * KEY ROW — the ciphertext becomes unreadable in place, across every
+    * copy, backup, and replica at once. Here users divisible by 97 are
+    * shredded and the report counts readable vs unreadable payloads per
+    * cohort; the spec pins the round trip (kept users decrypt to the
+    * original bytes) and the shred (dropped-key users decrypt to null
+    * via try_aes_decrypt, never an exception).
+    *
+    * Key derivation is a deterministic fixture (sha2 of a plan-embedded
+    * secret prefix — production keys come from a KMS; the honest-stub
+    * convention); AES-128-ECB keeps the fixture deterministic
+    * (GCM's random IV would break the no-rand() invariant — production
+    * uses GCM with a stored IV). Rows-only by design: the oracle engine
+    * has no AES. Scale shape: one corpus scan, the key table joins
+    * KEYED (users are corpus-scaled — never a broadcast assumption),
+    * report cohort-bounded. */
+  private def cryptoShred(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("props"))
+    val keys = shredKeys(s, d)
+    val enc = e.join(keys, Seq("user_id"))
+      .select(col("user_id"),
+        aes_encrypt(col("props").cast(BinaryType), col("key"),
+          lit("ECB")).as("ct"))
+    val kept = keys.filter(col("user_id") % 97 =!= 0)
+    enc.join(kept, Seq("user_id"), "left")
+      .select(col("user_id"),
+        try_aes_decrypt(col("ct"), coalesce(col("key"),
+          lit(Array.emptyByteArray)), lit("ECB")).as("pt"))
+      .groupBy((col("user_id") % 97 === 0).as("shredded"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("pt").isNotNull.cast(LongType)).as("n_readable"))
+      .orderBy("shredded")
+  }
+
   /** PII redaction, exercised end-to-end: the fixture column appends a
     * deterministic synthetic email + IP + phone derived from doc_id (the
     * test corpus contains no natural PII), the operator scrubs them, and
@@ -5000,7 +5078,9 @@ object SparkEntry {
     "dpp_scan" -> (dppScan _),
     "bloom_join" -> (bloomJoin _),
     "source_keyness" -> (sourceKeyness _),
-    "skew_join" -> (skewJoin _)
+    "skew_join" -> (skewJoin _),
+    "dp_release" -> (dpRelease _),
+    "crypto_shred" -> (cryptoShred _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -5159,6 +5239,20 @@ object SparkEntry {
           | CAST(SUM(CAST(dim.c_nationkey AS BIGINT)) AS BIGINT) AS nation_weight
           |FROM e JOIN dim ON e.k = dim.k
           |GROUP BY 1 ORDER BY 1""".stripMargin) +
+      ("dp_release" ->
+        """WITH c AS (SELECT source, COUNT(*) n_true FROM documents GROUP BY 1),
+          |h AS (SELECT source, n_true,
+          |      (CAST(CAST(concat('0x', substr(md5('dp-v1:' || source), 1, 8))
+          |         AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0 AS u
+          |      FROM c)
+          |SELECT source, n_true,
+          | round(CAST(n_true AS DOUBLE)
+          |   + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+          |   AS released_eps1,
+          | round(CAST(n_true AS DOUBLE)
+          |   + (-10.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+          |   AS released_eps01
+          |FROM h ORDER BY source""".stripMargin) +
       ("pseudonymize" ->
         """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
           | COUNT(*) AS n_events,

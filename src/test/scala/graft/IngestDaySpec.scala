@@ -355,4 +355,31 @@ class IngestDaySpec extends AnyFunSuite {
     assert(scans.forall(_.dataFilters.isEmpty),
       scans.map(_.dataFilters).mkString("; "))
   }
+
+  test("crypto_shred: kept users round-trip bit-exact, shredded users decrypt to null") {
+    val e = Tables.events(spark, sf).select(col("user_id"), col("props"))
+    val keys = SparkEntry.shredKeys(spark, sf)
+    val enc = e.join(keys, Seq("user_id"))
+      .select(col("user_id"), col("props"),
+        aes_encrypt(col("props").cast("binary"), col("key"), lit("ECB"))
+          .as("ct"))
+    // kept cohort: decrypting with the (kept) key restores the exact bytes
+    val kept = enc.filter(col("user_id") % 97 =!= 0)
+      .join(keys, Seq("user_id"))
+      .select(col("props"),
+        aes_decrypt(col("ct"), col("key"), lit("ECB")).cast("string").as("pt"))
+    assert(kept.count() > 0)
+    assert(kept.filter(col("pt") =!= col("props")).count() == 0)
+    // shredded cohort: without its key the payload is unreadable —
+    // try_aes_decrypt under ANY other user's key yields null, not garbage
+    // (AES-GCM-free ECB has no auth tag, but a wrong 16-byte key still
+    // fails the PKCS padding check with overwhelming probability)
+    val wrongKey = keys.filter(col("user_id") % 97 =!= 0).limit(1)
+      .select(col("key").as("wrong")).crossJoin(
+        enc.filter(col("user_id") % 97 === 0))
+    val readable = wrongKey
+      .select(try_aes_decrypt(col("ct"), col("wrong"), lit("ECB")).as("pt"))
+      .filter(col("pt").isNotNull).count()
+    assert(readable == 0, s"$readable shredded payloads readable under a wrong key")
+  }
 }
