@@ -3241,17 +3241,27 @@ object SparkEntry {
     * the first aggregate scales with the corpus. */
   private def kAnonymity(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
-    def level(bucket: Int, name: String): DataFrame = doc
+    // ONE corpus rollup at the finest generalization serves both levels
+    // (integer division composes: n DIV 1000 == (n DIV 100) DIV 10);
+    // eager-checkpointed so the two level derivations share the single
+    // scan (the psiFromCounts posture) — the frame is class-bounded
+    val cells = org.apache.spark.sql.graft.Bridge.resetStats(doc
       .groupBy(col("lang"), col("source"),
-        expr(s"n_chars DIV $bucket").as("size_band"))
+        expr("n_chars DIV 100").as("size_band"))
       .agg(count(lit(1)).as("g"))
+      .localCheckpoint(true))
+    val coarse = cells
+      .groupBy(col("lang"), col("source"),
+        expr("size_band DIV 10").as("size_band"))
+      .agg(sum(col("g")).as("g"))
+    def level(classes: DataFrame, name: String): DataFrame = classes
       .select(lit(name).as("level"),
         when(col("g") === 1, "k=1").when(col("g") < 5, "k<5")
           .when(col("g") < 10, "k<10").otherwise("k>=10").as("band"),
         col("g"))
       .groupBy("level", "band")
       .agg(count(lit(1)).as("n_classes"), sum(col("g")).as("n_rows"))
-    level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+    level(cells, "chars_100").unionByName(level(coarse, "chars_1000"))
       .orderBy("level", "band")
   }
 
@@ -3265,9 +3275,22 @@ object SparkEntry {
     * per level, everything after class-bounded. */
   private def lDiversity(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
-    def level(bucket: Int, name: String): DataFrame = doc
-      .groupBy(col("source"), expr(s"n_chars DIV $bucket").as("size_band"))
-      .agg(count(lit(1)).as("g"), countDistinct(col("lang")).as("l"))
+    // ONE corpus rollup to (QI, lang) cells serves both levels: class
+    // size g = sum of cell counts, l-diversity l = cell count per class
+    // (count_distinct over raw rows == COUNT of non-empty lang cells);
+    // the coarse level re-aggregates the fine cells (DIV composes)
+    val cells = org.apache.spark.sql.graft.Bridge.resetStats(doc
+      .groupBy(col("source"), expr("n_chars DIV 100").as("size_band"),
+        col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true))
+    val coarse = cells
+      .groupBy(col("source"), expr("size_band DIV 10").as("size_band"),
+        col("lang"))
+      .agg(sum(col("c")).as("c"))
+    def level(cl: DataFrame, name: String): DataFrame = cl
+      .groupBy(col("source"), col("size_band"))
+      .agg(sum(col("c")).as("g"), count(lit(1)).as("l"))
       .groupBy(lit(name).as("level"))
       .agg(count(lit(1)).as("n_classes"), min(col("l")).as("min_l"),
         sum((col("l") === 1).cast(LongType)).as("n_l1_classes"),
@@ -3277,7 +3300,7 @@ object SparkEntry {
         col("n_l1_classes"), col("n_l1_rows"), col("sum_l"),
         (col("sum_l").cast(DoubleType) / col("n_classes").cast(DoubleType))
           .as("mean_l"))
-    level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+    level(cells, "chars_100").unionByName(level(coarse, "chars_1000"))
       .orderBy("level")
   }
 
@@ -3301,12 +3324,22 @@ object SparkEntry {
     * size. */
   private def tCloseness(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
-    def level(bucket: Int, name: String): DataFrame = {
-      // one corpus rollup: (class QI, lang) cell counts
-      val cells = doc
-        .groupBy(col("source"), expr(s"n_chars DIV $bucket").as("size_band"),
-          col("lang"))
-        .agg(count(lit(1)).as("c"))
+    // ONE corpus rollup at the FINEST generalization serves both levels:
+    // integer division composes (n_chars DIV 1000 == (n_chars DIV 100)
+    // DIV 10), so the coarser level re-aggregates the fine cells. The
+    // cell frame is eager-checkpointed because SIX derivations consume
+    // it (classes/langs/grid × 2 levels) — without it each re-scans the
+    // corpus (the psiFromCounts posture); classes×langs-bounded.
+    val cells100 = org.apache.spark.sql.graft.Bridge.resetStats(doc
+      .groupBy(col("source"), expr("n_chars DIV 100").as("size_band"),
+        col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true))
+    val cells1000 = cells100
+      .groupBy(col("source"), expr("size_band DIV 10").as("size_band"),
+        col("lang"))
+      .agg(sum(col("c")).as("c"))
+    def level(cells: DataFrame, name: String): DataFrame = {
       // class sizes and the global lang distribution — both derived from
       // the cell frame (class-bounded), never a second corpus scan
       val classes = cells.groupBy("source", "size_band")
@@ -3336,7 +3369,7 @@ object SparkEntry {
             (col("g").cast(DoubleType) * col("nn").cast(DoubleType) * 2.0))
             .as("max_t"))
     }
-    level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+    level(cells100, "chars_100").unionByName(level(cells1000, "chars_1000"))
       .orderBy("level")
   }
 

@@ -1251,6 +1251,171 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+
+    // ---- round-11 session-4 additions ----
+    def withConfs(pairs: Seq[(String, String)])(f: => Long): Long = {
+      val conf = spark.conf
+      val prev = pairs.map { case (k, _) => k -> conf.getOption(k) }
+      pairs.foreach { case (k, v) => conf.set(k, v) }
+      try f
+      finally prev.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+    def checksum(out: DataFrame): Long =
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+
+    // t-closeness: one (QI, lang) cell rollup; everything after is
+    // classes×langs-bounded — expect scan-shaped like k_anonymity
+    time("t_closeness") {
+      val doc = docs.select(
+        concat(lit("l"), pmod(col("doc_id"), lit(5L))).as("lang"),
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+        length(col("text")).as("n_chars"))
+      val cells100 = doc.groupBy(col("source"),
+          expr("n_chars DIV 100").as("sb"), col("lang"))
+        .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      val cells1000 = cells100.groupBy(col("source"),
+          expr("sb DIV 10").as("sb"), col("lang"))
+        .agg(sum(col("c")).as("c"))
+      def level(cells: DataFrame, nm: String): DataFrame = {
+        val classes = cells.groupBy("source", "sb").agg(sum(col("c")).as("g"))
+        val langs = cells.groupBy("lang").agg(sum(col("c")).as("nv"))
+        val total = langs.agg(sum(col("nv")).as("nn"))
+        classes.crossJoin(broadcast(langs)).crossJoin(broadcast(total))
+          .join(cells, Seq("source", "sb", "lang"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .groupBy(col("source"), col("sb"), col("g"), col("nn"))
+          .agg(sum(abs(col("c").cast("decimal(38,0)") * col("nn") -
+            col("nv").cast("decimal(38,0)") * col("g"))).as("num"))
+          .groupBy(lit(nm).as("level"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum((col("num") * 5 > col("g").cast("decimal(38,0)") * col("nn") * 2)
+              .cast("long")).as("n_breach"),
+            max(col("num").cast("double") /
+              (col("g").cast("double") * col("nn").cast("double") * 2.0))
+              .as("max_t"))
+      }
+      checksum(level(cells100, "chars_100")
+        .unionByName(level(cells1000, "chars_1000")))
+    }
+
+    // source keyness: one (source, term) shuffle + vocab-bounded totals +
+    // heap top-k — expect the tfidf growth shape
+    time("source_keyness") {
+      val withSrc = docs.select(col("doc_id"),
+        concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+        col("text"))
+      checksum(TextAnalysis.sourceKeyness(withSrc, "source", "text",
+        minCount = 5L, k = 15))
+    }
+
+    // AQE skew split on a 60%-hot key vs the same join with the split
+    // disabled — the measured straggler win
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val skewDim = ev.select(col("user_id").as("k")).distinct()
+      .withColumn("w", pmod(col("k"), lit(25L)))
+      .localCheckpoint(true) // bare scan: the SMJ(Sort(stage),Sort(stage)) shape
+    def skewJoinBody(): Long = {
+      val hot = when(col("user_id") % 10 < 6, lit(0L)).otherwise(col("user_id"))
+      val e = ev.select(hot.as("k"),
+        (pmod(xxhash64(col("event_id")), lit(10000L)) / 100.0).as("value"))
+      val out = e.join(skewDim, Seq("k"))
+        .groupBy((col("k") % 7).as("kb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+          sum(col("w")).as("wsum"))
+      checksum(out)
+    }
+    time("skew_join") {
+      withConfs(skewConfs :+
+        ("spark.sql.adaptive.skewJoin.enabled" -> "true"))(skewJoinBody())
+    }
+    time("skew_join_nosplit") {
+      withConfs(skewConfs :+
+        ("spark.sql.adaptive.skewJoin.enabled" -> "false"))(skewJoinBody())
+    }
+
+    // runtime bloom semi-join reduction on the replicated fact vs the
+    // same shuffle join without the filter — the measured shuffle win
+    val bloomConfs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    def bloomBody(): Long = {
+      val o = ordR.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val out = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("l_partkey") % 25).as("pb"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+            .as("revenue"))
+      checksum(out)
+    }
+    time("bloom_join") {
+      withConfs(bloomConfs :+
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true"))(bloomBody())
+    }
+    time("bloom_join_off") {
+      withConfs(bloomConfs :+
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"))(bloomBody())
+    }
+
+    // DPP over a y/m/d lake staged from the replicated events: the write
+    // is timed apart from the dynamically-pruned read it exists for
+    val dppDir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(GraftSession.scratchDir()), "stress_dpp_").toString
+    time("dpp_stage") {
+      graft.sources.Staging.writeStaged(
+        ev.withColumn("value",
+          (pmod(xxhash64(col("event_id")), lit(10000L)) / 100.0)), "ts", dppDir)
+      spark.read.parquet(dppDir).count()
+    }
+    time("dpp_scan") {
+      val lake = graft.sources.Staging.readStaged(spark, dppDir)
+      val cal = graft.sources.Staging.withDateParts(ev.select("ts"), "ts")
+        .groupBy("y", "m", "d").agg(count(lit(1)).as("n"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val busy = cal.select(col("y"), col("m"), col("d"), col("n"),
+          sum(col("n")).over(wAll).as("nn"),
+          count(lit(1)).over(wAll).as("days"))
+        .filter(col("n") * col("days") > col("nn"))
+        .select(Seq("y", "m", "d").map(c =>
+          col(c).cast(lake.schema(c).dataType).as(c)): _*)
+      val out = lake.join(broadcast(busy), Seq("y", "m", "d"))
+        .groupBy("y", "m", "d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      checksum(out)
+    }
+
+    // crypto-shred: per-row AES encrypt + decrypt (CPU-bound kernel work)
+    time("crypto_shred") {
+      val e = ev.select(col("user_id"),
+        concat(lit("payload-"), col("event_id")).as("props"))
+      val keyCol = unhex(substring(sha2(concat(lit("key-v1:"),
+        col("user_id").cast("string")), 256), 1, 32))
+      val keys = e.select("user_id").distinct()
+        .withColumn("key", keyCol).localCheckpoint(true)
+      val enc = e.join(keys, Seq("user_id"))
+        .select(col("user_id"),
+          aes_encrypt(col("props").cast("binary"), col("key"), lit("ECB"))
+            .as("ct"))
+      val kept = keys.filter(col("user_id") % 97 =!= 0)
+      val out = enc.join(kept, Seq("user_id"), "left")
+        .select(col("user_id"),
+          try_aes_decrypt(col("ct"),
+            coalesce(col("key"), lit(Array.emptyByteArray)), lit("ECB"))
+            .as("pt"))
+        .groupBy((col("user_id") % 97 === 0).as("shredded"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("pt").isNotNull.cast("long")).as("n_readable"))
+      checksum(out)
+    }
     spark.stop()
   }
 }

@@ -1193,10 +1193,15 @@ object TextAnalysis {
   def sourceKeyness(docs: DataFrame, srcCol: String, textCol: String,
       minCount: Long, k: Int, a0: Double = 100.0): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val st = docs
+    // the (source, term) rollup has THREE consumers (term totals, source
+    // totals, the scored join) — eager-checkpoint the reduced frame so
+    // the corpus tokenize runs ONCE (the psiFromCounts posture; measured
+    // 3x at 20x without it). The frame is vocabulary×sources-bounded.
+    val st = org.apache.spark.sql.graft.Bridge.resetStats(docs
       .select(col(srcCol).as("source"),
         explode(wsTokens(lower(col(textCol)))).as("term"))
       .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true))
     val tot = st.groupBy("term").agg(sum(col("c")).as("cw"))
       .filter(col("cw") >= minCount)
     val stot = st.groupBy("source").agg(sum(col("c")).as("nst"))

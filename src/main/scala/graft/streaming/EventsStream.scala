@@ -146,6 +146,33 @@ object EventsStream {
       .drop("__p_user")
   }
 
+  /** LEFT OUTER stream-stream attribution: every purchase is emitted —
+    * joined to its in-window clicks when they exist, and exactly once
+    * with NULL click columns when the watermark PROVES none can arrive
+    * (the "conversion with no known touchpoint" rows an attribution
+    * report is incomplete without). The outer side adds a semantics the
+    * inner join doesn't have: a NULL-padded row cannot be emitted on
+    * arrival (a matching click might still come), only on TIMEOUT — once
+    * the click watermark passes the end of the purchase's match
+    * interval — so unmatched results trail the watermark by design,
+    * they are not late, and a consumer must not read their absence
+    * mid-stream as "no conversion gap". Same watermark-bounded state as
+    * the inner join: O(arrival rate × window), never O(stream). */
+  def attributionJoinOuter(clicks: DataFrame, purchases: DataFrame,
+      userCol: String = "user_id", clickTs: String = "click_ts",
+      purchaseTs: String = "purchase_ts",
+      window: String = "30 minutes", delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark(clickTs, delay)
+    val p = purchases.withWatermark(purchaseTs, delay)
+      .withColumnRenamed(userCol, "__p_user")
+    p.join(c,
+        col("__p_user") === col(userCol) &&
+          col(purchaseTs) >= col(clickTs) &&
+          col(purchaseTs) < col(clickTs) + expr(s"INTERVAL $window"),
+        "leftOuter")
+      .withColumnRenamed("__p_user", "p_user_id")
+  }
+
   /** Stream-static decontamination: documents arriving on a stream are
     * dropped when they share any bottom-k fingerprint hash with a STATIC
     * benchmark corpus — ingest-time eval-set hygiene, so contaminated

@@ -721,6 +721,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unmatched purchases exactly once, on watermark timeout") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventsStream.attributionJoinOuter(
+        clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+        purchases.toDF().toDF("user_id", "purchase_id", "purchase_ts"))
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 100L, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        (1L, 900L, ts("2024-01-01 10:10:00")), // in window of click 100
+        (3L, 902L, ts("2024-01-01 10:05:00"))) // no click for user 3 — ever
+      q.processAllAvailable()
+      def got(): Set[(Long, Option[Long])] = spark.table("attr_outer_out")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // the matched row emits on arrival; the unmatched one must NOT —
+      // a click for user 3 could still arrive inside the watermark
+      assert(got() == Set((900L, Some(100L))))
+      // push both watermarks far past 902's match interval: the engine
+      // can now PROVE no click joins purchase 902 and emits the NULL row
+      clicks.addData((9L, 999L, ts("2024-01-01 13:00:00")))
+      purchases.addData((9L, 998L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      clicks.addData((9L, 1000L, ts("2024-01-01 14:00:00")))
+      purchases.addData((9L, 997L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      assert(got().contains((902L, None)), got().toString)
+      // exactly once — the timeout emission must not duplicate
+      assert(spark.table("attr_outer_out")
+        .filter(col("purchase_id") === 902L).count() == 1)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("attribution join on batch frames equals the bucketized interval join") {
     // the SAME function body serves batch (watermark = no-op): parity with
     // Temporal.intervalJoin pins that stream and batch attribution agree
