@@ -2190,6 +2190,104 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** Zero-extra-pass load metrics via `Dataset.observe` — the production
+    * answer to "every load must publish row/null/range metrics" that
+    * does NOT cost a second scan: the metrics ride the SAME job as the
+    * load as accumulator-backed aggregates, where a dq_report-style
+    * follow-up query would re-read the corpus (at 100 TB, the metrics
+    * pass IS a full scan). Only order-independent observations are used
+    * (count / decimal sum / null count / min / max), so the per-task
+    * accumulation order cannot change the result; the one-row report is
+    * driver-built (report-sized by definition) and the oracle recomputes
+    * the same aggregates from the parquet truth. */
+  private def observedLoad(s: SparkSession, d: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation(s"graft_load_${System.nanoTime}")
+    val loaded = events(s, d).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(col("value").cast(DecimalType(18, 2))).as("sum_value"),
+      sum(col("user_id").isNull.cast(LongType)).as("null_users"),
+      date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+    // the "load": one real action over the observed frame (a write in
+    // production; the metrics attach to whatever job consumes the frame)
+    loaded.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("sum_value").asInstanceOf[java.math.BigDecimal].doubleValue(),
+      m("null_users").asInstanceOf[Long],
+      m("min_ts").asInstanceOf[String],
+      m("max_ts").asInstanceOf[String]))
+      .toDF("n_rows", "sum_value", "null_users", "min_ts", "max_ts")
+  }
+
+  /** Catalog tables + column stats for the CBO demo, created ONCE per
+    * source dataset (mtime-keyed suffix — a regenerated testdata set
+    * gets fresh tables; repeat calls skip both write and ANALYZE). */
+  private[graft] def cboEnsureTables(s: SparkSession, d: String): String = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    if (!s.catalog.tableExists(s"li_cbo_$tag")) {
+      lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").saveAsTable(s"li_cbo_$tag")
+      orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority")
+        .write.mode("overwrite").saveAsTable(s"ord_cbo_$tag")
+      customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").saveAsTable(s"cust_cbo_$tag")
+      Seq(s"li_cbo_$tag", s"ord_cbo_$tag", s"cust_cbo_$tag").foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    }
+    tag
+  }
+
+  /** The CBO frame in its deliberately BAD written order — shared with
+    * the PlanShapeSpec guard. fact ⋈ orders first, the filtered tiny
+    * customer last: without statistics Catalyst keeps the written order
+    * (the 60k-row intermediate); with column stats + join reorder the
+    * optimizer joins orders ⋈ filtered-customer FIRST (the ~3k-row
+    * intermediate) and the fact joins a reduced frame. */
+  private[graft] def cboFrame(s: SparkSession, d: String): DataFrame = {
+    val tag = cboEnsureTables(s, d)
+    val li = s.table(s"li_cbo_$tag")
+    val ord = s.table(s"ord_cbo_$tag")
+    val cust = s.table(s"cust_cbo_$tag")
+      .filter(col("c_mktsegment") === "BUILDING")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+          28, 6).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Cost-based join reorder — the STATISTICS leg of "let Catalyst
+    * optimize": at 100 TB the difference between joining two facts first
+    * and reducing through the selective dim first is the whole shuffle
+    * budget, and no rule-based optimizer can pick the order without
+    * knowing the sizes. Catalog tables carry ANALYZE'd column stats
+    * (ndv/min/max/size — the lakehouse manifest-stats analog); with
+    * `spark.sql.cbo.joinReorder` the deliberately mis-ordered 3-table
+    * join re-plans to dim-first (plan-guarded: the innermost join's
+    * subtree holds orders+customer, never the fact). Conf-flipped
+    * try/finally with eager materialization (the parquet_stats_agg
+    * convention); reordering is semantically invisible — the oracle is
+    * the plain join over the parquet truth the tables were created
+    * from. */
+  private def cboReorder(s: SparkSession, d: String): DataFrame = {
+    val conf = s.conf
+    val keys = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try cboFrame(s, d).localCheckpoint(true)
+    finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   /** The skew-join frame, pre-materialization — shared with the
     * PlanShapeSpec guard. A deterministic hot key (60% of event rows
     * collapse onto key 0 — the synthetic testdata is uniform, so the
@@ -5113,7 +5211,9 @@ object SparkEntry {
     "source_keyness" -> (sourceKeyness _),
     "skew_join" -> (skewJoin _),
     "dp_release" -> (dpRelease _),
-    "crypto_shred" -> (cryptoShred _)
+    "crypto_shred" -> (cryptoShred _),
+    "cbo_reorder" -> (cboReorder _),
+    "observed_load" -> (observedLoad _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -5286,6 +5386,23 @@ object SparkEntry {
           |   + (-10.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
           |   AS released_eps01
           |FROM h ORDER BY source""".stripMargin) +
+      ("cbo_reorder" ->
+        """SELECT o_orderpriority, COUNT(*) AS n,
+          | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6)))
+          |   AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY 1 ORDER BY 1""".stripMargin) +
+      ("observed_load" ->
+        """SELECT COUNT(*) AS n_rows,
+          | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+          | CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |   AS null_users,
+          | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+          | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+          |FROM events""".stripMargin) +
       ("pseudonymize" ->
         """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
           | COUNT(*) AS n_events,

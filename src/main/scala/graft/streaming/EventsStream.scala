@@ -146,6 +146,22 @@ object EventsStream {
       .drop("__p_user")
   }
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * holds a key's fingerprint only until the watermark passes its event
+    * time, where the exact-dedup face (`dedupedStream`) must keep every
+    * key seen FOREVER — the difference between O(keys in the replay
+    * horizon) and O(stream lifetime) state at 100 TB/day. The contract
+    * traded for that bound, spec-pinned: duplicates arriving INSIDE the
+    * horizon are dropped; a duplicate arriving after the watermark
+    * passed its original is emitted AGAIN (late replays re-admit — the
+    * downstream idempotent sink is still required, it just sees
+    * horizon-bounded duplication instead of unbounded). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String = "ts",
+      keyCols: Seq[String] = Seq("event_id"),
+      delay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** LEFT OUTER stream-stream attribution: every purchase is emitted —
     * joined to its in-window clicks when they exist, and exactly once
     * with NULL click columns when the watermark PROVES none can arrive

@@ -279,6 +279,34 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("cbo_reorder: column stats re-plan the mis-ordered join to dim-first") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val prev = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val df = SparkEntry.cboFrame(spark, sf)
+      // assert on the OPTIMIZED logical plan (reorder is a logical rule;
+      // physical broadcasts would muddy subtree membership)
+      val opt = df.queryExecution.optimizedPlan
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.size == 2, opt.toString)
+      // the INNERMOST join (no Join below it) must hold orders+customer
+      // only — the fact joins the reduced frame above
+      val innermost = joins.filter(j => j.children.forall(c =>
+        c.collect { case jj: org.apache.spark.sql.catalyst.plans.logical.Join => jj }
+          .isEmpty))
+      assert(innermost.size == 1, opt.toString)
+      val tables = innermost.head.collectLeaves().map(_.toString).mkString
+      assert(tables.contains("ord_cbo_") && tables.contains("cust_cbo_") &&
+        !tables.contains("li_cbo_"), opt.toString)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("incremental read-back prunes to the interval's partitions") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices

@@ -721,6 +721,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: in-horizon dups drop, post-horizon replays re-admit") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = EventsStream.dedupWithinWatermark(
+        in.toDF().toDF("event_id", "ts"))
+      .select("event_id", "ts")
+      .writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:01:00")), // in-batch duplicate
+        (2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 10:05:00"))) // in-horizon duplicate
+      q.processAllAvailable()
+      def n(id: Long): Long = spark.table("dedup_wm_out")
+        .filter(col("event_id") === id).count()
+      assert(n(1L) == 1 && n(2L) == 1)
+      // advance the watermark far past event 1's fingerprint, then
+      // replay it: the bounded-state contract re-admits the late replay
+      in.addData((9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(n(1L) == 2, s"expected re-admission, got ${n(1L)}")
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("left-outer attribution emits unmatched purchases exactly once, on watermark timeout") {
     implicit val sql = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
