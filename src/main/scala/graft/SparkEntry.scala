@@ -1368,6 +1368,25 @@ object SparkEntry {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Linear interpolation over the hourly spine
+    * ([[graft.operators.Temporal.interpolate]]) — the reconstruction a
+    * forward fill gets wrong on ramps. Gaps are PLANTED deterministically
+    * (hours with epoch-hour ≡ 2 mod 5 are dropped from the input series)
+    * so the operator demonstrably reconstructs known-missing buckets at
+    * any SF; observed hours pass through, edge gaps stay null. The only
+    * IEEE op is the final division (integer bucket distances, integer
+    * counts) — hash-exact, no rounding dance. */
+  private def eventsInterpolate(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(expr("(unix_timestamp(h) div 3600) % 5 != 2"))
+    graft.operators.Temporal.interpolate(hourly, "h", "event_type", "n")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("observed"), col("v_interp"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** Gap-based sessionization (30 min) via lag + running sum — one shuffle
     * on user_id, both windows share the same partitioning. */
   private def sessionize(s: SparkSession, d: String): DataFrame = {
@@ -3053,6 +3072,35 @@ object SparkEntry {
     fams.map { case (n, f) => eval(n, f) }
       .reduce(_ unionAll _)
       .orderBy("family")
+  }
+
+  /** Matryoshka-style dimension/recall trade-off — the eval behind
+    * "can we search the first d dims of the embedding and keep recall":
+    * truncated-prefix representations (MRL) are how production vector
+    * stacks cut memory/bandwidth 4-16× BEFORE any codebook quantization
+    * (the PQ/SQ8 rows compress all 64 dims; this asks whether 64 are
+    * needed at all). Brute-force cosine top-k over the FIRST d dims
+    * (d = 8/16/32/64) scored as recall@k against the full-dim exact
+    * baseline — d=64 recalls 1.0 by construction (LlmOpsSpec pins it,
+    * plus the report shape). Deterministic end to end (slice + the
+    * bit-deterministic cosine kernel); rows-only by the ann_eval
+    * precedent (the oracle engine re-deriving four cosine top-k sets
+    * adds no evidence the spec pin doesn't).
+    *
+    * Scale shape: each truncated eval is the brute baseline's cost on a
+    * d/64 slice — the slice happens BEFORE the candidate join, so bytes
+    * shuffled scale with d; everything after is top-k-set-sized. */
+  private def annDimTradeoff(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+    def truncated(dims: Int): DataFrame = {
+      def cut(df: DataFrame): DataFrame =
+        df.withColumn("embedding", slice(col("embedding"), 1, dims))
+      Similarity.bruteForceTopK(cut(emb), cut(q), "vec_id", "embedding", annK)
+        .select(col("q_id"), col("vec_id"))
+    }
+    annEvalFrom(annK, annExact(s, d),
+      Seq(8, 16, 32, 64).map(dims => f"dim$dims%02d" -> truncated(dims)))
   }
 
   /** ann_eval consuming PRECOMPUTED index-probe results — the honest
@@ -5213,7 +5261,9 @@ object SparkEntry {
     "dp_release" -> (dpRelease _),
     "crypto_shred" -> (cryptoShred _),
     "cbo_reorder" -> (cboReorder _),
-    "observed_load" -> (observedLoad _)
+    "observed_load" -> (observedLoad _),
+    "events_interpolate" -> (eventsInterpolate _),
+    "ann_dim_tradeoff" -> (annDimTradeoff _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -5403,6 +5453,41 @@ object SparkEntry {
           | strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
           | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
           |FROM events""".stripMargin) +
+      ("events_interpolate" ->
+        """WITH hourly AS (
+          | SELECT date_trunc('hour', ts) h, event_type, COUNT(*) n
+          | FROM events GROUP BY 1, 2),
+          |gapped AS (SELECT * FROM hourly
+          |           WHERE (epoch(h)::BIGINT // 3600) % 5 != 2),
+          |bounds AS (SELECT MIN(h) lo, MAX(h) hi FROM gapped),
+          |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+          |          FROM bounds),
+          |grid AS (SELECT s.h, t.event_type FROM spine s
+          |         CROSS JOIN (SELECT DISTINCT event_type FROM gapped) t),
+          |j AS (SELECT g.h, g.event_type, hh.n,
+          |       last_value(hh.n IGNORE NULLS) OVER
+          |        (PARTITION BY g.event_type ORDER BY g.h
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          |       last_value(CASE WHEN hh.n IS NOT NULL THEN g.h END IGNORE NULLS)
+          |        OVER (PARTITION BY g.event_type ORDER BY g.h
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          |       first_value(hh.n IGNORE NULLS) OVER
+          |        (PARTITION BY g.event_type ORDER BY g.h
+          |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          |       first_value(CASE WHEN hh.n IS NOT NULL THEN g.h END IGNORE NULLS)
+          |        OVER (PARTITION BY g.event_type ORDER BY g.h
+          |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+          |      FROM grid g LEFT JOIN gapped hh
+          |       ON g.h = hh.h AND g.event_type = hh.event_type)
+          |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+          | n AS observed,
+          | CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+          |      WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+          |       CAST(pv AS DOUBLE)
+          |        + CAST((nv - pv) * date_diff('hour', pt, h) AS DOUBLE)
+          |          / CAST(date_diff('hour', pt, nt) AS DOUBLE)
+          |      ELSE NULL END AS v_interp
+          |FROM j ORDER BY hour_start, event_type""".stripMargin) +
       ("pseudonymize" ->
         """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
           | COUNT(*) AS n_events,

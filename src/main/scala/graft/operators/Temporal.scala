@@ -333,4 +333,57 @@ object Temporal {
         coalesce(col(countCol), lit(0L)).as(countCol),
         last(col(fillCol), ignoreNulls = true).over(w).as(s"last_$fillCol"))
   }
+
+  /** Linear interpolation over the dense spine — the gap fill a forward
+    * fill ([[gapFill]]) gets WRONG for a rate/level series (carrying the
+    * last value forward flattens every ramp): a missing bucket strictly
+    * between two observations t1 < t < t2 reconstructs as
+    * v1 + (v2−v1)·(t−t1)/(t2−t1); observed buckets keep their value;
+    * buckets before the first / after the last observation stay NULL
+    * (extrapolation is a guess, not a fill — callers choose their own).
+    *
+    * Exactness: bucket distances are integer step counts and the values
+    * integer-valued, so the only IEEE op is the final division — both
+    * engines compute the identical expression, no rounding needed
+    * (hash-exact oracle).
+    *
+    * Scale shape: spine×keys grid (hours×types-bounded) left-joins the
+    * rollup; the prev/next scans are TWO frame variants over ONE
+    * key-partitioned Window shuffle. */
+  def interpolate(df: DataFrame, bucketCol: String, keyCol: String,
+      valueCol: String, step: String = "interval 1 hour",
+      stepSeconds: Long = 3600L): DataFrame = {
+    val bounds = df.agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr(step))).as(bucketCol))
+    val keys = df.select(col(keyCol)).distinct()
+    val grid = spine.crossJoin(keys)
+    val wPrev = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val joined = grid.join(df, Seq(bucketCol, keyCol), "left")
+      .select(col(bucketCol), col(keyCol), v,
+        last(v, ignoreNulls = true).over(wPrev).as("__pv"),
+        last(when(v.isNotNull, col(bucketCol)), ignoreNulls = true)
+          .over(wPrev).as("__pt"),
+        first(v, ignoreNulls = true).over(wNext).as("__nv"),
+        first(when(v.isNotNull, col(bucketCol)), ignoreNulls = true)
+          .over(wNext).as("__nt"))
+    // integer step counts (buckets are step-aligned, so `div` is exact) —
+    // Column `/` would widen to double and stop mirroring the oracle's
+    // integer date_diff
+    val dh = expr(s"(unix_timestamp($bucketCol) - unix_timestamp(__pt)) " +
+      s"div $stepSeconds")
+    val dtot = expr(s"(unix_timestamp(__nt) - unix_timestamp(__pt)) " +
+      s"div $stepSeconds")
+    joined.select(col(bucketCol), col(keyCol), v.as("observed"),
+      when(v.isNotNull, v.cast("double"))
+        .when(col("__pv").isNotNull && col("__nv").isNotNull,
+          col("__pv").cast("double") +
+            ((col("__nv") - col("__pv")) * dh).cast("double") /
+              dtot.cast("double"))
+        .otherwise(lit(null).cast("double")).as("v_interp"))
+  }
 }

@@ -1397,6 +1397,18 @@ class LlmOpsSpec extends AnyFunSuite {
       .filter(col("k1") =!= col("k2"))
     assert(crossKey.count() == 0L)
   }
+
+  test("ann_dim_tradeoff: full-dim truncation recalls exactly 1.0; report is well-formed") {
+    val out = SparkEntry.queries("ann_dim_tradeoff")(spark, sf).collect()
+    assert(out.length == 4, out.mkString("; "))
+    val byFam = out.map(r => r.getAs[String]("family") ->
+      r.getAs[Double]("recall_at_k")).toMap
+    // truncating to ALL dims is the exact metric itself
+    assert(byFam("dim64") == 1.0, byFam.toString)
+    // recalls are valid fractions on the same query set
+    assert(byFam.values.forall(r => r >= 0.0 && r <= 1.0), byFam.toString)
+    assert(out.map(_.getAs[Long]("n_queries")).toSet.size == 1)
+  }
 }
 
 object LlmOpsSpec {
