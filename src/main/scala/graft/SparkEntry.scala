@@ -2455,7 +2455,14 @@ object SparkEntry {
     val path = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(stagingBase), "graft_time_travel_").toString
     try {
-      val ev = events(s, d).select("event_id", "user_id", "event_type", "ts")
+      // one week of events: the demo's semantics (3 versions, CoW
+      // delete/upsert rewrites, snapshot isolation) are day-count
+      // independent, and the fixture pays 3 full partitioned lake
+      // writes PER INVOCATION — the 30-day form was the bench's single
+      // slowest query (8.1 s, all fixture IO; ~2 s sliced)
+      val ev = events(s, d)
+        .filter(col("ts") < to_timestamp(lit("2024-01-08")))
+        .select("event_id", "user_id", "event_type", "ts")
       val v1 = Snapshots.commitAppend(s, path, ev, "ts")
       val v2 = Snapshots.commitDeleteKeys(s, path, "user_id",
         ev.select(col("user_id")).filter(col("user_id") % 97 === 0))
@@ -7900,7 +7907,7 @@ object SparkEntry {
       """WITH e AS (
         | SELECT event_id, user_id, year(ts) AS yy, month(ts) AS mm,
         |  day(ts) AS dd
-        | FROM events),
+        | FROM events WHERE ts < TIMESTAMP '2024-01-08'),
         |v2 AS (SELECT * FROM e WHERE user_id % 97 <> 0),
         |b AS (SELECT event_id, user_id + 1 AS user_id, yy, mm, dd
         |      FROM e WHERE event_id % 1000 = 0

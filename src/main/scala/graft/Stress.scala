@@ -1393,6 +1393,31 @@ object Stress {
       checksum(out)
     }
 
+    // interpolation: corpus hourly rollup dominates; the spine/window
+    // tail is hours×types-bounded — expect near-flat past the rollup
+    time("events_interpolate") {
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(expr("(unix_timestamp(h) div 3600) % 5 != 2"))
+      checksum(graft.operators.Temporal.interpolate(
+        hourly, "h", "event_type", "n"))
+    }
+    // truncated-dim brute recall: slice before the candidate join, so
+    // bytes scale with d; corpus-sized like the brute baseline
+    time("ann_dim_tradeoff") {
+      val q = emb.filter(col("vec_id") < 8)
+      def cut(df: DataFrame, dims: Int): DataFrame =
+        df.withColumn("embedding", slice(col("embedding"), 1, dims))
+      val out = Seq(8, 64).map { dims =>
+        Similarity.bruteForceTopK(cut(emb, dims), cut(q, dims),
+          "vec_id", "embedding", 10)
+          .groupBy()
+          .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("s"))
+          .withColumn("dims", lit(dims.toLong))
+      }.reduce(_ unionByName _)
+      checksum(out)
+    }
     // crypto-shred: per-row AES encrypt + decrypt (CPU-bound kernel work)
     time("crypto_shred") {
       val e = ev.select(col("user_id"),
