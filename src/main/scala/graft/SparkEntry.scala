@@ -3604,6 +3604,40 @@ object SparkEntry {
       .orderBy("shredded")
   }
 
+  // shared by textNfc and its generated oracle: the same visually-equal,
+  // byte-distinct pair (decomposed e + U+0301 vs precomposed U+00E9)
+  private val nfcDecomposed = " cafe\u0301"  // e + combining acute
+  private val nfcPrecomposed = " caf\u00e9"   // precomposed
+
+  /** Unicode NFC canonicalization audit ([[graft.functions.nfcNormalize]])
+    * — the pass every exact-dedup/decontamination chain needs FIRST: real
+    * crawls deliver the same text precomposed and decomposed, visually
+    * identical and byte-distinct, so exact hashes split documents and
+    * blocklist terms silently miss. The fixture plants both forms (the
+    * ASCII test corpus has no natural denormalization — the pii_scrub
+    * convention), and the report proves the kernel byte-for-byte against
+    * the oracle engine's own normalizer (md5 rollup of every normalized
+    * text) plus the consequence that matters: distinct counts COLLAPSE
+    * under NFC (the two planted forms become one). Zero-shuffle
+    * projection + one source-bounded rollup. */
+  private def textNfc(s: SparkSession, d: String): DataFrame = {
+    val suffix = when(col("doc_id") % 3 === 0, lit(nfcDecomposed))
+      .when(col("doc_id") % 3 === 1, lit(nfcPrecomposed))
+      .otherwise(lit(""))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), suffix).as("text"))
+      .withColumn("nfc", nfcNormalize(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("nfc") =!= col("text")).cast(LongType)).as("n_changed"),
+        sum(conv(substring(md5(col("nfc").cast(BinaryType)), 1, 8), 16, 10)
+          .cast(LongType)).as("nfc_hash_sum"),
+        countDistinct(col("text")).as("n_raw_distinct"),
+        countDistinct(col("nfc")).as("n_nfc_distinct"))
+      .orderBy("source")
+  }
+
   /** PII redaction, exercised end-to-end: the fixture column appends a
     * deterministic synthetic email + IP + phone derived from doc_id (the
     * test corpus contains no natural PII), the operator scrubs them, and
@@ -5270,7 +5304,8 @@ object SparkEntry {
     "cbo_reorder" -> (cboReorder _),
     "observed_load" -> (observedLoad _),
     "events_interpolate" -> (eventsInterpolate _),
-    "ann_dim_tradeoff" -> (annDimTradeoff _)
+    "ann_dim_tradeoff" -> (annDimTradeoff _),
+    "text_nfc" -> (textNfc _)
   )
 
   /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom path
@@ -5495,6 +5530,22 @@ object SparkEntry {
           |          / CAST(date_diff('hour', pt, nt) AS DOUBLE)
           |      ELSE NULL END AS v_interp
           |FROM j ORDER BY hour_start, event_type""".stripMargin) +
+      ("text_nfc" ->
+        // generated from the SAME planted-form constants the query embeds
+        s"""WITH e AS (SELECT doc_id, source,
+           |           text || CASE WHEN doc_id % 3 = 0 THEN '$nfcDecomposed'
+           |                        WHEN doc_id % 3 = 1 THEN '$nfcPrecomposed'
+           |                        ELSE '' END AS text
+           |          FROM documents),
+           |n AS (SELECT source, text, nfc_normalize(text) AS nfc FROM e)
+           |SELECT source, COUNT(*) AS n_docs,
+           | CAST(SUM(CASE WHEN nfc <> text THEN 1 ELSE 0 END) AS BIGINT)
+           |   AS n_changed,
+           | CAST(SUM(CAST(concat('0x', substr(md5(nfc), 1, 8)) AS BIGINT))
+           |   AS BIGINT) AS nfc_hash_sum,
+           | CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_distinct,
+           | CAST(COUNT(DISTINCT nfc) AS BIGINT) AS n_nfc_distinct
+           |FROM n GROUP BY 1 ORDER BY 1""".stripMargin) +
       ("pseudonymize" ->
         """SELECT substr(sha256('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_pseudo,
           | COUNT(*) AS n_events,

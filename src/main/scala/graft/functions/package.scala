@@ -173,6 +173,12 @@ package object functions {
     column(LzComplexity(expression(text)))
   }
 
+  /** Unicode NFC canonicalization ([[NfcNormalize]]). */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(NfcNormalize(expression(text)))
+  }
+
   /** Greedy longest-match subword segmentation of a word array against a
     * fixed vocabulary — the native [[SubwordTokens]] kernel. Returns a
     * struct {pieces: array<string>, n_unk: long}. */

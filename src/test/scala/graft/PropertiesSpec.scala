@@ -157,6 +157,34 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc kernel: idempotent, collapses canonical equivalents, ASCII identity") {
+    import graft.functions.nfcNormalize
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "caf\u00e9"),            // precomposed: already NFC
+      (3L, "cafe\u0301"),           // decomposed: e + combining acute
+      (4L, "A\u030a ring"),         // A + combining ring -> \u00c5
+      (5L, "")).toDF("id", "t")
+    val out = rows.select(col("id"), col("t"),
+        nfcNormalize(col("t")).as("n1"),
+        nfcNormalize(nfcNormalize(col("t"))).as("n2"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getString(3))).sortBy(_._1)
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    assert(out.forall { case (_, _, n1, n2) => n1 == n2 })
+    // ASCII identity; canonical equivalents collapse to the SAME bytes
+    assert(out(0)._3 == "plain ascii text")
+    assert(out(1)._3 == "caf\u00e9" && out(2)._3 == "caf\u00e9")
+    assert(out(3)._3 == "\u00c5 ring")
+    assert(out(4)._3 == "")
+    // interpreted (direct eval) == the codegen'd column path
+    out.foreach { case (_, t, n1, _) =>
+      val interp = graft.functions.NfcNormalize.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+      assert(interp == n1)
+    }
+  }
+
   test("repetition kernel is bit-identical to the interpreted HOF formulation") {
     import spark.implicits._
     val edge = Seq(
