@@ -1104,17 +1104,22 @@ object Stress {
         concat(lit("l"), pmod(col("doc_id"), lit(5L))).as("lang"),
         concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
         length(col("text")).as("n_chars"))
-      def level(bucket: Int, nm: String): DataFrame = doc
-        .groupBy(col("lang"), col("source"),
-          expr(s"n_chars DIV $bucket").as("size_band"))
-        .agg(count(lit(1)).as("g"))
+      // one-scan ladder (mirrors the registered query): the coarse level
+      // re-aggregates the checkpointed fine cells (DIV composes)
+      val cells = doc.groupBy(col("lang"), col("source"),
+          expr("n_chars DIV 100").as("size_band"))
+        .agg(count(lit(1)).as("g")).localCheckpoint(true)
+      val coarse = cells.groupBy(col("lang"), col("source"),
+          expr("size_band DIV 10").as("size_band"))
+        .agg(sum(col("g")).as("g"))
+      def level(classes: DataFrame, nm: String): DataFrame = classes
         .select(lit(nm).as("level"),
           when(col("g") === 1, "k=1").when(col("g") < 5, "k<5")
             .when(col("g") < 10, "k<10").otherwise("k>=10").as("band"),
           col("g"))
         .groupBy("level", "band")
         .agg(count(lit(1)).as("n_classes"), sum(col("g")).as("n_rows"))
-      val out = level(100, "chars_100").unionByName(level(1000, "chars_1000"))
+      val out = level(cells, "chars_100").unionByName(level(coarse, "chars_1000"))
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
