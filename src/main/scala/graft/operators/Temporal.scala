@@ -320,15 +320,21 @@ object Temporal {
   def gapFill(df: DataFrame, bucketCol: String, keyCol: String,
       countCol: String, fillCol: String,
       step: String = "interval 1 hour"): DataFrame = {
-    val bounds = df.agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
+    // the (bucket-bounded, by contract) input has THREE consumers
+    // (bounds, key domain, the grid join) — eager-checkpoint so the
+    // upstream rollup's corpus scan runs ONCE (the psiFromCounts
+    // posture; 3 scans measured without it)
+    val src = org.apache.spark.sql.graft.Bridge.resetStats(
+      df.localCheckpoint(true))
+    val bounds = src.agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"), expr(step))).as(bucketCol))
-    val keys = df.select(col(keyCol)).distinct()
+    val keys = src.select(col(keyCol)).distinct()
     val grid = spine.crossJoin(keys)
     val w = Window.partitionBy(keyCol).orderBy(bucketCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid
-      .join(df, Seq(bucketCol, keyCol), "left")
+      .join(src, Seq(bucketCol, keyCol), "left")
       .select(col(bucketCol), col(keyCol),
         coalesce(col(countCol), lit(0L)).as(countCol),
         last(col(fillCol), ignoreNulls = true).over(w).as(s"last_$fillCol"))
@@ -353,17 +359,20 @@ object Temporal {
   def interpolate(df: DataFrame, bucketCol: String, keyCol: String,
       valueCol: String, step: String = "interval 1 hour",
       stepSeconds: Long = 3600L): DataFrame = {
-    val bounds = df.agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
+    // same triple-consumer checkpoint as gapFill
+    val src = org.apache.spark.sql.graft.Bridge.resetStats(
+      df.localCheckpoint(true))
+    val bounds = src.agg(min(col(bucketCol)).as("lo"), max(col(bucketCol)).as("hi"))
     val spine = bounds
       .select(explode(sequence(col("lo"), col("hi"), expr(step))).as(bucketCol))
-    val keys = df.select(col(keyCol)).distinct()
+    val keys = src.select(col(keyCol)).distinct()
     val grid = spine.crossJoin(keys)
     val wPrev = Window.partitionBy(keyCol).orderBy(bucketCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(keyCol).orderBy(bucketCol)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val v = col(valueCol)
-    val joined = grid.join(df, Seq(bucketCol, keyCol), "left")
+    val joined = grid.join(src, Seq(bucketCol, keyCol), "left")
       .select(col(bucketCol), col(keyCol), v,
         last(v, ignoreNulls = true).over(wPrev).as("__pv"),
         last(when(v.isNotNull, col(bucketCol)), ignoreNulls = true)

@@ -307,6 +307,26 @@ class PlanShapeSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("session-4 reduced-frame queries: the corpus scan runs ONCE (checkpoint time)") {
+    // each query's final plan must read only the checkpointed reduced
+    // frame — a parquet scan in the plan means a consumer re-reads the
+    // corpus (the keyness 3x regression class)
+    for (q <- Seq("t_closeness", "source_keyness", "events_interpolate")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"), s"$q re-scans the corpus:\n$p")
+    }
+  }
+
+  test("events_interpolate: prev/next carries fuse into ONE window pass") {
+    val p = plan("events_interpolate")
+    assert("Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("source_keyness ranks on the heap top-k operator, not a per-source sort") {
+    val p = plan("source_keyness")
+    assert(p.contains("TopKPerGroup"), p)
+  }
+
   test("incremental read-back prunes to the interval's partitions") {
     import org.apache.spark.sql.functions.col
     SparkEntry.queries("incremental_interval")(spark, sf).collect() // stage the slices
