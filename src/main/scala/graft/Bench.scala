@@ -137,6 +137,21 @@ object Bench {
           s"""{"q":"$n","sec":${f"${best(n)}%.2f"},"base":${f"$b%.2f"}}"""
       }
     }
+    // ALWAYS drop the full per-query artifact beside the baseline: the
+    // driver keeps only a ~2 KB stdout tail, so round-over-round per-query
+    // diffs need a committed file, not the tail (commit tools/bench_last
+    // .json with the round's close-out run)
+    locally {
+      val lastPath = java.nio.file.Paths.get("tools/bench_last.json")
+      try {
+        java.nio.file.Files.createDirectories(lastPath.getParent)
+        java.nio.file.Files.write(lastPath,
+          (s"""{"sf":"$sfDir","runs":$nRuns,"total":${f"$total%.1f"},""" +
+            s""""queries":$qs,"run":$runArr}""" + "\n").getBytes)
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] bench_last write failed: ${t.getMessage}")
+      }
+    }
     if (sys.env.get("SPARK_GRAFT_WRITE_BASELINE").exists(_ == "1")) {
       java.nio.file.Files.createDirectories(baselinePath.getParent)
       java.nio.file.Files.write(baselinePath,

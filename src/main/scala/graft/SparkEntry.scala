@@ -1937,6 +1937,24 @@ object SparkEntry {
       .orderBy("type_b")
   }
 
+  /** Fixed-bin approximate KS ([[Quality.ksBinnedStatistic]], 16 bins
+    * over [0, 1) + under/overflow sinks) — the BOUNDED-STATE face of
+    * `value_ks` for unbounded/continuous domains: the exact statistic's
+    * distinct-value state is the deployment limiter (documented at
+    * ksFromCounts); this caps it at groups × 18 rows forever. The bin
+    * width 8 is a power of two, so the quantizing division is IEEE-
+    * exact and both engines bin identically; the value tail past 128
+    * exercises the overflow sink on real data. Downstream is the proven
+    * integer-KS machinery over the bin domain (hash-exact oracle). The
+    * D_binned ≤ D_exact ≤ D_binned + max-bin-mass sandwich is
+    * property-tested; the streaming face is pinned in StreamingSpec. */
+  private def valueKsBinned(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    def one(b: String) = Quality.ksBinnedStatistic(
+      ev, "event_type", "value", "click", b, lo = 0.0, hi = 128.0, nBins = 16)
+    one("view").unionByName(one("error")).orderBy("type_a", "type_b")
+  }
+
   /** Count-min-sketch frequency estimates for the exact top-20 tokens
     * ([[TextAnalysis.cmsTokenEstimates]]) — the sketch family's
     * point-query leg, built through Spark's NATIVE count_min_sketch
@@ -3604,6 +3622,47 @@ object SparkEntry {
       .orderBy("shredded")
   }
 
+  /** SIV-style derived IV, shared by [[cryptoShredGcm]] and its spec:
+    * the 12-byte GCM nonce is a PRF of (key, plaintext) — SHA-256
+    * truncated, the RFC 5297 synthetic-IV construction's shape. Unlike a
+    * random IV this keeps the fixture deterministic (the gate's no-rand
+    * invariant), and unlike a COUNTER it never repeats across replays of
+    * the same pipeline; the documented trade is that equal (key,
+    * plaintext) pairs produce equal ciphertexts — a deliberate
+    * deterministic-encryption property (it leaks only equality, the same
+    * property exact-dedup already computes). */
+  private[graft] def shredIv(key: Column, pt: Column): Column =
+    unhex(substring(sha2(concat(key, pt), 256), 1, 24))
+
+  /** crypto_shred on the documented PRODUCTION cipher posture: AES-GCM
+    * (authenticated — a wrong key fails the tag check by construction,
+    * not merely with-overwhelming-probability as ECB's padding check
+    * does) with the [[shredIv]] derived nonce in place of GCM's usual
+    * random one, so the row stays gate-deterministic while exercising
+    * the real mode. Spark prepends the provided IV to the ciphertext, so
+    * decrypt needs only (ct, key, GCM). Same cohort report, key-table
+    * join shape, and rows-only posture as `crypto_shred` (no AES in the
+    * oracle engine); IngestDaySpec pins round-trip, wrong-key null,
+    * shredded null, and ciphertext determinism on this path. */
+  private def cryptoShredGcm(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("props"))
+    val keys = shredKeys(s, d)
+    val pt = col("props").cast(BinaryType)
+    val enc = e.join(keys, Seq("user_id"))
+      .select(col("user_id"),
+        aes_encrypt(pt, col("key"), lit("GCM"), lit("NONE"),
+          shredIv(col("key"), pt)).as("ct"))
+    val kept = keys.filter(col("user_id") % 97 =!= 0)
+    enc.join(kept, Seq("user_id"), "left")
+      .select(col("user_id"),
+        try_aes_decrypt(col("ct"), coalesce(col("key"),
+          lit(Array.emptyByteArray)), lit("GCM")).as("pt"))
+      .groupBy((col("user_id") % 97 === 0).as("shredded"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("pt").isNotNull.cast(LongType)).as("n_readable"))
+      .orderBy("shredded")
+  }
+
   // shared by textNfc and its generated oracle: the same visually-equal,
   // byte-distinct pair (decomposed e + U+0301 vs precomposed U+00E9)
   private val nfcDecomposed = " cafe\u0301"  // e + combining acute
@@ -4007,6 +4066,38 @@ object SparkEntry {
       .orderBy("q_id", "rk")
   }
 
+  /** Incremental IVF ingest, the batch face of
+    * [[graft.streaming.VectorIngest]]: the arriving batch (vec_id % 5
+    * == 0) is assigned to the STANDING corpus's learned k-means cells
+    * (k=8, 3 Lloyd iterations — the kmeans_centroids build) WITHOUT
+    * re-clustering, the posture a production vector store runs at
+    * 100 TB (the quantizer trains on a slow cadence; ingest is a pure
+    * per-row kernel projection). Report: per standing cell, the posting
+    * list size before the batch and the batch's arrivals (full-outer so
+    * a cell the batch never hits still shows), plus the first arriving
+    * id as a deterministic witness. Rows-only (iterative k-means has no
+    * SQL oracle); stream-assigned == batch-assigned cells is pinned
+    * bitwise in StreamingSpec via the shared [[Similarity.cellAssigner]]
+    * closure. */
+  private def simIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val standing = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val centroids = Similarity.kmeansCentroids(standing, "vec_id",
+      "embedding", k = 8, iters = 3)
+    val assign = Similarity.cellAssigner(centroids, "embedding")
+    assign(standing.select(col("vec_id"), col("embedding")))
+      .groupBy("cell").agg(count(lit(1)).as("n_standing"))
+      .join(assign(batch.select(col("vec_id"), col("embedding")))
+        .groupBy("cell").agg(count(lit(1)).as("n_new"),
+          min(col("vec_id")).as("first_new_id")), Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_standing"), lit(0L)).as("n_standing"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("first_new_id"))
+      .orderBy("cell")
+  }
+
   /** Filtered vector search ([[Similarity.ivfTopKFiltered]]): top-k among
     * even-label vectors only, nProbe doubled to compensate the ~1/2
     * selectivity (rows-only — approximate by design; LlmOpsSpec pins
@@ -4144,12 +4235,19 @@ object SparkEntry {
     * string escaping (embedded quotes/newlines round-trip exactly). */
   private def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = formatStagePath(d, "documents", "jsonl")
-    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+    // gate on a _DONE marker written AFTER the corrupt-line injection
+    // (the ensureEvoStaged convention) — Spark's _SUCCESS lands before
+    // the injection, so a crash in that window would otherwise leave a
+    // stage later runs treat as complete and break the "+2 corrupt rows"
+    // contract the oracle hard-codes
+    if (!new java.io.File(s"$path/_DONE").exists) {
       documents(s, d).select("doc_id", "source", "lang", "text")
         .coalesce(4).write.mode("overwrite").json(path)
       java.nio.file.Files.writeString(
         new java.io.File(path, "part-99999-injected.json").toPath,
         "{\"doc_id\": notjson}\nnot json at all\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "_DONE").toPath, "")
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
@@ -4955,7 +5053,9 @@ object SparkEntry {
     Quality.mwuStatistic(ev, "event_type", "value", "click", "view")
       .unionByName(
         Quality.mwuStatistic(ev, "event_type", "value", "click", "error"))
-      .orderBy("type_b")
+      // (type_a, type_b) — unique for ANY pair list, not just the current
+      // shared-a set (the explicit-ORDER-BY-with-unique-tie-breaks rule)
+      .orderBy("type_a", "type_b")
   }
 
   /** Lead/lag cross-correlation between the purchase and click hourly
@@ -5248,6 +5348,7 @@ object SparkEntry {
     "sessionize_native" -> (sessionizeNative _),
     "events_trend" -> (eventsTrend _),
     "value_ks" -> (valueKs _),
+    "value_ks_binned" -> (valueKsBinned _),
     "numeric_corr" -> (numericCorr _),
     "token_cms" -> (tokenCms _),
     "diverse_sample" -> (diverseSample _),
@@ -5287,6 +5388,7 @@ object SparkEntry {
     "events_changepoint" -> (eventsChangepoint _),
     "binary_ingest" -> (binaryIngest _),
     "sim_ivf_filtered" -> (simIvfFiltered _),
+    "sim_ivf_incremental" -> (simIvfIncremental _),
     "events_xcorr" -> (eventsXcorr _),
     "schema_drift" -> (schemaDrift _),
     "bootstrap_stats" -> (bootstrapStats _),
@@ -5301,6 +5403,7 @@ object SparkEntry {
     "skew_join" -> (skewJoin _),
     "dp_release" -> (dpRelease _),
     "crypto_shred" -> (cryptoShred _),
+    "crypto_shred_gcm" -> (cryptoShredGcm _),
     "cbo_reorder" -> (cboReorder _),
     "observed_load" -> (observedLoad _),
     "events_interpolate" -> (eventsInterpolate _),
@@ -8390,6 +8493,49 @@ object SparkEntry {
         |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
         |       ELSE CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) END AS ks
         | FROM d2)
-        |ORDER BY type_b""".stripMargin
+        |ORDER BY type_b""".stripMargin,
+
+    // binned KS: the identical integer-KS machinery over the fixed-bin
+    // domain; the quantizer (width 8 = 2^3, IEEE-exact division, clamp
+    // to under/overflow sinks) is the same formula text ksBinCol compiles
+    "value_ks_binned" ->
+      """WITH q AS (SELECT event_type,
+        |  CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 8.0), -1.0), 16.0) AS BIGINT) AS v
+        | FROM events WHERE value IS NOT NULL),
+        |c1 AS (SELECT v,
+        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS nb
+        | FROM q WHERE event_type IN ('click','view')
+        | GROUP BY 1),
+        |cum1 AS (SELECT CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |                CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb FROM c1),
+        |t1 AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |              CAST(SUM(nb) AS BIGINT) AS n_b FROM c1),
+        |d1 AS (SELECT n_a, n_b,
+        |        CAST(MAX(ABS(n_b*ca - n_a*cb)) AS BIGINT) AS d_num
+        |       FROM cum1, t1 GROUP BY 1, 2),
+        |c2 AS (SELECT v,
+        |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS na,
+        |  SUM(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS nb
+        | FROM q WHERE event_type IN ('click','error')
+        | GROUP BY 1),
+        |cum2 AS (SELECT CAST(SUM(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+        |                CAST(SUM(nb) OVER (ORDER BY v) AS BIGINT) AS cb FROM c2),
+        |t2 AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |              CAST(SUM(nb) AS BIGINT) AS n_b FROM c2),
+        |d2 AS (SELECT n_a, n_b,
+        |        CAST(MAX(ABS(n_b*ca - n_a*cb)) AS BIGINT) AS d_num
+        |       FROM cum2, t2 GROUP BY 1, 2)
+        |SELECT * FROM (
+        | SELECT 'click' AS type_a, 'view' AS type_b, n_a, n_b, d_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) END AS ks
+        | FROM d1
+        | UNION ALL
+        | SELECT 'click' AS type_a, 'error' AS type_b, n_a, n_b, d_num,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |       ELSE CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) END AS ks
+        | FROM d2)
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

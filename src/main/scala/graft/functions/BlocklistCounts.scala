@@ -101,6 +101,14 @@ final class AhoCorasick(terms: Array[String]) extends Serializable {
   require(terms.forall(_.nonEmpty), "blocklist terms must be non-empty")
   require(terms.distinct.length == terms.length,
     s"duplicate blocklist terms: ${terms.mkString(",")}")
+  // Alphabet contract checked EAGERLY (driver-side, at construction):
+  // the dense char→code table is a Byte column, so the automaton supports
+  // at most 127 distinct characters across all terms. Validating here —
+  // not inside the @transient lazy DFA build — means a too-wide
+  // multilingual term list fails at plan time, not per-task on executors.
+  require(terms.iterator.flatMap(_.iterator).toSet.size <= 127,
+    s"blocklist alphabet too large: ${terms.iterator.flatMap(_.iterator).toSet.size}" +
+      " distinct chars (max 127)")
 
   @transient private lazy val dfa: AhoCorasick.Dfa = {
     // trie with dense codes: alphabet = distinct chars over all terms
@@ -109,7 +117,7 @@ final class AhoCorasick(terms: Array[String]) extends Serializable {
     terms.foreach(_.foreach { ch =>
       if (code(ch) == 0) { alpha += 1; code(ch) = alpha.toByte }
     })
-    require(alpha <= 127, s"blocklist alphabet too large: $alpha distinct chars")
+    // alpha <= 127 guaranteed by the eager constructor require above
     val width = alpha + 1
     // trie build over (state, code) — goto as a growable array of rows
     val rows = scala.collection.mutable.ArrayBuffer(new Array[Int](width))

@@ -219,7 +219,10 @@ package object functions {
 
   /** Per-term occurrence counts of a fixed blocklist in one Aho–Corasick
     * scan — the native [[BlocklistCounts]] kernel. Returns
-    * array<long> aligned with `terms`. */
+    * array<long> aligned with `terms`. Contract: at most 127 DISTINCT
+    * characters across all terms (the automaton's dense char→code table
+    * is byte-coded); violated lists fail eagerly at construction here,
+    * never at task runtime. */
   def blocklistCounts(text: Column, terms: Seq[String]): Column = {
     import org.apache.spark.sql.graft.Bridge.{column, expression}
     column(BlocklistCounts(expression(text), terms))

@@ -759,6 +759,47 @@ object Quality {
             (col("n_a") * col("n_b")).cast("double")).as("ks"))
   }
 
+  /** The fixed-bin quantizer shared by [[ksBinnedStatistic]] and its
+    * streaming face: bin = clamp(floor((v − lo)/w), −1, nBins) with
+    * w = (hi − lo)/nBins — bin −1 is the underflow sink, bin nBins the
+    * overflow sink, so EVERY real value lands in one of nBins + 2 bins
+    * however unbounded the domain. One subtraction, one IEEE division by
+    * a literal, one floor: both engines compute it bit-identically (the
+    * value_psi floor(value·16) precedent). */
+  def ksBinCol(value: Column, lo: Double, hi: Double, nBins: Int): Column = {
+    require(nBins >= 2, s"need >= 2 bins, got $nBins")
+    require(hi > lo, s"need hi > lo, got [$lo, $hi]")
+    val w = (hi - lo) / nBins
+    least(greatest(floor((value - lo) / w), lit(-1.0)), lit(nBins.toDouble))
+      .cast(org.apache.spark.sql.types.LongType)
+  }
+
+  /** Fixed-bin approximate KS — the BOUNDED-STATE twin of
+    * [[ksFromCounts]] for unbounded domains. The exact streaming KS's
+    * state is the distinct (group, value) rollup: bounded only by the
+    * value domain (fine for quantized test feeds, unbounded for a
+    * continuous metric — the contract documented on [[ksFromCounts]]).
+    * Binning at INGEST caps the state at groups × (nBins + 2) rows
+    * FOREVER, whatever arrives; the trade is resolution: the sup runs
+    * over bin boundaries only, so with per-bin masses p_i = na_i/n_a,
+    * q_i = nb_i/n_b,
+    *
+    *   D_binned ≤ D_exact ≤ D_binned + max_i max(p_i, q_i)
+    *
+    * (inside a bin each CDF moves by at most its bin mass) — the
+    * property-tested error contract; more bins → tighter. Downstream of
+    * the quantizer this IS [[ksFromCounts]] over the bin domain, so the
+    * streaming face (bin → `EventsStream.valueCounts` → score the sink)
+    * equals this batch face bit for bit (pinned in StreamingSpec), the
+    * same shared-operand design as KS/MWU/PSI. */
+  def ksBinnedStatistic(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String, lo: Double, hi: Double, nBins: Int): DataFrame =
+    ksFromCounts(
+      df.select(col(groupCol),
+        ksBinCol(col(valueCol), lo, hi, nBins).as("__bin"),
+        lit(1L).as("__n")),
+      groupCol, "__bin", "__n", a, b)
+
   /** Exact two-sample Mann–Whitney U between the `valueCol` distributions
     * of groups `a` and `b` — the monitoring family's RANK-BASED shift leg
     * beside KS: KS is the sup-CDF-distance (sensitive to any shape
@@ -851,7 +892,7 @@ object Quality {
     s"""WITH $ctes
        |SELECT * FROM (
        |$sels)
-       |ORDER BY type_b""".stripMargin
+       |ORDER BY type_a, type_b""".stripMargin
   }
 
   /** Per-key OLS trend over a pre-aggregated (key, bucket, count) frame —

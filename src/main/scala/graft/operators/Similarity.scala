@@ -179,11 +179,23 @@ object Similarity {
     * task broadcast as a literal). The blocking step of SemDeDup-style
     * semantic dedup and of the IVF build. */
   def assignCells(corpus: DataFrame, vecCol: String, centroids: DataFrame,
-      cellCol: String = "cell"): DataFrame = {
+      cellCol: String = "cell"): DataFrame =
+    cellAssigner(centroids, vecCol, cellCol)(corpus)
+
+  /** [[assignCells]] with the index collect HOISTED: resolves the
+    * centroid table to its driver-side matrix ONCE and returns the
+    * per-frame assignment closure. The streaming ingest face applies the
+    * closure per micro-batch — the standing index is collected at stream
+    * start, not once per batch — and because both faces share this one
+    * closure, stream-assigned cells equal batch-assigned cells bitwise
+    * (pinned in StreamingSpec). */
+  def cellAssigner(centroids: DataFrame, vecCol: String,
+      cellCol: String = "cell"): DataFrame => DataFrame = {
     val m = centroidMatrix(centroids)
-    corpus.withColumn(cellCol,
-      graft.functions.nearestCells(col(vecCol), m.map(_._2), m.map(_._1), 1)
-        .getItem(0))
+    val cents = m.map(_._2)
+    val names = m.map(_._1)
+    corpus => corpus.withColumn(cellCol,
+      graft.functions.nearestCells(col(vecCol), cents, names, 1).getItem(0))
   }
 
   /** IVF approximate top-k: k-cell inverted-file search. The corpus is

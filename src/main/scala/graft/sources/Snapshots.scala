@@ -81,7 +81,11 @@ object Snapshots {
   private def writeBatch(spark: SparkSession, path: String, v: Long,
       rows: DataFrame): DataFrame = {
     val dir = batchDir(path, v)
-    rows.write.partitionBy("y", "m", "d").parquet(dir)
+    // overwrite: the MANIFEST is the commit point, so a batch dir left by
+    // a commit that crashed before writing its manifest is orphaned — the
+    // retry recomputes the same version and must be able to replace it
+    // (ErrorIfExists would wedge the lake permanently on that path)
+    rows.write.mode("overwrite").partitionBy("y", "m", "d").parquet(dir)
     val f = fs(spark, path)
     val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]

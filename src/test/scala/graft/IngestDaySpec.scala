@@ -382,4 +382,48 @@ class IngestDaySpec extends AnyFunSuite {
       .filter(col("pt").isNotNull).count()
     assert(readable == 0, s"$readable shredded payloads readable under a wrong key")
   }
+
+  test("crypto_shred_gcm: derived-IV GCM round-trips, authenticates, and is deterministic") {
+    val e = Tables.events(spark, sf).select(col("user_id"), col("props"))
+    val keys = SparkEntry.shredKeys(spark, sf)
+    val pt = col("props").cast("binary")
+    def encrypt(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("props"),
+        aes_encrypt(pt, col("key"), lit("GCM"), lit("NONE"),
+          SparkEntry.shredIv(col("key"), pt)).as("ct"))
+    val enc = encrypt(e.join(keys, Seq("user_id")))
+    // kept cohort: decrypting with the kept key restores the exact bytes
+    // (Spark prepends the provided IV, so decrypt is just (ct, key, GCM))
+    val kept = enc.filter(col("user_id") % 97 =!= 0)
+      .join(keys, Seq("user_id"))
+      .select(col("props"),
+        aes_decrypt(col("ct"), col("key"), lit("GCM")).cast("string").as("pt"))
+    assert(kept.count() > 0)
+    assert(kept.filter(col("pt") =!= col("props")).count() == 0)
+    // wrong key: GCM is AUTHENTICATED — the tag check fails by
+    // construction (not merely with-overwhelming-probability as ECB's
+    // padding check), so try_aes_decrypt yields null for every row
+    val wrongKey = keys.filter(col("user_id") % 97 =!= 0).limit(1)
+      .select(col("key").as("wrong")).crossJoin(
+        enc.filter(col("user_id") % 97 === 0))
+    val readable = wrongKey
+      .select(try_aes_decrypt(col("ct"), col("wrong"), lit("GCM")).as("pt"))
+      .filter(col("pt").isNotNull).count()
+    assert(readable == 0, s"$readable shredded payloads readable under a wrong key")
+    // shredded cohort surfaces as null in the registered report
+    val report = SparkEntry.queries("crypto_shred_gcm")(spark, sf).collect()
+    assert(report.length == 2)
+    val byCohort = report.map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byCohort(false)._1 == byCohort(false)._2, "kept cohort must be fully readable")
+    assert(byCohort(true)._2 == 0, "shredded cohort must be fully unreadable")
+    // determinism: the derived IV makes the ciphertext a pure function of
+    // (key, plaintext) — two independent encryptions agree bit for bit
+    // (the gate's no-rand invariant, impossible with GCM's random IV)
+    val twice = enc.select(col("user_id"), col("props"), col("ct").as("ct1"))
+      .join(encrypt(e.join(keys, Seq("user_id")))
+        .select(col("user_id"), col("props"), col("ct").as("ct2")),
+        Seq("user_id", "props"))
+    assert(twice.filter(col("ct1") =!= col("ct2")).count() == 0,
+      "derived-IV GCM ciphertext must be deterministic")
+  }
 }

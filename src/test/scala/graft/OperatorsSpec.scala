@@ -742,6 +742,39 @@ class OperatorsSpec extends AnyFunSuite {
       == ((2L, 2L, 2L, Some(0.5))))
   }
 
+  test("binned KS: sandwich D_binned <= D_exact <= D_binned + max bin mass, sinks catch tails") {
+    import graft.operators.Quality
+    def dOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("ks").as[Option[Double]].collect().head.get
+    // deterministic pseudo-random samples (hash-mixed, no rand()): a is
+    // roughly uniform on [0, 40); b shifted right with an unbounded tail
+    val rows: Seq[(String, Double)] =
+      (1 to 400).map(i => ("a", (i * 2654435761L % 4001L) / 100.0)) ++
+      (1 to 300).map(i => ("b", 8.0 + (i * 40503L % 3803L) / 100.0)) ++
+      Seq(("b", 1.0e8), ("b", -999.9), ("a", 7.25e5)) // tails -> sink bins
+    val df = rows.toDF("g", "v")
+    val dExact = dOf(Quality.ksStatistic(df, "g", "v", "a", "b"))
+    for (nBins <- Seq(4, 16, 64); hi <- Seq(32.0, 64.0)) {
+      val dBinned = dOf(Quality.ksBinnedStatistic(
+        df, "g", "v", "a", "b", lo = 0.0, hi = hi, nBins = nBins))
+      // reference max bin mass over both groups
+      def binOf(v: Double) =
+        math.min(math.max(math.floor(v / (hi / nBins)), -1.0), nBins.toDouble)
+      val mass = Seq("a", "b").map { g =>
+        val vs = rows.filter(_._1 == g).map(_._2)
+        vs.groupBy(binOf).values.map(_.size.toDouble / vs.size).max
+      }.max
+      assert(dBinned <= dExact + 1e-12, s"nBins=$nBins hi=$hi: $dBinned > $dExact")
+      assert(dExact <= dBinned + mass + 1e-12,
+        s"nBins=$nBins hi=$hi: $dExact > $dBinned + $mass")
+    }
+    // resolution monotonicity on the planted shift: a fine grid sees at
+    // least as much of the true D as a coarse one here
+    val d4 = dOf(Quality.ksBinnedStatistic(df, "g", "v", "a", "b", 0.0, 64.0, 4))
+    val d64 = dOf(Quality.ksBinnedStatistic(df, "g", "v", "a", "b", 0.0, 64.0, 64))
+    assert(d4 <= d64 + 1e-12 && d64 <= dExact + 1e-12)
+  }
+
   test("OLS trend: exact slope on linear fixtures; single bucket yields null slope") {
     import graft.operators.Quality
     import java.sql.Timestamp

@@ -268,6 +268,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("binned KS over an unbounded streamed domain: bounded state, batch parity, error bound") {
+    // the exact streaming KS's state is the distinct (group, value)
+    // rollup — bounded only by the value domain. Binning at INGEST
+    // (Quality.ksBinCol: under/overflow sink bins) caps the sink at
+    // groups × (nBins + 2) rows however wild the feed; the trade is the
+    // property-tested sandwich D_binned <= D_exact <= D_binned + max bin
+    // mass. Downstream of the quantizer the machinery IS ksFromCounts,
+    // so streamed == batch ksBinnedStatistic bit for bit.
+    implicit val sql = spark.sqlContext
+    val nBins = 16
+    val input = MemoryStream[(String, Double)]
+    val binned = input.toDF().toDF("event_type", "value")
+      .select(col("event_type"),
+        graft.operators.Quality.ksBinCol(col("value"), 0.0, 10.0, nBins).as("bin"))
+    val q = EventsStream.valueCounts(binned, "event_type", "bin")
+      .writeStream.format("memory").queryName("ksb_counts")
+      .outputMode("complete").start()
+    try {
+      // click sits right of view INSIDE the frame, plus an unbounded tail
+      // (1e9, -1e6, …) that would grow exact-KS state without bound but
+      // lands in the two sink bins here
+      val feed = (0 until 60).map(i => ("click", 3.0 + (i % 10) * 0.61)) ++
+        (0 until 50).map(i => ("view", (i % 10) * 0.53)) ++
+        Seq(("click", 1.0e9), ("view", -1.0e6), ("click", 123456.789),
+          ("view", Double.MaxValue), ("error", 42.0))
+      input.addData(feed.take(40): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(40): _*)
+      q.processAllAvailable()
+
+      // bounded state: the accumulated sink can never exceed
+      // groups × (nBins + 2) rows, whatever the value domain
+      assert(spark.table("ksb_counts").count() <= 3L * (nBins + 2))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+      val streamed = rows(graft.operators.Quality.ksFromCounts(
+        spark.table("ksb_counts"), "event_type", "bin", "n", "click", "view"))
+      val batch = rows(graft.operators.Quality.ksBinnedStatistic(
+        feed.toDF("event_type", "value"), "event_type", "value",
+        "click", "view", 0.0, 10.0, nBins))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+
+      // error sandwich vs the exact statistic on the same feed
+      val dBinned = streamed.head._6
+      val dExact = rows(graft.operators.Quality.ksStatistic(
+        feed.toDF("event_type", "value"), "event_type", "value",
+        "click", "view")).head._6
+      val clicks = feed.filter(_._1 == "click").map(_._2)
+      val views = feed.filter(_._1 == "view").map(_._2)
+      def binOf(v: Double) =
+        math.min(math.max(math.floor(v / (10.0 / nBins)), -1.0), nBins.toDouble)
+      val maxMass = (clicks.groupBy(binOf).values.map(_.size.toDouble / clicks.size) ++
+        views.groupBy(binOf).values.map(_.size.toDouble / views.size)).max
+      assert(dBinned <= dExact + 1e-12, s"binned $dBinned > exact $dExact")
+      assert(dExact <= dBinned + maxMass + 1e-12,
+        s"exact $dExact > binned $dBinned + maxMass $maxMass")
+    } finally q.stop()
+  }
+
   test("MWU over the streamed (group, value) counts equals the batch U bitwise") {
     // Mann–Whitney rides the SAME accumulating (group, value) sink as KS
     // (one state, both rank/CDF monitors score it); re-summed partials
@@ -1045,6 +1105,46 @@ class StreamingSpec extends AnyFunSuite {
         assert(!latest(1).exists(_.token == "hot")) // shard isolation
       } finally q.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("incremental IVF ingest assigns streamed vectors exactly as the batch path") {
+    implicit val sql = spark.sqlContext
+    // standing corpus around two poles; the quantizer trains ONCE on it
+    val standing = Seq(
+      (1L, Array(1.0f, 0.1f, 0.0f)), (2L, Array(0.9f, 0.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f, 0.1f)), (4L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.95f, 0.05f, 0.0f)), (6L, Array(0.05f, 0.95f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.operators.Similarity.kmeansCentroids(
+      standing, "vec_id", "embedding", k = 2, iters = 2)
+    val arrivals = Seq(
+      (100L, Array(0.8f, 0.2f, 0.0f)), (101L, Array(0.2f, 0.8f, 0.3f)),
+      (102L, Array(0.6f, 0.4f, 0.0f)), (103L, Array(0.0f, 0.0f, 1.0f)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = graft.streaming.VectorIngest.ivfIngest(
+        input.toDF().toDF("vec_id", "embedding"), centroids, "embedding") {
+      (batch, _) => got.synchronized {
+        got ++= batch.select("vec_id", "cell").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+      }
+    }.start()
+    try {
+      input.addData(arrivals.take(2)); q.processAllAvailable()
+      input.addData(arrivals.drop(2)); q.processAllAvailable()
+      // no stream-side state: ingest is a pure per-row kernel projection
+      assert(q.lastProgress.stateOperators.isEmpty)
+      // bitwise parity: streamed assignment == batch assignCells over the
+      // same rows (the shared cellAssigner closure makes this structural)
+      val batchAssigned = graft.operators.Similarity.assignCells(
+          arrivals.toDF("vec_id", "embedding"), "embedding", centroids)
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.toSet == batchAssigned)
+      assert(got.map(_._1).toSet == arrivals.map(_._1).toSet)
+      // the assignment is a real partition (vectors split across cells)
+      assert(got.map(_._2).toSet.size == 2)
+    } finally q.stop()
   }
 }
 
