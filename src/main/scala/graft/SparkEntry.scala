@@ -2082,6 +2082,20 @@ object SparkEntry {
       Seq("l_partkey", "l_suppkey"), bits = 20)
       .orderBy("zval", "l_orderkey", "l_linenumber")
 
+  /** Hilbert-curve layout twin of `zorder_layout` over the same two
+    * dimensions ([[Layout.hilbertLayout]]): consecutive Hilbert indices
+    * are always grid-neighbors (no Morton seams — property-pinned, and
+    * pinned FALSE for zvalue), so equal-count file slices cover tighter
+    * rectangles under skewed selectivity. Oracle = the generated
+    * chained-CTE automaton ([[Layout.hilbertSql]]) — the zvalueSql
+    * formula-parity trick extended to a stateful curve; pure BIGINT bit
+    * ops, engine-exact. */
+  private def hilbertLayoutQ(s: SparkSession, d: String): DataFrame =
+    Layout.hilbertLayout(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", bits = 20)
+      .orderBy("hval", "l_orderkey", "l_linenumber")
+
   /** The two layout dimensions `zorder_scan` clusters and filters on:
     * md5-bucket hashes of the lineitem primary key with a fixed
     * [0, 1024) domain at EVERY scale factor, so the registered box
@@ -5311,6 +5325,7 @@ object SparkEntry {
     "asof_join" -> (asofJoinQ _),
     "range_join" -> (rangeJoinQ _),
     "zorder_layout" -> (zorderLayoutQ _),
+    "hilbert_layout" -> (hilbertLayoutQ _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_keep_best_cached" -> (dedupKeepBestCached _),
@@ -7966,6 +7981,15 @@ object SparkEntry {
          | ${Layout.zvalueSql(Seq("l_partkey", "l_suppkey"), 20)} AS zval
          |FROM lineitem
          |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin,
+
+    // the Hilbert automaton as generated chained CTEs (Layout.hilbertSql)
+    // — same formula-parity trick, per-level state columns instead of one
+    // scalar expression (the state chain would blow up 2^bits inlined)
+    "hilbert_layout" ->
+      (Layout.hilbertSql("lineitem",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 20) +
+        "\nORDER BY hval, l_orderkey, l_linenumber"),
 
     // the z-order READ path is layout-invisible: the same box over the
     // RAW table (the Spark side read it back from the z-clustered files)

@@ -136,4 +136,120 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  // ------------------------------------------------------------------
+  // Hilbert curve (2D) — the locality-tighter layout twin of zvalue
+  // ------------------------------------------------------------------
+  //
+  // Morton interleaving jumps: consecutive z-values can be far apart in
+  // the plane (the 2^k-boundary seams), so a z-clustered file's bounding
+  // rectangle is looser than its row count deserves under skewed
+  // selectivity. The Hilbert curve is the space-filling curve WITHOUT
+  // seams — consecutive indices are always grid-neighbors (the adjacency
+  // property, property-pinned), so equal-count file slices cover tighter
+  // rectangles and min/max skipping prunes more files at high
+  // selectivity skew (why Iceberg grew OPTIMIZE ... hilbert beside
+  // zorder).
+  //
+  // Formulation: the classic per-level rotate loop is restated as a
+  // 4-STATE AUTOMATON over the ORIGINAL bit-pairs, MSB first. The
+  // reachable transforms of the recursive construction form the Klein
+  // group {identity, swap, complement-both, swap∘complement}; for state
+  // st and bit-pair (a, b) the emitted base-4 digit and the successor
+  // state are pure table lookups. Both 16-entry tables pack into ONE
+  // BIGINT literal (2 bits per entry), so a level is
+  //   idx2 = (st·4 + a·2 + b)·2
+  //   digit = (DTAB >> idx2) & 3 ;  st' = (STAB >> idx2) & 3
+  // — dialect-common BIGINT bit ops only, the zvalueSql parity trick.
+  // The state chain forces per-level column derivations (inlining the
+  // state expression would blow up 2^bits); the Spark face chains
+  // `withColumn` projections, the generated oracle chains CTEs with
+  // level-suffixed names (DuckDB's same-SELECT alias references make
+  // reusing one name ambiguous there).
+
+  /** digit(st)(a)(b) and next-state(st)(a)(b) of the Hilbert automaton,
+    * indexed st·4 + a·2 + b. States: 0 identity, 1 swap, 2 complement,
+    * 3 swap∘complement. Derived from the textbook rotate rule: on
+    * transformed bits (rx, ry) = st(a, b), digit = (3·rx) XOR ry; the
+    * next transform prepends swap when ry = 0 (plus complement when
+    * rx = 1). */
+  private val hilbertDigitTable: Array[Long] =
+    Array(0, 1, 3, 2, 0, 3, 1, 2, 2, 3, 1, 0, 2, 1, 3, 0)
+  private val hilbertNextTable: Array[Long] =
+    Array(1, 0, 3, 0, 0, 2, 1, 1, 2, 1, 2, 3, 3, 3, 0, 2)
+  private def packTable(t: Array[Long]): Long =
+    t.zipWithIndex.map { case (v, i) => v << (2 * i) }.reduce(_ | _)
+  private[operators] val hilbertDtab: Long = packTable(hilbertDigitTable)
+  private[operators] val hilbertStab: Long = packTable(hilbertNextTable)
+
+  /** Straight-line reference (the classic rotate loop) — the
+    * property-test twin the automaton must stay identical to. */
+  private[graft] def hilbertRef(x: Long, y: Long, bits: Int): Long = {
+    var (hx, hy) = (x, y)
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((hx & s) > 0) 1L else 0L
+      val ry = if ((hy & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { hx = s - 1 - hx; hy = s - 1 - hy }
+        val t = hx; hx = hy; hy = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Append the Hilbert index of (xCol, yCol) as `as` — the layout verb
+    * mirroring [[zorderLayout]]. Inputs mask to their low `bits` bits
+    * (the zvalue wrap contract); 2·bits must fit a signed Long. One
+    * chained projection per level, all codegen'd integer built-ins. */
+  def hilbertLayout(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      as: String = "hval"): DataFrame = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits must be in [1,31], got $bits")
+    val mask = (1L << bits) - 1L
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("__hy", col(yCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("__hst", lit(0L))
+      .withColumn(as, lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val idx2 = (col("__hst") * 4 +
+        shr(col("__hx"), lit(i)).bitwiseAND(lit(1L)) * 2 +
+        shr(col("__hy"), lit(i)).bitwiseAND(lit(1L))) * 2
+      // both layers read the PRE-transition __hst of the incoming frame
+      cur = cur
+        .withColumn(as,
+          col(as) * 4 + shr(lit(hilbertDtab), idx2).bitwiseAND(lit(3L)))
+        .withColumn("__hst", shr(lit(hilbertStab), idx2).bitwiseAND(lit(3L)))
+    }
+    cur.drop("__hx", "__hy", "__hst")
+  }
+
+  /** The same computation as a complete dialect-common SQL statement
+    * (chained CTE levels, level-suffixed column names), for oracle
+    * parity — the [[zvalueSql]] generated-formula trick extended to a
+    * stateful curve. Caller appends its ORDER BY. */
+  def hilbertSql(table: String, keyCols: Seq[String], x: String, y: String,
+      bits: Int, as: String = "hval"): String = {
+    require(bits >= 1 && 2 * bits <= 62, s"bits must be in [1,31], got $bits")
+    val mask = (1L << bits) - 1L
+    val keys = keyCols.mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"WITH h0 AS (SELECT $keys, CAST($x AS BIGINT) & $mask AS hx, " +
+      s"CAST($y AS BIGINT) & $mask AS hy, CAST(0 AS BIGINT) AS st0, " +
+      s"CAST(0 AS BIGINT) AS hd0 FROM $table)"
+    var c = 0
+    for (i <- bits - 1 to 0 by -1) {
+      val p = c; c += 1
+      val idx2 = s"(st$p * 4 + ((hx >> $i) & 1) * 2 + ((hy >> $i) & 1)) * 2"
+      sb ++= s",\nh$c AS (SELECT $keys, hx, hy, " +
+        s"(($hilbertStab >> ($idx2)) & 3) AS st$c, " +
+        s"hd$p * 4 + (($hilbertDtab >> ($idx2)) & 3) AS hd$c FROM h$p)"
+    }
+    sb ++= s"\nSELECT $keys, hd$c AS $as FROM h$c"
+    sb.toString
+  }
 }

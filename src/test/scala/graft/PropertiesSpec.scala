@@ -622,6 +622,44 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbertLayout equals the rotate-loop reference; bijective; adjacent where Morton is not") {
+    // full 16x16 grid at bits=4: table-driven automaton == classic loop,
+    // the index is a bijection, and CONSECUTIVE indices are always grid
+    // neighbors (the Hilbert property; pinned FALSE for zvalue below —
+    // that seam is the reason this layout exists)
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val got = Layout.hilbertLayout(grid.toDF("x", "y"), "x", "y", bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (x, y) =>
+      assert(got((x, y)) == Layout.hilbertRef(x, y, 4), s"($x, $y)")
+    }
+    assert(got.values.toSet == (0L until 256L).toSet) // bijection
+    val byD = got.toSeq.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"hilbert jump: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Morton on the same grid has seams (consecutive z-values that are
+    // NOT neighbors) — the documented contrast
+    val byZ = grid.sortBy { case (x, y) => zref(Seq(x, y), 4) }
+    assert(byZ.sliding(2).exists { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    })
+    // arbitrary (incl. negative) inputs wrap via the mask, matching the
+    // reference on the masked values — the zvalue wrap contract
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(Long.MinValue, Long.MaxValue),
+        Gen.choose(Long.MinValue, Long.MaxValue)))
+    forAll(gen, n = 2) { rows =>
+      val mask = (1L << 12) - 1L
+      Layout.hilbertLayout(rows.toDF("x", "y"), "x", "y", bits = 12)
+        .collect().foreach { r =>
+          assert(r.getLong(2) ==
+            Layout.hilbertRef(r.getLong(0) & mask, r.getLong(1) & mask, 12))
+        }
+    }
+  }
+
   test("subword kernel matches the straight-line reference on random vocab/words") {
     import graft.functions.{subwordTokens, SubwordTokens}
     // small alphabet so vocab pieces actually hit; single chars sometimes
