@@ -2155,6 +2155,38 @@ object SparkEntry {
       .select("l_orderkey", "l_linenumber", "a", "b")
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** [[zorderScanPath]]'s Hilbert twin (its own staging key). */
+  private[graft] def hilbertScanPath(d: String): String = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}:hilbert".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_hilbert_scan_$tag"
+  }
+
+  /** The Hilbert READ path — same dims, box, file count and staging
+    * contract as [[zorderScanRead]], clustered by [[Layout.hilbertWrite]]
+    * instead of the Morton key: the seam-free curve packs each file into
+    * a tighter rectangle, so the identical box overlaps at most as many
+    * file min/max rects (PlanShapeSpec pins both layouts' pruning side
+    * by side). Result = the raw table's box rows (layout-invisible), so
+    * the oracle is zorder_scan's verbatim. */
+  private[graft] def hilbertScanRead(s: SparkSession, d: String): DataFrame = {
+    val path = hilbertScanPath(d)
+    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+      Layout.hilbertWrite(
+        lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          zorderScanDim("a").as("a"), zorderScanDim("b").as("b")),
+        "a", "b", bits = 10, path, files = 16)
+    }
+    s.read.parquet(path)
+      .filter(col("a").between(384, 639) && col("b").between(256, 511))
+  }
+  private def hilbertScan(s: SparkSession, d: String): DataFrame =
+    hilbertScanRead(s, d)
+      .select("l_orderkey", "l_linenumber", "a", "b")
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** y/m/d events lake staged ONCE per source dataset for the
     * dynamic-partition-pruning read path — mtime+size-keyed like
     * [[zorderScanPath]] so a driver-regenerated testdata set can never
@@ -5340,6 +5372,7 @@ object SparkEntry {
     "value_drift" -> (valueDrift _),
     "value_psi" -> (valuePsi _),
     "zorder_scan" -> (zorderScan _),
+    "hilbert_scan" -> (hilbertScan _),
     "embedding_quantize" -> (embeddingQuantize _),
     "collocations_pmi" -> (collocationsPmi _),
     "skipgram_pairs" -> (skipgramPairsQ _),
@@ -5448,6 +5481,9 @@ object SparkEntry {
     oracleSqlLit +
       ("lm_score_cached" -> oracleSqlLit("lm_score")) +
       ("dedup_keep_best_cached" -> oracleSqlLit("dedup_keep_best")) +
+      // the Hilbert read path returns the same box rows as the Morton
+      // one — both layouts are semantically invisible by construction
+      ("hilbert_scan" -> oracleSqlLit("zorder_scan")) +
       // the hashed rollup keys differ but the REPORT is identical unless
       // a per-source 64-bit shingle collision exists — the gate's
       // hash-equality against the string oracle IS that check

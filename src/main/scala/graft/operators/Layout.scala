@@ -228,6 +228,20 @@ object Layout {
     cur.drop("__hx", "__hy", "__hst")
   }
 
+  /** Write `df` re-clustered on the Hilbert curve — [[zorderWrite]] with
+    * the seam-free key: range-partitioned into `files` output files by
+    * Hilbert index, rows curve-sorted within each file, the index column
+    * dropped (a layout device, not data). */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      path: String, files: Int): Unit = {
+    require(files >= 1, s"need files >= 1, got $files")
+    hilbertLayout(df, xCol, yCol, bits, "__h")
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** The same computation as a complete dialect-common SQL statement
     * (chained CTE levels, level-suffixed column names), for oracle
     * parity — the [[zvalueSql]] generated-formula trick extended to a

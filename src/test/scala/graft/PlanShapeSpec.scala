@@ -598,6 +598,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(boxHit <= 8, s"boxHit=$boxHit: ${rects.mkString(", ")}")
   }
 
+  test("hilbert_scan: box reaches the scan; hilbert files prune at least as well as z-order") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.hilbertScanRead(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val filters = scans.head.dataFilters.map(_.sql)
+    for (want <- Seq("(a >= 384L)", "(a <= 639L)", "(b >= 256L)", "(b <= 511L)"))
+      assert(filters.exists(_.contains(want)), filters.mkString("; "))
+
+    def boxHits(path: String): Int = {
+      val rects = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("a").as("alo"), max("a").as("ahi"),
+          min("b").as("blo"), max("b").as("bhi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rects.length == 16, rects.mkString(", "))
+      rects.count { case (alo, ahi, blo, bhi) =>
+        alo <= 639L && ahi >= 384L && blo <= 511L && bhi >= 256L }
+    }
+    SparkEntry.zorderScanRead(spark, sf) // ensure the z twin is staged
+    val h = boxHits(SparkEntry.hilbertScanPath(sf))
+    val z = boxHits(SparkEntry.zorderScanPath(sf))
+    // same box, same 16 equal-count files: the seam-free curve's tighter
+    // per-file rectangles must overlap no more files than Morton's (and a
+    // strict minority of the 16 — the absolute bound zorder_scan pins)
+    assert(h <= 8, s"hilbert boxHit=$h")
+    assert(h <= z, s"hilbert boxHit=$h > zorder boxHit=$z")
+  }
+
   test("embedding_quantize: dim stats broadcast back; the only keyed shuffle is dim-bounded") {
     // the per-dim [mn,mx] aggregate is the ONLY hash Exchange (it carries
     // dims x partitions scalars), combines map-side, and returns to the
