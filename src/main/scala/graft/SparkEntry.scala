@@ -1929,11 +1929,27 @@ object SparkEntry {
     * CDFs ride the distributed prefix-sum machinery
     * ([[graft.operators.Ranking.withPrefixSums]]) — no single-task
     * global window even on a continuous value domain. */
+  /** The shared (event_type, value) rollup the two-pair KS/MWU monitors
+    * score — ONE corpus scan for however many pairs (each pair scoring
+    * raw events re-scans the corpus per pair; this is also exactly the
+    * frame the streaming valueCounts sink accumulates, so batch and
+    * stream literally share the operand table). Eagerly checkpointed:
+    * two consumers would otherwise re-run the rollup (the round-11
+    * multi-consumer lesson); the frame is types × distinct-values rows.
+    * Re-summing counts equals summing raw 1s bit for bit (integer
+    * aggregation), so the per-pair oracles are unchanged. */
+  private def valueCountsRollup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+
   private def valueKs(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    Quality.ksStatistic(ev, "event_type", "value", "click", "view")
-      .unionByName(
-        Quality.ksStatistic(ev, "event_type", "value", "click", "error"))
+    val counts = valueCountsRollup(s, d)
+    Quality.ksFromCounts(counts, "event_type", "value", "__n", "click", "view")
+      .unionByName(Quality.ksFromCounts(
+        counts, "event_type", "value", "__n", "click", "error"))
       .orderBy("type_b")
   }
 
@@ -1949,9 +1965,17 @@ object SparkEntry {
     * D_binned ≤ D_exact ≤ D_binned + max-bin-mass sandwich is
     * property-tested; the streaming face is pinned in StreamingSpec. */
   private def valueKsBinned(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    def one(b: String) = Quality.ksBinnedStatistic(
-      ev, "event_type", "value", "click", b, lo = 0.0, hi = 128.0, nBins = 16)
+    // bin at ingest, roll up ONCE (types × ≤18 bins — no checkpoint
+    // needed to keep it small, but the two pair-consumers must not
+    // re-run the corpus scan), score both pairs from the counts
+    val counts = events(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        Quality.ksBinCol(col("value"), 0.0, 128.0, 16).as("__bin"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    def one(b: String) = Quality.ksFromCounts(
+      counts, "event_type", "__bin", "__n", "click", b)
     one("view").unionByName(one("error")).orderBy("type_a", "type_b")
   }
 
@@ -3428,6 +3452,36 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** MERGEABLE-sketch distinct counting — what `distinct_users_approx`
+    * becomes in a production lake: approx_count_distinct answers once
+    * and is gone; a STORED Datasketches HLL per day (`hll_sketch_agg`)
+    * is a materialized aggregate that composes — today's corpus-wide
+    * distinct count is `hll_union_agg` over the per-day sketch COLUMN,
+    * no re-scan of any day's raw events ever again (at 100 TB the
+    * re-scan is the cost; sketch union is register-wise max, so
+    * union-of-disjoint-day-sketches EQUALS the one-pass whole-corpus
+    * sketch exactly — the mergeability identity OperatorsSpec pins
+    * bitwise, alongside the HLL error bound vs exact). Report: per-day
+    * estimates + the merged "(all)" row. Rows-only (DuckDB's HLL is a
+    * different implementation — no numeric parity). */
+  private def distinctUsersSketched(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+      // two consumers (per-day report + union row) of one corpus rollup
+      .localCheckpoint(true)
+    daily.select(col("day"), col("n_events"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+      .unionByName(daily
+        .agg(hll_union_agg(col("sk")).as("sk"),
+          sum(col("n_events")).as("n_events"))
+        .select(lit("(all)").as("day"), col("n_events"),
+          hll_sketch_estimate(col("sk")).as("approx_users")))
+      .orderBy("day")
+  }
+
   /** Deterministic stratified sampling: k docs per source group, chosen
     * by md5 pseudo-random order (md5 agrees across engines, so the
     * "random" sample is exactly reproducible AND oracle-checkable — no
@@ -4197,7 +4251,11 @@ object SparkEntry {
 
   private def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val path = csvStagePath(d)
-    if (!new java.io.File(s"$path/_SUCCESS").exists) {
+    // _DONE gates the stage, written AFTER the injection (the jsonl /
+    // ensureEvoStaged convention): Spark's _SUCCESS lands before the
+    // corrupt lines, so a crash in that window would leave a stage later
+    // runs treat as complete and break the oracle's corrupt-row counts
+    if (!new java.io.File(s"$path/_DONE").exists) {
       customer(s, d)
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .coalesce(4).write.mode("overwrite").csv(path)
@@ -4210,6 +4268,8 @@ object SparkEntry {
       java.nio.file.Files.writeString(
         new java.io.File(path, "part-99999-injected.csv").toPath,
         "notanint,oops,x,y,SEG\ngarbage,a,b,c,D\nbad,row,a,b,c\n")
+      java.nio.file.Files.writeString(
+        new java.io.File(path, "_DONE").toPath, "")
     }
     val schema = StructType(Seq(
       StructField("c_custkey", LongType), StructField("c_name", StringType),
@@ -5095,10 +5155,10 @@ object SparkEntry {
     * machinery (KS reacts to any single CDF divergence; U answers "did
     * the distribution MOVE", outlier-insensitive). */
   private def valueMwu(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
-    Quality.mwuStatistic(ev, "event_type", "value", "click", "view")
-      .unionByName(
-        Quality.mwuStatistic(ev, "event_type", "value", "click", "error"))
+    val counts = valueCountsRollup(s, d)
+    Quality.mwuFromCounts(counts, "event_type", "value", "__n", "click", "view")
+      .unionByName(Quality.mwuFromCounts(
+        counts, "event_type", "value", "__n", "click", "error"))
       // (type_a, type_b) — unique for ANY pair list, not just the current
       // shared-a set (the explicit-ORDER-BY-with-unique-tie-breaks rule)
       .orderBy("type_a", "type_b")
@@ -5325,6 +5385,7 @@ object SparkEntry {
     "text_winnow" -> (textWinnow _),
     "distinct_users" -> (distinctUsers _),
     "distinct_users_approx" -> (distinctUsersApprox _),
+    "distinct_users_sketched" -> (distinctUsersSketched _),
     "sample_stratified" -> (sampleStratified _),
     "split_assign" -> (splitAssign _),
     "multimodal_features" -> (multimodalFeatures _),

@@ -742,6 +742,34 @@ class OperatorsSpec extends AnyFunSuite {
       == ((2L, 2L, 2L, Some(0.5))))
   }
 
+  test("HLL sketches: union of per-day sketches equals the one-pass sketch; error bounded") {
+    // the mergeability identity that makes stored sketches the 100 TB
+    // posture: a register is the max over items hashing to it, so
+    // union(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY, for ANY
+    // split (overlapping days included) — no re-scan ever needed
+    val rows = for (d <- 1 to 7; i <- 1 to 900)
+      yield (f"2024-01-0$d", (d * 131L + i * 7L) % 3000L)
+    val df = rows.toDF("day", "user_id")
+    val daily = df.groupBy("day").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = df
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    val exact = df.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+    // registered report: "(all)" row first (orderBy day), its estimate
+    // >= any single day's, n_events totals add up
+    val out = SparkEntry.queries("distinct_users_sketched")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 == "(all)" && out.length >= 2)
+    assert(out.head._3 >= out.tail.map(_._3).max)
+    assert(out.head._2 == out.tail.map(_._2).sum)
+  }
+
   test("binned KS: sandwich D_binned <= D_exact <= D_binned + max bin mass, sinks catch tails") {
     import graft.operators.Quality
     def dOf(df: org.apache.spark.sql.DataFrame): Double =
