@@ -591,6 +591,26 @@ object Stress {
       .repartition(64)
       .localCheckpoint(true)
     println(s"[stress] lineitem: ${li.count()} (x$factor)")
+    // the two curve KEYS head-to-head over the replicated lineitem (no
+    // write): the Morton interleave is one flat projection; the Hilbert
+    // automaton is a 20-level chained projection — this pair measures
+    // what the seam-free locality costs per row at fact scale
+    def layoutRows: DataFrame = li.select(
+      col("l_orderkey"),
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(1L << 20)).as("a"),
+      pmod(xxhash64(col("l_partkey")), lit(1L << 20)).as("b"))
+    time("zorder_value") {
+      val out = layoutRows.withColumn("v",
+        graft.operators.Layout.zvalue(Seq(col("a"), col("b")), bits = 20))
+      out.agg(bit_xor(xxhash64(col("l_orderkey"), col("v"))), count(lit(1)))
+        .head().getLong(1)
+    }
+    time("hilbert_value") {
+      val out = graft.operators.Layout.hilbertLayout(
+        layoutRows, "a", "b", bits = 20, as = "v")
+      out.agg(bit_xor(xxhash64(col("l_orderkey"), col("v"))), count(lit(1)))
+        .head().getLong(1)
+    }
     time("basket_pairs") {
       val items = li
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
