@@ -54,11 +54,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: the first timed query otherwise absorbs 1-5 s of
-    // JIT + codegen compilation (the §7.1 first-query variance class)
-    try {
-      val w = SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      w.agg(bit_xor(xxhash64(w.columns.map(col): _*)), count(lit(1))).head()
-    } catch { case _: Throwable => () }
+    // JIT + codegen compilation (the §7.1 first-query variance class).
+    // Two probes: a scan+agg shape (q1) AND a vector-kernel shape
+    // (sim_topk — FloatCosine etc.): the ANN family sorts FIRST in the
+    // timed loop and was still carrying ~2.6 s of kernel JIT in run 1
+    // (bench_last r12: ann_dim_tradeoff 4.17 vs 1.54 s across runs)
+    for (probe <- Seq("q1_pricing_summary", "sim_topk")) {
+      try {
+        val w = SparkEntry.queries(probe)(spark, sfDir)
+        w.agg(bit_xor(xxhash64(w.columns.map(col): _*)), count(lit(1))).head()
+      } catch { case _: Throwable => () }
+    }
     val baseline = spark.sparkContext.getPersistentRDDs.keySet
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
