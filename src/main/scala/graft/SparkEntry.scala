@@ -1923,6 +1923,21 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Theil–Sen robust trend per event type over the same hourly rollup
+    * ([[Quality.theilSenFromBuckets]]) — the ROBUST leg beside
+    * `events_trend`'s OLS: the median pairwise slope tolerates ~29%
+    * corrupted hours where one edge spike can flip the OLS sign.
+    * Pairwise over the bounded per-key hour frame (never corpus²);
+    * median = interpolated percentile over identical IEEE slope
+    * multisets (the price_percentiles quantile_cont parity). */
+  private def eventsTrendRobust(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    Quality.theilSenFromBuckets(hourly, "event_type", "h", "n")
+      .orderBy("event_type")
+  }
+
   /** Exact two-sample KS statistics ([[Quality.ksStatistic]]) between the
     * click value distribution and each of view/error — the binless
     * distribution-shift monitor beside the binned TV drift. The running
@@ -5456,6 +5471,7 @@ object SparkEntry {
     "curation_pipeline" -> (curationPipeline _),
     "sessionize_native" -> (sessionizeNative _),
     "events_trend" -> (eventsTrend _),
+    "events_trend_robust" -> (eventsTrendRobust _),
     "value_ks" -> (valueKs _),
     "value_ks_binned" -> (valueKsBinned _),
     "numeric_corr" -> (numericCorr _),
@@ -8576,6 +8592,28 @@ object SparkEntry {
         |           / CAST(nb*sxx - sx*sx AS DOUBLE) END AS slope,
         | CAST(nb*sxy - sx*sy < 0 AS BIGINT) AS declining
         |FROM s ORDER BY event_type""".stripMargin,
+
+    // Theil–Sen: the same per-key hour shift as events_trend, one IEEE
+    // division per pair, interpolated median (quantile_cont == Spark
+    // percentile — the price_percentiles parity pattern)
+    "events_trend_robust" ->
+      """WITH h AS (
+        | SELECT event_type, date_trunc('hour', ts) AS b, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |x AS (
+        | SELECT event_type, CAST(n AS BIGINT) AS y,
+        |  CAST(epoch(b) AS BIGINT) // 3600
+        |   - MIN(CAST(epoch(b) AS BIGINT) // 3600)
+        |      OVER (PARTITION BY event_type) AS x
+        | FROM h),
+        |p AS (
+        | SELECT a.event_type,
+        |  CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+        | FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | quantile_cont(sl, 0.5) AS slope,
+        | CAST(quantile_cont(sl, 0.5) < 0 AS BIGINT) AS declining
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // exact integer KS: D_num = max |nb_tot*ca - na_tot*cb| over the
     // union of distinct values; the one shared division lands last

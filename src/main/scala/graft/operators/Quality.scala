@@ -895,6 +895,56 @@ object Quality {
        |ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** Theil–Sen robust trend over a pre-aggregated (key, bucket, count)
+    * frame — the ROBUST twin of [[trendFromBuckets]]'s OLS slope: OLS
+    * weighs each point by its squared x-distance, so one corrupt bucket
+    * (an outage hour, a backfill spike at the window's edge) can flip
+    * the fitted sign; the MEDIAN of all pairwise slopes tolerates up to
+    * ~29% corrupted buckets (the estimator's breakdown point) — the
+    * standard robust trend statistic.
+    *
+    * Engine parity: x is the per-key hour shift the OLS leg uses, each
+    * pairwise slope is ONE IEEE division of two BIGINTs, and the median
+    * is interpolated over identical double multisets (quantile_cont —
+    * the price_percentiles parity pattern; the even-count interpolation
+    * averages two doubles, IEEE-identical in both engines). `declining`
+    * is a sign test on the median.
+    *
+    * SCALE: pairs are per-key (time-horizon)², never corpus-sized — the
+    * input is the caller's already-reduced bucket rollup (B buckets per
+    * key ⇒ B²/2 pairs; 30 days hourly = 720 buckets ≈ 259k pairs/key, a
+    * bounded self-join by construction). The shifted frame is eagerly
+    * checkpointed: it feeds BOTH sides of the pair join through a
+    * Window, the exact shared-subtree shape that dies in
+    * DeduplicateRelations over non-re-instanceable sources (the
+    * psiFromCounts posture), and the checkpoint keeps the rollup from
+    * running twice. */
+  def theilSenFromBuckets(buckets: DataFrame, keyCol: String,
+      bucketCol: String, countCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = buckets.select(
+      col(keyCol).as("k"),
+      expr(s"unix_timestamp($bucketCol) div 3600").as("h"),
+      col(countCol).cast("long").as("y"))
+    val w = Window.partitionBy("k")
+    val shifted = base
+      .withColumn("x", col("h") - min(col("h")).over(w))
+      .select("k", "x", "y")
+      .localCheckpoint(true)
+    val lo = shifted.select(col("k"), col("x").as("x1"), col("y").as("y1"))
+    val hi = shifted.select(col("k"), col("x").as("x2"), col("y").as("y2"))
+    lo.join(hi, Seq("k"))
+      .filter(col("x1") < col("x2"))
+      .select(col("k"),
+        ((col("y2") - col("y1")).cast(DoubleType) /
+          (col("x2") - col("x1")).cast(DoubleType)).as("sl"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(sl, 0.5)").as("slope"))
+      .withColumn("declining",
+        (col("slope") < 0.0).cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** Per-key OLS trend over a pre-aggregated (key, bucket, count) frame —
     * the monitoring family's TREND leg: the z-test/MAD/EWMA monitors all
     * re-baseline on slow change BY DESIGN, so a gradual decline (a dying

@@ -803,6 +803,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d4 <= d64 + 1e-12 && d64 <= dExact + 1e-12)
   }
 
+  test("Theil-Sen trend: exact on linear fixtures; robust where one corrupt bucket flips OLS") {
+    import graft.operators.Quality
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00")
+    // clean linear series: every pairwise slope is exactly 3
+    val up = (0 until 6).map(h => ("up", ts(h), 7L + 3L * h))
+    // declining series plus ONE huge corrupted edge bucket: the median
+    // pairwise slope stays exactly -2 (36 of 45 pairs are clean-clean),
+    // while OLS — squared-x-weighted — flips sign on the same data
+    val down = (0 until 9).map(h => ("down", ts(h), 100L - 2L * h)) :+
+      (("down", ts(9), 10000L))
+    val df = (up ++ down).toDF("k", "b", "n")
+    val robust = Quality.theilSenFromBuckets(df, "k", "b", "n")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(robust("up") == ((15L, 3.0, 0L)))
+    assert(robust("down")._1 == 45L)
+    assert(robust("down")._2 == -2.0 && robust("down")._3 == 1L, robust("down"))
+    val ols = Quality.trendFromBuckets(df, "k", "b", "n")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("slope")).toMap
+    assert(ols("down") > 0, s"OLS should flip under the corrupt bucket: ${ols("down")}")
+  }
+
   test("OLS trend: exact slope on linear fixtures; single bucket yields null slope") {
     import graft.operators.Quality
     import java.sql.Timestamp
