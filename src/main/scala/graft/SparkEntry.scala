@@ -1451,6 +1451,44 @@ object SparkEntry {
     * one IEEE multiply cast to DECIMAL (order-independent exact sum —
     * the §6 parity form), the TWAP one final IEEE division. The last
     * observation of each type has no successor and carries no weight. */
+  /** Hourly OHLC bars per event type — the BAR-aggregation verb beside
+    * `events_twap` (TWAP weighs by holding time; bars keep the
+    * positional endpoints): per (type, hour), volume + open / high /
+    * low / close of `value`. Open/close are POSITIONAL (first/last in
+    * time), so determinism needs the full tie-break: both row_numbers
+    * order by (ts, event_id) — unique — and both engines compute the
+    * identical ranks. Plan shape: ONE (type, hour) Exchange serves both
+    * window passes (same partitioning, asc + desc sorts) and the final
+    * rollup; values reach the result untouched (no arithmetic), so
+    * parity is pure ordering. */
+  private def eventsOhlc(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("h"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(col("event_type"), col("h"), col("value"),
+        row_number().over(wAsc).as("ra"),
+        row_number().over(wDesc).as("rd"))
+      // group on the RAW hour so the rollup reuses the windows'
+      // (type, h) partitioning — formatting to the display string before
+      // the groupBy forced a second Exchange (the map-to-strings-AFTER-
+      // the-rollup rule)
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy("event_type", "hour_start")
+  }
+
   private def eventsTwap(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
     events(s, d)
@@ -5340,6 +5378,7 @@ object SparkEntry {
     "sessionize" -> (sessionize _),
     "session_incidents" -> (sessionIncidents _),
     "events_twap" -> (eventsTwap _),
+    "events_ohlc" -> (eventsOhlc _),
     "user_decay_score" -> (userDecayScore _),
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -6862,6 +6901,25 @@ object SparkEntry {
         | event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // OHLC: positional endpoints via full-tie-break row_numbers (ts,
+    // event_id — unique), identical ranks in both engines; values reach
+    // the output untouched, so parity is pure ordering
+    "events_ohlc" ->
+      """WITH b AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                     ORDER BY ts, event_id) AS ra,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |                     ORDER BY ts DESC, event_id DESC) AS rd
+        | FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | COUNT(*) AS n,
+        | MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        | MAX(value) AS high,
+        | MIN(value) AS low,
+        | MAX(CASE WHEN rd = 1 THEN value END) AS close
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
     "hourly_gapfill" ->
       """WITH hourly AS (
         | SELECT date_trunc('hour', ts) h, event_type, COUNT(*) n,

@@ -396,6 +396,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("events_ohlc: one (type, hour) Exchange serves both rank passes and the rollup") {
+    // the asc/desc row_number passes cannot fuse into one Window node
+    // (opposite sort orders) but must SHARE the (type, h) partitioning
+    // with each other AND the bar rollup — grouping on the formatted
+    // hour string (instead of the raw hour) forced a second Exchange
+    // (the map-to-display-strings-AFTER-the-rollup rule)
+    val p = plan("events_ohlc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window ".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("events_cusum: two hourly-sized Exchanges, three stacked Windows, no join") {
     // the hourly rollup Exchange (partial_count map-side) + ONE type-keyed
     // Exchange serving all three window layers (per-type median, prefix
