@@ -10,10 +10,12 @@ import org.apache.spark.sql.functions._
   * decorrelated from variant before a min means anything).
   *
   * Round-12 findings this probe established (mins of 3 interleaved
-  * rounds, fresh session):
+  * rounds, fresh session; 100× replicated in a second session):
   *   - 20×:  plain 1.69 s | forced default-size bloom 2.11 s |
   *           forced 8M-item/64M-bit bloom 4.90 s
   *   - 100×: plain 3.25 s | forced default 3.23 s | forced sized 5.43 s
+  *   - 100× replication: plain 4.46 s | forced default 3.66 s (beats
+  *     plain outright) | forced sized 5.28 s
   * i.e. an injected runtime bloom filter is FREE at min on this host
   * (even the "saturated" default bitmap at 3M creation keys), and the
   * 8×-bigger sized bitmap costs ~2-3 s of build/merge — the round-11
