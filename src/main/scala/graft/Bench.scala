@@ -143,11 +143,14 @@ object Bench {
           s"""{"q":"$n","sec":${f"${best(n)}%.2f"},"base":${f"$b%.2f"}}"""
       }
     }
-    // ALWAYS drop the full per-query artifact beside the baseline: the
-    // driver keeps only a ~2 KB stdout tail, so round-over-round per-query
-    // diffs need a committed file, not the tail (commit tools/bench_last
-    // .json with the round's close-out run)
-    locally {
+    // Drop the full per-query artifact beside the baseline on FULL runs:
+    // the driver keeps only a ~2 KB stdout tail, so round-over-round
+    // per-query diffs need a committed file, not the tail (commit
+    // tools/bench_last.json with the round's close-out run). A
+    // SPARK_GRAFT_ONLY subset probe must NOT clobber the committed full
+    // artifact in the working tree — same gating principle as the
+    // baseline write below.
+    if (only.isEmpty) locally {
       val lastPath = java.nio.file.Paths.get("tools/bench_last.json")
       try {
         java.nio.file.Files.createDirectories(lastPath.getParent)

@@ -60,10 +60,15 @@ object ProbeBloom {
           sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double")
             .as("revenue"))
     }
-    def checksum(df: DataFrame): Long =
-      df.agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1)))
-        .head().getLong(1)
-    def timed(tag: String)(f: => Long): Unit = {
+    // witness = "xorhash/rowcount": the xor-of-xxhash64 actually proves
+    // cross-variant RESULT equality (a bare row count would not)
+    def checksum(df: DataFrame): String = {
+      val r = df
+        .agg(bit_xor(xxhash64(df.columns.map(col): _*)), count(lit(1)))
+        .head()
+      s"${r.getLong(0)}/${r.getLong(1)}"
+    }
+    def timed(tag: String)(f: => String): Unit = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[probe] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")

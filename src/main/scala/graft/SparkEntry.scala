@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions._
 import graft.operators.Cleaning.CleaningOps
-import graft.operators.{Curation, Dedup, Layout, Multimodal, Quality, Similarity, Star, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, Quality, Quantiles, Similarity, Star, Temporal, TextAnalysis}
 import graft.sources.{Bucketing, JsonNormalize, ScrapeSource, Staging}
 
 /** Driver contract: every capability from SURVEY.md §2 exposed as a named
@@ -2007,8 +2007,9 @@ object SparkEntry {
       .orderBy("type_b")
   }
 
-  /** Fixed-bin approximate KS ([[Quality.ksBinnedStatistic]], 16 bins
-    * over [0, 1) + under/overflow sinks) — the BOUNDED-STATE face of
+  /** Fixed-bin approximate KS ([[Quality.ksBinnedStatistic]], 16
+    * width-8 bins over [0, 128) + under/overflow sinks) — the
+    * BOUNDED-STATE face of
     * `value_ks` for unbounded/continuous domains: the exact statistic's
     * distinct-value state is the deployment limiter (documented at
     * ksFromCounts); this caps it at groups × 18 rows forever. The bin
@@ -2023,7 +2024,7 @@ object SparkEntry {
     // needed to keep it small, but the two pair-consumers must not
     // re-run the corpus scan), score both pairs from the counts
     val counts = events(s, d)
-      .filter(col("value").isNotNull)
+      .filter(col("value").isNotNull && !isnan(col("value")))
       .groupBy(col("event_type"),
         Quality.ksBinCol(col("value"), 0.0, 128.0, 16).as("__bin"))
       .agg(count(lit(1)).as("__n"))
@@ -4908,11 +4909,15 @@ object SparkEntry {
     * threshold -> filter) every curation pipeline runs before training.
     * The threshold is ONE broadcast scalar (exact percentile, bit-equal
     * to the oracle's quantile_cont), so the filter itself is a zero-
-    * shuffle scan + codegen'd comparison. */
+    * shuffle scan + codegen'd comparison. The scalar comes from the
+    * DISTRIBUTED exact-quantile machinery
+    * ([[graft.operators.Quantiles.exact]]) — no corpus-sized percentile
+    * buffer on one reducer however many documents score. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val q = TextAnalysis.quality(documents(s, d), "text")
       .select(col("doc_id"), col("quality_score"))
-    val thr = q.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    val thr = Quantiles.exact(q, "quality_score", Seq("__thr" -> 0.25))
+      .select("__thr")
     q.crossJoin(broadcast(thr))
       .filter(col("quality_score") >= col("__thr"))
       .select("doc_id", "quality_score")
@@ -4939,16 +4944,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** Per-flag price percentiles — exact linear-interpolation quantiles
-    * (Spark `percentile`; matches DuckDB `quantile_cont` bit-for-bit). */
+  /** Per-flag price percentiles — exact linear-interpolation quantiles,
+    * DISTRIBUTED ([[graft.operators.Quantiles.exactByKey]]): bitwise the
+    * statistic Spark's buffered `percentile` computes (and DuckDB
+    * `quantile_cont` — the proven parity, spec-pinned), but with no
+    * per-group value buffer anywhere — the prefix-sum rank machinery
+    * replaces the single-reducer OpenHashMap that heap-OOMs at ~15M
+    * distinct doubles (the measured boundary this retires). */
   private def pricePercentiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, 0.25)").as("p25"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50"),
-        expr("percentile(l_extendedprice, 0.75)").as("p75"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+    Quantiles.exactByKey(
+        lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .select("l_returnflag", "p25", "p50", "p75", "p95")
       .orderBy("l_returnflag")
 
   /** Approximate percentiles — the 100 TB scale path beside the exact
@@ -8736,7 +8744,7 @@ object SparkEntry {
     "value_ks_binned" ->
       """WITH q AS (SELECT event_type,
         |  CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 8.0), -1.0), 16.0) AS BIGINT) AS v
-        | FROM events WHERE value IS NOT NULL),
+        | FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
         |c1 AS (SELECT v,
         |  SUM(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS na,
         |  SUM(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS nb

@@ -865,6 +865,22 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    // the boundary-retirement witness: EXACT quantiles on ~16M DISTINCT
+    // doubles per group — past the measured ~15M-distinct point where
+    // buffered `percentile` heap-OOMs on a 24g single node. The
+    // distributed path (Quantiles.exactByKey: distinct-value rollup +
+    // prefix-sum ranks) never holds a group in one buffer, so this row
+    // completing at all IS the evidence; fixed 32M rows regardless of
+    // the replica factor so the claim is reproducible at any -x.
+    time("exact_quantiles_32m") {
+      val vals = spark.range(32L * 1000 * 1000)
+        .select((col("id") % 2).cast("string").as("k"),
+          (pmod(xxhash64(col("id")), lit(1000000000000L)) / 1000.0).as("v"))
+      val out = graft.operators.Quantiles.exactByKey(vals, "k", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     time("multimodal_phash") {
       val media = graft.operators.Multimodal.asMedia(
         docs.withColumn("source", lit("s")), "doc_id", "text", "source")

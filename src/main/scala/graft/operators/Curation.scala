@@ -405,30 +405,34 @@ object Curation {
     * engines (the double→decimal cast of a full-mantissa bound is
     * exactly where engines drift a ulp).
     *
-    * SCALE: exact per-group percentiles materialize each group's values
-    * (the documented exact-baseline posture — approx_percentile is the
-    * 100 TB drop-in for the bounds); the bounds frame is GROUP-sized and
-    * broadcasts back onto the scan, so clip + rollup stay map-side
-    * (partial-aggregated) and nothing data-sized shuffles twice. */
+    * SCALE: exact bounds come from [[Quantiles.exactByKey]] — the
+    * distributed prefix-sum rank path, no per-group value buffer (the
+    * old buffered-`percentile` form heap-OOMed at ~15M distinct doubles;
+    * approx_percentile remains the cheap sketch alternative); the bounds
+    * frame is GROUP-sized and broadcasts back onto the scan, so clip +
+    * rollup stay map-side (partial-aggregated) and nothing data-sized
+    * shuffles twice. */
   def winsorizeReport(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95,
       approxAccuracy: Option[Int] = None): DataFrame = {
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0, s"bad [$pLo, $pHi]")
-    // approxAccuracy = the 100 TB bounds path: exact percentile buffers
-    // every DISTINCT value per group (measured: heap-bound at ~15M
-    // distinct doubles on a 24g single node), while approx_percentile
-    // keeps a bounded KLL-style sketch that merges map-side — the same
-    // exact/approx pairing as price_percentiles. The clip/rollup half is
-    // identical either way.
+    // Exact bounds ride the DISTRIBUTED quantile machinery
+    // (Quantiles.exactByKey — prefix-sum ranks, no per-group buffer):
+    // bitwise the buffered-`percentile` statistic, minus its measured
+    // ~15M-distinct-doubles single-reducer heap boundary. approxAccuracy
+    // remains the cheapest path when sketch bounds suffice
+    // (approx_percentile: bounded KLL-style state, map-side merge — one
+    // aggregate, no rank shuffles). The clip/rollup half is identical
+    // either way.
     val bounds = approxAccuracy match {
       case Some(acc) => df.groupBy(col(groupCol))
         .agg(
           expr(s"approx_percentile($valueCol, $pLo, $acc)").as("lo"),
           expr(s"approx_percentile($valueCol, $pHi, $acc)").as("hi"))
-      case None => df.groupBy(col(groupCol))
-        .agg(
-          expr(s"percentile($valueCol, $pLo)").as("lo"),
-          expr(s"percentile($valueCol, $pHi)").as("hi"))
+      case None => Quantiles.exactByKey(
+          df.select(col(groupCol), col(valueCol)),
+          groupCol, valueCol, Seq("lo" -> pLo, "hi" -> pHi))
+        .select(col(groupCol), col("lo"), col("hi"))
     }
     df.join(broadcast(bounds), Seq(groupCol))
       .select(col(groupCol), col("lo"), col("hi"),

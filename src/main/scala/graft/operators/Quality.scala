@@ -765,7 +765,14 @@ object Quality {
     * overflow sink, so EVERY real value lands in one of nBins + 2 bins
     * however unbounded the domain. One subtraction, one IEEE division by
     * a literal, one floor: both engines compute it bit-identically (the
-    * value_psi floor(value·16) precedent). */
+    * value_psi floor(value·16) precedent).
+    *
+    * CONTRACT: NaN is OUTSIDE the quantizer's domain — Spark's
+    * floor(double) yields LongType so NaN.toLong lands in bin 0, while
+    * DuckDB's FLOOR(NaN)=NaN propagates through GREATEST/LEAST (NaN
+    * sorts greatest there) to the overflow sink. Callers must filter
+    * NaN alongside NULL (`!isnan` / `NOT isnan`) on BOTH engines'
+    * faces; ±Infinity is handled consistently (the clamp sinks). */
   def ksBinCol(value: Column, lo: Double, hi: Double, nBins: Int): Column = {
     require(nBins >= 2, s"need >= 2 bins, got $nBins")
     require(hi > lo, s"need hi > lo, got [$lo, $hi]")

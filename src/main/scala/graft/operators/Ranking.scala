@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 /** Global ranking without a single-task window. A bare
@@ -12,104 +13,125 @@ import org.apache.spark.sql.types._
   * within partitions, collect the per-partition COUNTS (a
   * numPartitions-sized driver array — iteration-control-sized state),
   * and reconstruct the exact global rank as partition-offset +
-  * in-partition row_number (a window PARTITIONED by partition id —
-  * parallel). The result is independent of where the sampled range
-  * boundaries fall, so it is deterministic even though the
-  * partitioning itself is an implementation detail.
+  * in-partition running count. The result is independent of where the
+  * sampled range boundaries fall, so it is deterministic even though
+  * the partitioning itself is an implementation detail.
+  *
+  * The in-partition half is a bare sequential pass over the ALREADY
+  * sorted checkpoint ([[Bridge.mapPartitionsInternal]]), not a
+  * Window-by-partition-id: the Window form's ClusteredDistribution(pid)
+  * inserts a full hash Exchange + Sort PER CONSUMER of the result (the
+  * frame is range-partitioned, which Catalyst can't see satisfies a
+  * pid clustering), plus per-frame window machinery a running counter
+  * doesn't need — the round-10 sorted-scan-vs-Window measurement (1.95 s
+  * vs 5.08 s on the same 860k-row stream) applies verbatim here.
   */
 object Ranking {
+
+  /** Range-repartition `df` on `order` and sort within partitions,
+    * eagerly local-checkpointed: every downstream job (offset collection
+    * and the running pass, or several consumers of a prefix-sum frame)
+    * must read ONE materialization — a recompute could re-sample
+    * different range boundaries between jobs. Stats reset so the
+    * carried estimate never poisons AQE (the round-6 lesson);
+    * `Bridge.unpersistCheckpoints` frees it when the caller is done. */
+  private def rangeSorted(df: DataFrame, order: Seq[Column]): DataFrame = {
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    Bridge.resetStats(
+      df.repartitionByRange(p, order: _*)
+        .sortWithinPartitions(order: _*)
+        .localCheckpoint(true))
+  }
+
+  /** One small job over the sorted checkpoint: per-partition totals of
+    * `aggs`, returned as (exclusive running offsets [pid][agg], grand
+    * totals [agg]) sized to EVERY physical partition (empty partitions
+    * carry the running total forward). Driver state is
+    * numPartitions × aggs longs — iteration-control-sized. */
+  private def partOffsets(sorted: DataFrame,
+      aggs: Seq[Column]): (Array[Array[Long]], Array[Long]) = {
+    val nParts = sorted.rdd.getNumPartitions
+    val perPid = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> Array.tabulate(aggs.length)(i => r.getLong(i + 1)))
+      .toMap
+    val offs = new Array[Array[Long]](nParts)
+    val acc = new Array[Long](aggs.length)
+    for (pid <- 0 until nParts) {
+      offs(pid) = acc.clone()
+      perPid.get(pid).foreach { t =>
+        var i = 0
+        while (i < acc.length) { acc(i) += t(i); i += 1 }
+      }
+    }
+    (offs, acc)
+  }
+
+  /** The in-partition sequential pass: append one BIGINT running-total
+    * column per entry of `names`, seeded from the partition's exclusive
+    * offset. `sumIdx(i) < 0` counts rows (rank); otherwise it adds the
+    * BIGINT field at that ordinal (NULL adds nothing — the window-sum
+    * convention). Zero shuffles: runs directly over the checkpoint's
+    * partitions in their sorted order. */
+  private def appendRunning(sorted: DataFrame, offs: Array[Array[Long]],
+      sumIdx: Array[Int], names: Seq[String]): DataFrame = {
+    val outSchema = StructType(sorted.schema.fields ++
+      names.map(n => StructField(n, LongType, nullable = false)))
+    Bridge.mapPartitionsInternal(sorted, outSchema) { (pid, it) =>
+      val acc = offs(pid).clone()
+      it.map { ir =>
+        val base = ir.copy()
+        val extra = new Array[Any](sumIdx.length)
+        var i = 0
+        while (i < sumIdx.length) {
+          val j = sumIdx(i)
+          if (j < 0) acc(i) += 1L
+          else if (!base.isNullAt(j)) acc(i) += base.getLong(j)
+          extra(i) = acc(i)
+          i += 1
+        }
+        new JoinedRow(base, new GenericInternalRow(extra))
+      }
+    }
+  }
 
   /** `df` plus `rankCol` = exact 1-based global rank under `order`
     * (which must be a total order — include a unique tie-break column).
     * Returns (ranked frame, total row count). The frame is backed by an
-    * eager localCheckpoint (offsets and ranks must read the SAME
-    * materialization — a recompute could re-sample range boundaries);
+    * eager localCheckpoint (see [[rangeSorted]]);
     * `Bridge.unpersistCheckpoints(result)` frees it when done. */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
       rankCol: String): (DataFrame, Long) = {
     require(order.nonEmpty, "need at least one order column")
-    import org.apache.spark.sql.graft.Bridge
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = Bridge.resetStats(
-      df.repartitionByRange(p, order: _*)
-        .sortWithinPartitions(order: _*)
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true))
-    val counts = sorted.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = counts.map(_._2).sum
-    // offsets as ONE constant-array literal indexed by pid — NOT a
-    // when(__pid === k, off) ladder: the chained-CASE form is
-    // numPartitions-deep PER ROW, and at a production
-    // spark.sql.shuffle.partitions of 2000+ the generated method would
-    // cross the JIT 8 KB huge-method cliff (the round-8 lesson). The
-    // array literal is a single constant object; element_at is O(1)
-    // codegen. Rows only exist in partitions that HAVE rows, so sizing
-    // to maxPid+1 covers every pid the expression can see (empty
-    // trailing partitions contribute no rows and need no slot).
-    val offCol = offsetLookup(counts, "__pid")
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-    val ranked = sorted
-      .withColumn(rankCol, row_number().over(w).cast(LongType) + offCol)
-      .drop("__pid")
-    (ranked, total)
-  }
-
-  /** Exclusive running offset per partition id as a flat O(1)-per-row
-    * expression: a BIGINT array literal (one constant object, sized
-    * maxPid+1, gaps = empty partitions carry the running total so any
-    * pid indexes correctly) read via element_at. Shared by
-    * [[withGlobalRank]] and [[withPrefixSums]]. */
-  private def offsetLookup(perPid: Seq[(Int, Long)], pidCol: String): Column = {
-    if (perPid.isEmpty) return lit(0L)
-    val byPid = perPid.toMap
-    val arr = new Array[Long](perPid.map(_._1).max + 1)
-    var acc = 0L
-    for (pid <- arr.indices) {
-      arr(pid) = acc
-      acc += byPid.getOrElse(pid, 0L)
-    }
-    element_at(lit(arr), col(pidCol) + 1)
+    val sorted = rangeSorted(df, order)
+    val (offs, totals) = partOffsets(sorted, Seq(count(lit(1))))
+    (appendRunning(sorted, offs, Array(-1), Seq(rankCol)), totals(0))
   }
 
   /** `df` plus an inclusive prefix sum (`<c>_cum`) of each BIGINT column
     * in `sumCols` under the total order `order` — the running-total
-    * generalization of [[withGlobalRank]], with the same distributed
-    * shape: range-repartition on the order, sort within partitions,
-    * collect PER-PARTITION TOTALS (a numPartitions × sumCols driver
-    * array), and reconstruct the exact global running sum as
-    * partition-offset + in-partition cumulative window (partitioned by
-    * partition id — parallel, never a single-task global window). Sums
-    * are BIGINT so accumulation order cannot change the result; the
-    * same eager-localCheckpoint note as [[withGlobalRank]] applies
-    * (offsets and cumulatives must read ONE materialization). */
+    * generalization of [[withGlobalRank]], same distributed shape:
+    * range-repartition + sort + a numPartitions × sumCols driver offset
+    * array + the zero-shuffle in-partition pass. Sums are BIGINT so
+    * accumulation order cannot change the result; `sumCols` must be
+    * BIGINT (enforced) and are treated as window `sum` would treat them
+    * (NULL contributes nothing). */
   def withPrefixSums(df: DataFrame, order: Seq[Column],
       sumCols: Seq[String]): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
     require(sumCols.nonEmpty, "need at least one sum column")
-    import org.apache.spark.sql.graft.Bridge
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = Bridge.resetStats(
-      df.repartitionByRange(p, order: _*)
-        .sortWithinPartitions(order: _*)
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint(true))
-    val partTotals = sorted.groupBy(col("__pid"))
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-      .collect()
-      .map(r => r.getInt(0) -> sumCols.map(c => r.getAs[Long](c)).toArray)
-      .sortBy(_._1)
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sumCols.zipWithIndex.foldLeft(sorted) { case (acc, (c, i)) =>
-      // same flat array-literal offset dissemination as withGlobalRank
-      // (one constant per sum column, never a partitions-deep CASE)
-      val offCol = offsetLookup(partTotals.map { case (pid, t) =>
-        pid -> t(i)
-      }, "__pid")
-      acc.withColumn(s"${c}_cum", sum(col(c)).over(w) + offCol)
-    }.drop("__pid")
+    val sorted = rangeSorted(df, order)
+    sumCols.foreach { c =>
+      require(sorted.schema(c).dataType == LongType,
+        s"prefix-sum column '$c' must be BIGINT, got ${sorted.schema(c).dataType}")
+    }
+    val (offs, _) = partOffsets(sorted,
+      sumCols.map(c => coalesce(sum(col(c)), lit(0L))))
+    appendRunning(sorted, offs,
+      sumCols.map(sorted.schema.fieldIndex).toArray,
+      sumCols.map(c => s"${c}_cum"))
   }
 
   /** SQL-standard NTILE(k) from a 1-based rank over `n` rows: the first

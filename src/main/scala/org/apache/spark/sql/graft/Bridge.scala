@@ -73,6 +73,30 @@ object Bridge {
     ()
   }
 
+  /** Partition-index-aware mapPartitions over a DataFrame's INTERNAL rows
+    * — the zero-copy, no-Exchange form of a per-partition sequential pass
+    * (running sums, ranks) over an already range-partitioned + sorted
+    * frame. The public `Dataset.mapPartitions` route would (a) lose the
+    * partition index, forcing a spark_partition_id column plus a
+    * Window-by-pid whose ClusteredDistribution(pid) requirement inserts a
+    * full hash Exchange + Sort per consumer, and (b) pay Row
+    * boxing/unboxing through encoders. `preservesPartitioning` keeps the
+    * upstream layout claim.
+    *
+    * CONTRACT for `f`: input rows are REUSED buffers (the usual
+    * InternalRow iterator rule) — `copy()` anything held across
+    * `next()`; emitted rows must be fresh or safely reusable
+    * per-element objects. */
+  def mapPartitionsInternal(df: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      f: (Int, Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val rdd = ds.queryExecution.toRdd
+      .mapPartitionsWithIndex(f, preservesPartitioning = true)
+    ds.sparkSession.internalCreateDataFrame(rdd, outSchema)
+  }
+
   /** Unpersist every `localCheckpoint` block set a DataFrame's plan reads
     * from. `Dataset.unpersist` cannot do this — checkpoints persist their
     * RDD directly, outside the CacheManager — so iterative operators that
@@ -80,10 +104,21 @@ object Bridge {
     * retain every superseded round's blocks for the life of the session.
     * After this call the DataFrame is NOT recomputable (a local checkpoint
     * truncates lineage); only release frames that will never be read again. */
-  def unpersistCheckpoints(df: DataFrame): Unit =
+  def unpersistCheckpoints(df: DataFrame): Unit = {
+    // A LogicalRDD may wrap the persisted checkpoint RDD itself OR a
+    // narrow derivative of it (mapPartitionsInternal results) — walk the
+    // dependency chain and release every persisted ancestor. The walk
+    // cannot escape into still-needed upstream frames: localCheckpoint
+    // truncates lineage at materialization, so the chain ends at the
+    // checkpoint this frame was built on.
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit = {
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        r.unpersist(blocking = false)
+      r.dependencies.foreach(d => walk(d.rdd))
+    }
     df.asInstanceOf[classic.Dataset[_]].queryExecution.logical.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD => walk(lr.rdd)
       case _ => ()
     }
+  }
 }

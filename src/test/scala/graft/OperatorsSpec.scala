@@ -1060,4 +1060,58 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rep2.forall(!_.getBoolean(rep2.head.fieldIndex("flagged"))),
       rep2.mkString("\n"))
   }
+
+  test("Quantiles.exactByKey equals buffered percentile BITWISE (real + adversarial frames)") {
+    import graft.operators.Quantiles
+    val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+      "p95" -> 0.95, "p100" -> 1.0)
+    def oracle(df: org.apache.spark.sql.DataFrame, k: String, v: String) =
+      df.groupBy(col(k))
+        .agg(count(col(v)).as("n"),
+          ps.map { case (nm, p) => expr(s"percentile($v, $p)").as(nm) }: _*)
+    def pin(df: org.apache.spark.sql.DataFrame, k: String, v: String,
+        tag: String): Unit = {
+      val got = Quantiles.exactByKey(df, k, v, ps)
+        .orderBy(k).collect().map(_.toSeq).toSeq
+      val want = oracle(df, k, v)
+        .filter(col("n") > 0).orderBy(k).collect().map(_.toSeq).toSeq
+      // bitwise: compare raw doubles via their exact bits, not tolerance
+      assert(got.size == want.size, s"$tag row count")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.size == w.size, tag)
+        g.zip(w).foreach {
+          case (a: Double, b: Double) =>
+            assert(java.lang.Double.doubleToRawLongBits(a) ==
+              java.lang.Double.doubleToRawLongBits(b), s"$tag: $a != $b in $g vs $w")
+          case (a, b) => assert(a == b, s"$tag: $g vs $w")
+        }
+      }
+    }
+    // real frame: the price_percentiles operand
+    pin(Tables.lineitem(spark, sf).select("l_returnflag", "l_extendedprice"),
+      "l_returnflag", "l_extendedprice", "lineitem")
+    // adversarial: heavy ties, a singleton group, negative values, a
+    // group whose values are one repeated constant, fractional positions
+    // landing on and between ties
+    val adv = (
+      Seq.tabulate(101)(i => ("ties", (i % 7).toDouble)) ++
+        Seq(("one", 42.0)) ++
+        Seq(("neg", -5.5), ("neg", -1.25), ("neg", -9.75), ("neg", -1.25)) ++
+        Seq.fill(9)(("const", 3.14)) ++
+        Seq.tabulate(10)(i => ("two", if (i < 5) 1.0 else 2.0))
+      ).toDF("k", "v")
+    pin(adv, "k", "v", "adversarial")
+    // nulls drop; an all-null key contributes no row
+    val withNulls = Seq(("a", Some(1.0)), ("a", None), ("a", Some(2.0)),
+      ("b", None)).toDF("k", "v")
+    pin(withNulls, "k", "v", "nulls")
+    // ungrouped face
+    val one = Quantiles.exact(
+      Tables.lineitem(spark, sf).select("l_extendedprice"),
+      "l_extendedprice", Seq("p50" -> 0.5)).head()
+    val oneWant = Tables.lineitem(spark, sf)
+      .agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(one.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(oneWant))
+  }
 }

@@ -132,11 +132,26 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("quality_filter broadcasts the percentile threshold as one scalar") {
-    val p = plan("quality_filter")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    // the corpus side must not hash-shuffle: the only exchanges are the
-    // single-partition percentile agg and the final output sort
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    val df = SparkEntry.queries("quality_filter")(spark, sf)
+    val phys = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bnlj = phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size == 1, phys.toString)
+    // the corpus (streamed) side goes scan → score → join with NO
+    // exchange: the gate itself stays a zero-shuffle codegen'd
+    // comparison. The threshold side may carry exchanges inside the
+    // distributed quantile machinery — those move the reduced
+    // distinct-score rollup, never the corpus.
+    val streamed = bnlj.head.children.head
+    assert(streamed.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, streamed.toString)
+    assert(streamed.toString.contains("FileScan parquet"), streamed.toString)
   }
 
   test("quality_filter_approx keeps the exact gate's zero-shuffle filter shape") {
@@ -897,16 +912,17 @@ class PlanShapeSpec extends AnyFunSuite {
   test("customer_rfm: all three NTILE passes are partition-parallel ranks, no global window") {
     val df = SparkEntry.queries("customer_rfm")(spark, sf)
     val exec = df.queryExecution.sparkPlan
-    // the first two rank passes are already materialized behind the
-    // machinery's eager checkpoints (same partitioned-window code path);
-    // the final plan carries the third — it must be __pid-partitioned,
-    // never a bare global orderBy window
+    // every rank pass rides the running-count machinery over the range
+    // checkpoint (Bridge.mapPartitionsInternal): ZERO WindowExec nodes —
+    // the old shape planned a __pid-partitioned Window per pass, each
+    // costing a hash Exchange + Sort; a reappearing Window means the
+    // machinery regressed (worst case: a bare global orderBy window)
     val wins = exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(wins.size == 1, exec.toString)
-    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    assert(wins.isEmpty, exec.toString)
     val s = exec.toString
+    assert(s.contains("ExistingRDD"), s) // the rank pass's checkpoint scan
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
 
@@ -1099,20 +1115,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("value_ks: CDF windows are partition-parallel — never a single-task global window") {
+  test("value_ks: CDFs are zero-shuffle running passes — never a single-task global window") {
     // the KS cumulative CDFs ride withPrefixSums (range repartition +
-    // partition-offset reconstruction): every Window in the final plan
-    // must be PARTITIONED (by __pid); a bare global orderBy window is
-    // the single-task cliff this machinery exists to avoid. Totals
-    // arrive as one-row broadcast cross joins, never a shuffled join.
+    // partition-offset reconstruction, in-partition running pass over
+    // the checkpoint): ZERO WindowExec nodes in the final plan — the
+    // old shape planned a __pid-partitioned Window per consumer (one
+    // hash Exchange + Sort each); a bare global orderBy window is the
+    // single-task cliff this machinery exists to avoid. Totals arrive
+    // as one-row broadcast cross joins, never a shuffled join.
     val df = SparkEntry.queries("value_ks")(spark, sf)
     val exec = df.queryExecution.sparkPlan
     val wins = exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(wins.size == 2, exec.toString)
-    assert(wins.forall(_.partitionSpec.nonEmpty), exec.toString)
+    assert(wins.isEmpty, exec.toString)
     val s = exec.toString
+    assert(s.contains("ExistingRDD"), s) // the prefix-sum checkpoint scans
     assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"), s)
   }
 
