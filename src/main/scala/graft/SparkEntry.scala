@@ -1135,7 +1135,8 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private def dimCustomer(s: SparkSession, d: String): DataFrame =
-    Star.buildDim(customer(s, d), Seq("c_custkey"), "customer_sk", Seq(col("c_custkey")))
+    Star.buildDimDistributed(customer(s, d), Seq("c_custkey"), "customer_sk",
+        Seq(col("c_custkey")))
       .select("customer_sk", "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .orderBy("customer_sk")
 
@@ -1152,7 +1153,8 @@ object SparkEntry {
     * INSERT..SELECT..INNER JOIN fact resolution). */
   private def factOrders(s: SparkSession, d: String): DataFrame = {
     val dimC = Star
-      .buildDim(customer(s, d), Seq("c_custkey"), "customer_sk", Seq(col("c_custkey")))
+      .buildDimDistributed(customer(s, d), Seq("c_custkey"), "customer_sk",
+        Seq(col("c_custkey")))
       .select("customer_sk", "c_custkey")
     val dimD = Star.dateDim(orders(s, d), col("o_orderdate")).select("date_sk", "full_date")
     val withC = Star.resolveSk(

@@ -920,15 +920,28 @@ object Quality {
     * SCALE: pairs are per-key (time-horizon)², never corpus-sized — the
     * input is the caller's already-reduced bucket rollup (B buckets per
     * key ⇒ B²/2 pairs; 30 days hourly = 720 buckets ≈ 259k pairs/key, a
-    * bounded self-join by construction). The shifted frame is eagerly
-    * checkpointed: it feeds BOTH sides of the pair join through a
-    * Window, the exact shared-subtree shape that dies in
-    * DeduplicateRelations over non-re-instanceable sources (the
-    * psiFromCounts posture), and the checkpoint keeps the rollup from
-    * running twice. */
+    * bounded self-join by construction).
+    *
+    * CONTRACT (the madFromHourly trailing≤1000 convention, horizon
+    * edition): `maxBuckets` caps B per key because B is a QUADRATIC
+    * multiplier on the pair join — a 5-year hourly series (43.8k
+    * buckets) is ~960M pairs PER KEY, and the per-key slope-median
+    * percentile buffers every pair. The cap is enforced IN the plan
+    * (`raise_error` at the eager checkpoint — the horizon is data-
+    * dependent, so a driver-side `require` can't see it) and fails
+    * before any pair is produced. Longer horizons belong in coarser
+    * buckets (slope is per-hour either way), not a bigger cap.
+    *
+    * The shifted frame is eagerly checkpointed: it feeds BOTH sides of
+    * the pair join through a Window, the exact shared-subtree shape
+    * that dies in DeduplicateRelations over non-re-instanceable sources
+    * (the psiFromCounts posture), and the checkpoint keeps the rollup
+    * from running twice. */
   def theilSenFromBuckets(buckets: DataFrame, keyCol: String,
-      bucketCol: String, countCol: String): DataFrame = {
+      bucketCol: String, countCol: String,
+      maxBuckets: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxBuckets >= 2, s"need maxBuckets >= 2, got $maxBuckets")
     val base = buckets.select(
       col(keyCol).as("k"),
       expr(s"unix_timestamp($bucketCol) div 3600").as("h"),
@@ -936,7 +949,15 @@ object Quality {
     val w = Window.partitionBy("k")
     val shifted = base
       .withColumn("x", col("h") - min(col("h")).over(w))
-      .select("k", "x", "y")
+      .withColumn("__nb", count(lit(1)).over(w))
+      .select(col("k"),
+        when(col("__nb") > maxBuckets, raise_error(concat(
+          lit("theilSenFromBuckets: key '"), col("k").cast("string"),
+          lit(s"' has "), col("__nb"),
+          lit(s" buckets > maxBuckets=$maxBuckets — the pairwise-slope " +
+            "join is B^2/2 per key; use coarser buckets, not a wider cap"))))
+          .otherwise(col("x")).as("x"),
+        col("y"))
       .localCheckpoint(true)
     val lo = shifted.select(col("k"), col("x").as("x1"), col("y").as("y1"))
     val hi = shifted.select(col("k"), col("x").as("x2"), col("y").as("y2"))

@@ -29,7 +29,14 @@ object Star {
   /** Build a dimension: dedup the natural key (deterministic keep-first) and
     * assign a dense surrogate key ordered by the natural key — the
     * distributed analog of the reference's `nextval` sequences
-    * (reference: data_warehouse.sql:25,33,67,...). */
+    * (reference: data_warehouse.sql:25,33,67,...).
+    *
+    * CONTRACT: the SK window is a bare global `dense_rank` — ONE task
+    * holds the whole deduped dim. Fine for genuinely bounded dims (enum
+    * tables, the 25-row nation dim); for anything that could grow with
+    * the data use [[buildDimDistributed]] (bitwise the same SKs, spec-
+    * pinned, no single-task window) or [[hashSk]]/[[hashSk128]] when no
+    * dense sequence is needed at all. */
   def buildDim(
       df: DataFrame,
       naturalKey: Seq[String],
@@ -39,6 +46,26 @@ object Star {
     val deduped = df.dedupKeepFirst(naturalKey, keepFirstBy)
     val w = Window.orderBy(naturalKey.map(col): _*)
     deduped.withColumn(skName, dense_rank().over(w).cast(LongType))
+  }
+
+  /** [[buildDim]] without the single-task window: after the keep-first
+    * dedup the natural key is UNIQUE, so `dense_rank` over it equals the
+    * plain global rank — which [[graft.operators.Ranking.withGlobalRank]]
+    * computes distributed (range repartition + partition offsets + an
+    * in-partition running count; driver state is one partition-count
+    * array). Same columns, same SK values bitwise (spec-pinned); the
+    * result is backed by the machinery's eager checkpoint. This is the
+    * default for any dimension that scales with the data. */
+  def buildDimDistributed(
+      df: DataFrame,
+      naturalKey: Seq[String],
+      skName: String,
+      keepFirstBy: Seq[Column]
+  ): DataFrame = {
+    val deduped = df.dedupKeepFirst(naturalKey, keepFirstBy)
+    val (ranked, _) =
+      Ranking.withGlobalRank(deduped, naturalKey.map(col), skName)
+    ranked
   }
 
   /** Fully-distributed alternative SK for huge dimensions: a 64-bit hash of

@@ -827,6 +827,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ols("down") > 0, s"OLS should flip under the corrupt bucket: ${ols("down")}")
   }
 
+  test("buildDimDistributed assigns bitwise the same SKs as the window dense_rank") {
+    def pin(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+        firstBy: Seq[org.apache.spark.sql.Column]): Unit = {
+      val a = Star.buildDim(df, keys, "sk", firstBy)
+        .orderBy("sk").collect().map(_.toSeq).toSeq
+      val b = Star.buildDimDistributed(df, keys, "sk", firstBy)
+        .orderBy("sk").collect().map(_.toSeq).toSeq
+      assert(a == b, s"${a.take(3)} vs ${b.take(3)}")
+    }
+    // the real dim operand
+    pin(Tables.customer(spark, sf), Seq("c_custkey"), Seq(col("c_custkey")))
+    // dup-heavy fixture with a composite key and a keep-first tiebreak
+    val fix = Seq(
+      ("b", 2, "x1", 9), ("b", 2, "x0", 1), ("a", 1, "y", 5),
+      ("c", 1, "z", 3), ("a", 2, "w", 4), ("a", 1, "y2", 2)
+    ).toDF("k1", "k2", "v", "ord")
+    pin(fix, Seq("k1", "k2"), Seq(col("ord")))
+  }
+
+  test("Theil-Sen horizon cap: a key past maxBuckets fails IN the plan, under it passes") {
+    import graft.operators.Quality
+    // B²/2 pairs per key is the quadratic multiplier the cap guards —
+    // the rejection must fire at the eager checkpoint, before any pair
+    // is produced (a driver require can't see the data-dependent B)
+    val wide = spark.range(11)
+      .select(lit("k1").as("k"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          .cast("timestamp") + expr("make_interval(0,0,0,0,id,0,0)")).as("b"),
+        lit(7L).as("n"))
+    val ex = intercept[Exception] {
+      Quality.theilSenFromBuckets(wide, "k", "b", "n", maxBuckets = 10).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(ex).contains("theilSenFromBuckets"), rootMsg(ex).take(500))
+    // exactly at the cap: passes, and the guard changes nothing
+    val ok = Quality.theilSenFromBuckets(wide, "k", "b", "n", maxBuckets = 11)
+      .collect()
+    assert(ok.length == 1 && ok.head.getLong(1) == 55L && ok.head.getDouble(2) == 0.0)
+  }
+
   test("OLS trend: exact slope on linear fixtures; single bucket yields null slope") {
     import graft.operators.Quality
     import java.sql.Timestamp
