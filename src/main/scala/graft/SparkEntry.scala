@@ -2177,6 +2177,20 @@ object SparkEntry {
       "l_partkey", "l_suppkey", bits = 20)
       .orderBy("hval", "l_orderkey", "l_linenumber")
 
+  /** k=3 Hilbert layout key over (part, supplier, order) — the k-cube
+    * generalization of `hilbert_layout` ([[Layout.hilbert3Layout]]): the
+    * automaton is GENERATED from the per-level construction rules (12
+    * reachable states for n=3; bijectivity/adjacency/nesting
+    * property-pinned), packed one BIGINT per state, and evaluated as an
+    * element_at lookup per level. Oracle = the generated chained-CTE SQL
+    * ([[Layout.hilbert3Sql]]) with the lookup rendered as a 12-way CASE —
+    * pure BIGINT bit ops, engine-exact. */
+  private def hilbertLayout3dQ(s: SparkSession, d: String): DataFrame =
+    Layout.hilbert3Layout(
+      lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", "l_orderkey", bits = 20)
+      .orderBy("hval", "l_orderkey", "l_linenumber")
+
   /** The two layout dimensions `zorder_scan` clusters and filters on:
     * md5-bucket hashes of the lineitem primary key with a fixed
     * [0, 1024) domain at EVERY scale factor, so the registered box
@@ -5492,6 +5506,7 @@ object SparkEntry {
     "range_join" -> (rangeJoinQ _),
     "zorder_layout" -> (zorderLayoutQ _),
     "hilbert_layout" -> (hilbertLayoutQ _),
+    "hilbert_layout_3d" -> (hilbertLayout3dQ _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_keep_best_cached" -> (dedupKeepBestCached _),
@@ -8188,6 +8203,15 @@ object SparkEntry {
       (Layout.hilbertSql("lineitem",
         Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
         "l_partkey", "l_suppkey", bits = 20) +
+        "\nORDER BY hval, l_orderkey, l_linenumber"),
+
+    // k=3: the generated-automaton CTE chain with the 12-state row
+    // lookup rendered as a CASE ladder (same BIGINT bit ops both
+    // engines compute identically)
+    "hilbert_layout_3d" ->
+      (Layout.hilbert3Sql("lineitem",
+        Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", "l_orderkey", bits = 20) +
         "\nORDER BY hval, l_orderkey, l_linenumber"),
 
     // the z-order READ path is layout-invisible: the same box over the

@@ -242,6 +242,165 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  // ------------------------------------------------------------------
+  // Hilbert curve (3D) — the k-cube generalization of the 2D automaton
+  // ------------------------------------------------------------------
+  //
+  // The 2-D Klein-group trick generalizes: the recursive construction's
+  // reachable transforms for n dimensions form a subgroup of the n-cube
+  // rotation group, finite and enumerable. Rather than hand-deriving the
+  // n=3 tables, the automaton is GENERATED at class init from the
+  // textbook per-level rules (Hamilton's compact-Hilbert formulation:
+  // Gray-code digit + entry-point/direction state update), then frozen
+  // as packed BIGINT rows. BFS over (entry, direction) reaches exactly
+  // 12 states for n=3 (4 for n=2 — the Klein group, cross-checked);
+  // each state's 8 transitions pack into ONE BIGINT (7 bits per input
+  // label: 3-bit digit | 4-bit next state), so a level is one
+  // element_at on a 12-long array literal plus shifts/masks — still
+  // dialect-common (the oracle renders the lookup as a 12-way CASE).
+  // Correctness is property-pinned the way any Hilbert construction is
+  // defined: bijective on the grid, ADJACENT (consecutive indices are
+  // grid neighbors), and NESTED (the index refines recursively:
+  // h(x,y,z,b) >> 3 == h(x>>1, y>>1, z>>1, b-1)).
+
+  /** Gray-code inverse on n-bit words. */
+  private def gcInv(g: Long): Long = {
+    var i = g; var j = 1
+    while ((g >> j) != 0) { i ^= (g >> j); j += 1 }
+    i
+  }
+  private def trailingSetBits(v: Long): Int =
+    java.lang.Long.numberOfTrailingZeros(~v)
+  /** Intra-subcube direction of digit w (Hamilton's d(w)). */
+  private def dW(w: Long, n: Int): Int =
+    if (w == 0L) 0
+    else if (w % 2 == 0) trailingSetBits(w - 1) % n
+    else trailingSetBits(w) % n
+  /** Entry point of digit w (Hamilton's e(w)). */
+  private def eW(w: Long): Long =
+    if (w == 0L) 0L else { val v = 2L * ((w - 1L) / 2L); v ^ (v >> 1) }
+  private def rotr(v: Long, r0: Int, n: Int): Long = {
+    val r = r0 % n
+    ((v >> r) | (v << (n - r))) & ((1L << n) - 1L)
+  }
+  private def rotl(v: Long, r: Int, n: Int): Long = rotr(v, n - (r % n), n)
+
+  /** One automaton step of the n-D construction: from state (e, d) on
+    * input label l (coordinate j contributes bit j), the emitted base-2^n
+    * digit and the successor state. */
+  private def hilbertStep(e: Long, d: Int, l: Long, n: Int): (Long, (Long, Int)) = {
+    val w = gcInv(rotr(l ^ e, d + 1, n))
+    (w, (e ^ rotl(eW(w), d + 1, n), (d + dW(w, n) + 1) % n))
+  }
+
+  /** The n=3 automaton as packed per-state BIGINT rows: input label l's
+    * transition sits at bits l·8 as digit | (nextState << 3) — 7 bits,
+    * so bit 63 stays clear and arithmetic vs logical shift semantics
+    * can never differ between engines. Generated by BFS from the
+    * initial (entry 0, direction 0) state. */
+  private[operators] lazy val hilbert3Rows: Array[Long] = {
+    val n = 3
+    val ids = scala.collection.mutable.LinkedHashMap[(Long, Int), Int]()
+    def sid(s: (Long, Int)): Int = ids.getOrElseUpdate(s, ids.size)
+    val queue = scala.collection.mutable.Queue[(Long, Int)]()
+    val trans = scala.collection.mutable.Map[(Int, Long), (Long, Int)]()
+    sid((0L, 0)); queue.enqueue((0L, 0))
+    while (queue.nonEmpty) {
+      val s @ (e, d) = queue.dequeue()
+      for (l <- 0L until 8L) {
+        val (w, s2) = hilbertStep(e, d, l, n)
+        val isNew = !ids.contains(s2)
+        trans((ids(s), l)) = (w, sid(s2))
+        if (isNew) queue.enqueue(s2)
+      }
+    }
+    require(ids.size <= 16, s"3-D automaton grew ${ids.size} states (> 4-bit pack)")
+    Array.tabulate(ids.size) { s =>
+      (0 until 8).map { l =>
+        val (w, ns) = trans((s, l.toLong))
+        (w | (ns.toLong << 3)) << (8 * l)
+      }.reduce(_ | _)
+    }
+  }
+
+  /** Straight-line reference (the per-level rule loop, no tables) — the
+    * property-test twin the tabled expression must stay identical to. */
+  private[graft] def hilbert3Ref(x: Long, y: Long, z: Long, bits: Int): Long = {
+    val n = 3
+    var e = 0L; var d = 0; var h = 0L
+    var i = bits - 1
+    while (i >= 0) {
+      val l = ((x >> i) & 1L) | (((y >> i) & 1L) << 1) | (((z >> i) & 1L) << 2)
+      val (w, s2) = hilbertStep(e, d, l, n)
+      h = (h << n) | w
+      e = s2._1; d = s2._2
+      i -= 1
+    }
+    h
+  }
+
+  /** Append the 3-D Hilbert index of (xCol, yCol, zCol) as `as` — the
+    * k=3 twin of [[hilbertLayout]]. Inputs mask to their low `bits` bits
+    * (the zvalue wrap contract); 3·bits must fit a signed Long. One
+    * chained projection pair per level: an element_at row lookup on the
+    * 12-long table literal plus shifts/masks, all codegen'd built-ins. */
+  def hilbert3Layout(df: DataFrame, xCol: String, yCol: String, zCol: String,
+      bits: Int, as: String = "hval"): DataFrame = {
+    require(bits >= 1 && 3 * bits <= 62, s"bits must be in [1,20], got $bits")
+    val mask = (1L << bits) - 1L
+    def shr(v: Column, n: Column): Column = call_function("shiftright", v, n)
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("__hy", col(yCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("__hz", col(zCol).cast("long").bitwiseAND(lit(mask)))
+      .withColumn("__hst", lit(0L))
+      .withColumn(as, lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val l = shr(col("__hx"), lit(i)).bitwiseAND(lit(1L)) +
+        shr(col("__hy"), lit(i)).bitwiseAND(lit(1L)) * 2 +
+        shr(col("__hz"), lit(i)).bitwiseAND(lit(1L)) * 4
+      val ent = shr(
+        element_at(lit(hilbert3Rows), (col("__hst") + 1).cast("int")), l * 8)
+        .bitwiseAND(lit(127L))
+      // both layers read the PRE-transition __hst of the incoming frame
+      cur = cur
+        .withColumn(as, col(as) * 8 + ent.bitwiseAND(lit(7L)))
+        .withColumn("__hst", shr(ent, lit(3)).bitwiseAND(lit(15L)))
+    }
+    cur.drop("__hx", "__hy", "__hz", "__hst")
+  }
+
+  /** [[hilbert3Layout]] as a complete DuckDB-dialect SQL statement for
+    * oracle parity — the [[hilbertSql]] chained-CTE trick at k=3, with
+    * the per-state row lookup rendered as a 12-way CASE (everything else
+    * is the same BIGINT bit ops both engines compute identically).
+    * Caller appends its ORDER BY. */
+  def hilbert3Sql(table: String, keyCols: Seq[String], x: String, y: String,
+      z: String, bits: Int, as: String = "hval"): String = {
+    require(bits >= 1 && 3 * bits <= 62, s"bits must be in [1,20], got $bits")
+    val mask = (1L << bits) - 1L
+    val keys = keyCols.mkString(", ")
+    def caseRow(p: Int): String =
+      hilbert3Rows.zipWithIndex
+        .map { case (r, s) => s"WHEN $s THEN CAST($r AS BIGINT)" }
+        .mkString(s"(CASE st$p ", " ", " END)")
+    val sb = new StringBuilder
+    sb ++= s"WITH h0 AS (SELECT $keys, CAST($x AS BIGINT) & $mask AS hx, " +
+      s"CAST($y AS BIGINT) & $mask AS hy, CAST($z AS BIGINT) & $mask AS hz, " +
+      s"CAST(0 AS BIGINT) AS st0, CAST(0 AS BIGINT) AS hd0 FROM $table)"
+    var c = 0
+    for (i <- bits - 1 to 0 by -1) {
+      val p = c; c += 1
+      val lExpr = s"(((hx >> $i) & 1) + ((hy >> $i) & 1) * 2 + ((hz >> $i) & 1) * 4)"
+      sb ++= s",\nh$c AS (SELECT $keys, hx, hy, hz, " +
+        s"((en >> 3) & 15) AS st$c, hd$p * 8 + (en & 7) AS hd$c FROM " +
+        s"(SELECT $keys, hx, hy, hz, st$p, hd$p, " +
+        s"((${caseRow(p)} >> ($lExpr * 8)) & 127) AS en FROM h$p))"
+    }
+    sb ++= s"\nSELECT $keys, hd$c AS $as FROM h$c"
+    sb.toString
+  }
+
   /** The same computation as a complete dialect-common SQL statement
     * (chained CTE levels, level-suffixed column names), for oracle
     * parity — the [[zvalueSql]] generated-formula trick extended to a

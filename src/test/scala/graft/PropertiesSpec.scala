@@ -660,6 +660,54 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hilbert3Layout: == reference; bijective, adjacent, nested on the 16^3 grid") {
+    // full 16x16x16 grid at bits=4: generated automaton == rule loop,
+    // bijection over 4096 cells, consecutive indices are grid neighbors
+    // (the property that DEFINES a Hilbert-family curve — any rule
+    // transcription error breaks it within a few steps), and the index
+    // NESTS (h >> 3 at bits-1 of halved coords — the recursive
+    // refinement that makes coarse prefixes meaningful for file stats)
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+      yield (x, y, z)
+    val got = Layout
+      .hilbert3Layout(grid.toDF("x", "y", "z"), "x", "y", "z", bits = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    grid.foreach { case (x, y, z) =>
+      assert(got((x, y, z)) == Layout.hilbert3Ref(x, y, z, 4), s"($x,$y,$z)")
+    }
+    assert(got.values.toSet == (0L until 4096L).toSet) // bijection
+    val byD = got.toSeq.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Seq((x1, y1, z1), (x2, y2, z2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"hilbert3 jump: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    grid.foreach { case (x, y, z) =>
+      assert(Layout.hilbert3Ref(x, y, z, 4) >> 3 ==
+        Layout.hilbert3Ref(x >> 1, y >> 1, z >> 1, 3), s"nesting ($x,$y,$z)")
+    }
+    // 3-D Morton on the same grid has seams — the documented contrast
+    val byZ = grid.sortBy { case (x, y, z) => zref(Seq(x, y, z), 4) }
+    assert(byZ.sliding(2).exists { case Seq((x1, y1, z1), (x2, y2, z2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) > 1
+    })
+    // arbitrary (incl. negative) inputs wrap via the mask — the zvalue
+    // wrap contract, against the reference on masked values
+    val gen = Gen.listOfN(30, Gen.zip(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(Long.MinValue, Long.MaxValue)))
+    forAll(gen, n = 2) { rows =>
+      val mask = (1L << 10) - 1L
+      Layout.hilbert3Layout(rows.toDF("x", "y", "z"), "x", "y", "z", bits = 10)
+        .collect().foreach { r =>
+          assert(r.getLong(3) == Layout.hilbert3Ref(
+            r.getLong(0) & mask, r.getLong(1) & mask, r.getLong(2) & mask, 10))
+        }
+    }
+  }
+
   test("subword kernel matches the straight-line reference on random vocab/words") {
     import graft.functions.{subwordTokens, SubwordTokens}
     // small alphabet so vocab pieces actually hit; single chars sometimes
