@@ -407,6 +407,53 @@ object Similarity {
   private def pqCodesAndTables(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, m: Int, ksub: Int,
       iters: Int): (DataFrame, DataFrame) = {
+    val (books, d) = pqTrainBooks(corpus, idCol, vecCol, m, ksub, iters)
+
+    // code assignment: the same single-kernel pass, map-side
+    val codes = corpus
+      .select(col(idCol), graft.functions.pqCodes(col(vecCol), books).as("__codes"))
+      .select(col(idCol), posexplode(col("__codes")))
+      .toDF(idCol, "__j", "__code")
+
+    // asymmetric distance tables: exact per-subspace L2^2 from each query
+    // to each codebook centroid — queries x m x ksub rows (query-set
+    // sized), built from the collected query vectors (the broadcast-query
+    // convention of bruteForceTopK)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qvecs = queries.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val tables = qvecs.toSeq.flatMap { case (qid, qv) =>
+      pqDistRows(books, d, Array.tabulate(qv.length)(i => qv(i).toDouble))
+        .map { case (j, ci, s) => (qid, j, ci, s) }
+    }.toDF("q_id", "__j", "__code", "__partial")
+
+    (codes, tables)
+  }
+
+  /** One query point's ADC table rows: per (subspace j, codebook entry
+    * ci) the exact per-subspace L2² partial — the fixed-order IEEE loop
+    * both the plain and the residual table builds share. */
+  private def pqDistRows(books: Array[Array[Array[Double]]], d: Int,
+      qv: Array[Double]): Seq[(Int, Int, Double)] =
+    books.indices.flatMap { j =>
+      books(j).zipWithIndex.map { case (cent, ci) =>
+        var s = 0.0
+        var i = 0
+        while (i < d) {
+          val diff = qv(j * d + i) - cent(i)
+          s += diff * diff
+          i += 1
+        }
+        (j, ci, s)
+      }
+    }
+
+  /** Joint PQ codebook training over all m subspaces — the shared build
+    * step of [[pqAnnTopK]] / [[ivfPqTopK]] / [[ivfPqResidualTopK]].
+    * Returns (books, subspace width d). */
+  private def pqTrainBooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int): (Array[Array[Array[Double]]], Int) = {
     require(m >= 1, s"need m >= 1, got $m")
     require(ksub >= 2, s"need ksub >= 2, got $ksub")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
@@ -457,37 +504,80 @@ object Similarity {
         }
       }
     }
+    (books, d)
+  }
 
-    // code assignment: the same single-kernel pass, map-side
-    val codes = corpus
-      .select(col(idCol), codesCol)
-      .select(col(idCol), posexplode(col("__codes")))
-      .toDF(idCol, "__j", "__code")
-
-    // asymmetric distance tables: exact per-subspace L2^2 from each query
-    // to each codebook centroid — queries x m x ksub rows (query-set
-    // sized), built from the collected query vectors (the broadcast-query
-    // convention of bruteForceTopK)
+  /** IVFADC residual refinement — the standard IVF-PQ recall lever at
+    * EQUAL code budget: PQ encodes the RESIDUAL x − coarseCentroid[cell]
+    * instead of x itself (the FAISS IndexIVFPQ default). Residuals
+    * concentrate near the origin, so the same m × ksub codebook spends
+    * its resolution on a far smaller ball — reconstruction error drops
+    * and recall rises with zero extra bytes per vector.
+    *
+    * Asymmetric distance with residuals is PER-CELL: each query builds
+    * one ADC table per PROBED cell from (q − centroid[cell]), so tables
+    * are queries × nProbe × m × ksub rows — still query-set sized, still
+    * a broadcast — and the candidate join keys on (cell, subspace, code)
+    * so every candidate scores against its own cell's table. Probes are
+    * computed driver-side from the same collected query vectors the
+    * tables need (nearest cells by squared L2, ties by cell name — the
+    * NearestCells ranking).
+    *
+    * Residuals materialize ONCE behind an eager checkpoint: the Lloyd
+    * training loop re-scans them `iters` times and the code pass once
+    * more, so the interpreted zip_with subtraction runs in a single
+    * build pass, never per consumer (the multi-consumer re-scan rule).
+    * Deterministic end to end (md5-seeded k-means twice, fixed-order
+    * IEEE tables, unique-id tie-breaks); approximate — rows-only.
+    * Recall is pinned strictly above plain [[ivfPqTopK]] at equal
+    * parameters on a CLUSTERED fixture (LlmOpsSpec — the regime
+    * residual encoding exists for); on the registered near-isotropic
+    * unit-norm corpus residuals cannot shrink, and ann_eval honestly
+    * records parity there. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, coarseCells: Int = 32, nProbe: Int = 4,
+      m: Int = 16, ksub: Int = 64, iters: Int = 4): DataFrame = {
+    require(coarseCells >= 1, s"need coarseCells >= 1, got $coarseCells")
+    require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val coarse = kmeansCentroids(corpus, idCol, vecCol, coarseCells, iters)
+    val cm = centroidMatrix(coarse)
+    val cellVecs = cm.toSeq.toDF("__coarse", "__cent")
+    val res = assignCells(corpus.select(col(idCol), col(vecCol)),
+        vecCol, coarse, "__coarse")
+      .join(broadcast(cellVecs), "__coarse")
+      .select(col(idCol), col("__coarse"),
+        zip_with(col(vecCol), col("__cent"),
+          (a, b) => (a - b).cast(FloatType)).as("__res"))
+      .localCheckpoint(true)
+    val (books, d) = pqTrainBooks(res, idCol, "__res", m, ksub, iters)
+    val codes = res
+      .select(col(idCol), col("__coarse"),
+        graft.functions.pqCodes(col("__res"), books).as("__codes"))
+      .select(col(idCol), col("__coarse"), posexplode(col("__codes")))
+      .toDF(idCol, "__coarse", "__j", "__code")
     val qvecs = queries.select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val tables = qvecs.flatMap { case (qid, qv) =>
-      (0 until m).flatMap { j =>
-        books(j).zipWithIndex.map { case (cent, ci) =>
-          var s = 0.0
-          var i = 0
-          while (i < d) {
-            val diff = qv(j * d + i).toDouble - cent(i)
-            s += diff * diff
-            i += 1
-          }
-          (qid, j, ci, s)
+    val tables = qvecs.toSeq.flatMap { case (qid, qv) =>
+      val probed = cm.map { case (nm, c) =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length) {
+          val diff = qv(i).toDouble - c(i)
+          s += diff * diff
+          i += 1
         }
+        (s, nm, c)
+      }.sortBy(t => (t._1, t._2)).take(math.min(nProbe, cm.length))
+      probed.flatMap { case (_, nm, c) =>
+        val qres = Array.tabulate(qv.length)(i => qv(i).toDouble - c(i))
+        pqDistRows(books, d, qres).map { case (j, ci, s) => (qid, nm, j, ci, s) }
       }
-    }.toSeq.toDF("q_id", "__j", "__code", "__partial")
-
-    (codes, tables)
+    }.toDF("q_id", "__coarse", "__j", "__code", "__partial")
+    pqRank(
+      codes.join(broadcast(tables), Seq("__coarse", "__j", "__code")),
+      idCol, k)
   }
 
   /** Per-dimension scalar-quantization stats: (pos, mn, mx) over the whole

@@ -296,6 +296,48 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(re == rows.map(_.toSeq).toSet)
   }
 
+  test("residual IVF-PQ beats plain IVF-PQ on clustered data; ties itself deterministically") {
+    // the regime IVFADC exists for: tight clusters around separated
+    // centers, where plain PQ codebooks must cover the whole space while
+    // residual codebooks only cover the small within-cluster ball. (The
+    // registered corpus is unit-norm near-ISOTROPIC — within-label std ==
+    // global std — so residuals cannot shrink there and ann_eval honestly
+    // reports parity; this fixture pins that the lever itself works.)
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rng.nextGaussian()))
+    val vecs = (0L until 512L).map { i =>
+      val c = centers((i % 8).toInt)
+      val raw = c.map(_ + 0.05 * rng.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i, raw.map(x => (x / n).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 6)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(f: org.apache.spark.sql.DataFrame): Double = {
+      val got = f.select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // equal code budget: same cells/probes/m/ksub — only WHAT is encoded
+    // differs (x vs x − coarseCentroid[cell])
+    val plain = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k,
+      coarseCells = 8, nProbe = 2, m = 4, ksub = 8, iters = 3)
+    val res = Similarity.ivfPqResidualTopK(emb, q, "vec_id", "embedding", k,
+      coarseCells = 8, nProbe = 2, m = 4, ksub = 8, iters = 3)
+    val (rp, rr) = (recall(plain), recall(res))
+    assert(rr > rp, s"residual recall $rr must beat plain $rp on clustered data")
+    // determinism: a second build is row-identical
+    val again = Similarity.ivfPqResidualTopK(emb, q, "vec_id", "embedding", k,
+      coarseCells = 8, nProbe = 2, m = 4, ksub = 8, iters = 3)
+    assert(res.orderBy("q_id", "rank").collect().toSeq ==
+      again.orderBy("q_id", "rank").collect().toSeq)
+  }
+
   test("langid scores stopwords and tie-breaks deterministically") {
     val d = Seq(
       (1L, "the cat was on the mat"),
