@@ -52,7 +52,11 @@ object Snapshots {
   }
 
   /** The manifest of version `v`: one row per live data file —
-    * (batch BIGINT, file STRING, y BIGINT, m BIGINT, d BIGINT). */
+    * (batch BIGINT, file STRING, y BIGINT, m BIGINT, d BIGINT,
+    * stats MAP<STRING, ARRAY<DOUBLE>>). `stats` maps a column name to
+    * its per-file [min, max] (empty when the commit passed no
+    * statsCols) — the Iceberg-style file-catalog bounds that let reads
+    * skip files WITHOUT opening a single parquet footer. */
   def manifest(spark: SparkSession, path: String, v: Long): DataFrame = {
     require(v >= 1, s"no version $v: versions start at 1")
     spark.read.parquet(manifestDir(path, v))
@@ -60,11 +64,25 @@ object Snapshots {
 
   /** Read snapshot `v`, optionally pruned by a predicate over the
     * manifest's y/m/d partition columns (manifest pruning: files whose
-    * partition tuple fails the predicate are never opened). Partition
-    * columns come back on every row, directory-derived per batch. */
+    * partition tuple fails the predicate are never opened) and by
+    * `statsRanges` — per-column closed query ranges checked against the
+    * manifest's per-file [min, max] bounds (a file is skipped only when
+    * its recorded range PROVABLY misses the query range; files without
+    * bounds for a column are conservatively kept). Stats pruning is a
+    * superset guarantee like partition pruning: the caller still applies
+    * its own row filter. Partition columns come back on every row,
+    * directory-derived per batch. */
   def readSnapshot(spark: SparkSession, path: String, v: Long,
-      prune: Option[Column] = None): DataFrame = {
-    val m = prune.foldLeft(manifest(spark, path, v))(_ filter _)
+      prune: Option[Column] = None,
+      statsRanges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
+    val statsPruned = statsRanges.foldLeft(manifest(spark, path, v)) {
+      case (m, (c, (lo, hi))) =>
+        val bounds = element_at(col("stats"), lit(c))
+        m.filter(coalesce(
+          element_at(bounds, 1) <= lit(hi) && element_at(bounds, 2) >= lit(lo),
+          lit(true)))
+    }
+    val m = prune.foldLeft(statsPruned)(_ filter _)
     val files = m.select(col("batch"), col("file"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
     require(files.nonEmpty, s"snapshot v$v has no live files under $prune")
@@ -77,18 +95,47 @@ object Snapshots {
   }
 
   /** Write a batch's rows as version `v`'s new files and return their
-    * manifest rows (one leaf-dir walk of the just-written batch only). */
+    * manifest rows (one leaf-dir walk of the just-written batch only;
+    * with `statsCols`, plus ONE read-back scan of the just-written batch
+    * — never the lake — to record per-file [min, max] bounds). */
   private def writeBatch(spark: SparkSession, path: String, v: Long,
-      rows: DataFrame): DataFrame = {
+      rows: DataFrame, statsCols: Seq[String]): DataFrame = {
     val dir = batchDir(path, v)
     // overwrite: the MANIFEST is the commit point, so a batch dir left by
     // a commit that crashed before writing its manifest is orphaned — the
     // retry recomputes the same version and must be able to replace it
     // (ErrorIfExists would wedge the lake permanently on that path)
     rows.write.mode("overwrite").partitionBy("y", "m", "d").parquet(dir)
+    // per-file bounds: cast to DOUBLE (exact for BIGINTs below 2^53 —
+    // the contract; columns past that precision belong in partition
+    // tuples, not stats). Keyed by URI path — input_file_name renders
+    // file:/// where Path.toString renders file:/ (the round-11 rule).
+    def norm(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val statsByFile: Map[String, Map[String, Seq[Double]]] =
+      if (statsCols.isEmpty) Map.empty
+      else spark.read.parquet(dir)
+        .groupBy(input_file_name().as("__f"))
+        .agg(
+          min(col(statsCols.head)).cast(DoubleType).as(s"mn0"),
+          statsCols.zipWithIndex.flatMap { case (c, i) =>
+            (if (i == 0) Nil
+             else Seq(min(col(c)).cast(DoubleType).as(s"mn$i"))) :+
+              max(col(c)).cast(DoubleType).as(s"mx$i")
+          }: _*)
+        .collect()
+        .map { r =>
+          norm(r.getString(0)) -> statsCols.zipWithIndex.flatMap {
+            case (c, i) =>
+              val (mn, mx) = (r.getAs[Any](s"mn$i"), r.getAs[Any](s"mx$i"))
+              if (mn == null || mx == null) None
+              else Some(c -> Seq(mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+          }.toMap
+        }.toMap
     val f = fs(spark, path)
     val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Map[String, Seq[Double]])]
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toString
@@ -99,11 +146,12 @@ object Snapshots {
             sys.error(s"no $k= segment in $p"))
           seg.drop(2).toLong
         }
-        out += ((v, p, part("y"), part("m"), part("d")))
+        out += ((v, p, part("y"), part("m"), part("d"),
+          statsByFile.getOrElse(norm(p), Map.empty)))
       }
     }
     import spark.implicits._
-    out.toSeq.toDF("batch", "file", "y", "m", "d")
+    out.toSeq.toDF("batch", "file", "y", "m", "d", "stats")
   }
 
   private def writeManifest(path: String, v: Long, rows: DataFrame): Long = {
@@ -112,11 +160,16 @@ object Snapshots {
   }
 
   /** Append `df` as a new version: new files = the batch's, manifest =
-    * previous live set + the new files. Returns the new version. */
+    * previous live set + the new files. With `statsCols`, the new files'
+    * per-column [min, max] bounds are recorded in the manifest (see
+    * [[readSnapshot]]'s statsRanges — pair with a value-clustered write
+    * order so bounds are tight, the z-order/Hilbert composition).
+    * Returns the new version. */
   def commitAppend(spark: SparkSession, path: String, df: DataFrame,
-      tsCol: String): Long = {
+      tsCol: String, statsCols: Seq[String] = Nil): Long = {
     val v = currentVersion(spark, path) + 1
-    val added = writeBatch(spark, path, v, Staging.withDateParts(df, tsCol))
+    val added = writeBatch(spark, path, v,
+      Staging.withDateParts(df, tsCol), statsCols)
     val live = if (v == 1) added else manifest(spark, path, v - 1).unionByName(added)
     writeManifest(path, v, live)
   }
@@ -168,7 +221,7 @@ object Snapshots {
       case Some(b) => survivors.unionByName(b)
       case None => survivors
     }
-    val added = writeBatch(spark, path, v, rewritten)
+    val added = writeBatch(spark, path, v, rewritten, statsCols = Nil)
     val carried = manifest(spark, path, prev).filter(!(
       (col("y") * 10000L + col("m") * 100L + col("d")).isInCollection(affected)))
     writeManifest(path, v, carried.unionByName(added))

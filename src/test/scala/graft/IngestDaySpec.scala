@@ -332,6 +332,59 @@ class IngestDaySpec extends AnyFunSuite {
     }
   }
 
+  test("manifest column stats: versioned reads skip files the partition tuple cannot") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_spec_").toString
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      // three commits on the SAME day (partition tuples identical — the
+      // y/m/d prune can separate nothing) with disjoint value ranges:
+      // only the manifest's per-file [min, max] bounds can skip here
+      def batch(ids: Range, base: Double) = ids.map(i =>
+        (i.toLong, base + (i % 10), ts(1 + i % 5))).toDF("event_id", "value", "ts")
+      assert(Snapshots.commitAppend(spark, dir, batch(0 until 50, 0.0),
+        "ts", statsCols = Seq("value")) == 1L)
+      assert(Snapshots.commitAppend(spark, dir, batch(50 until 100, 100.0),
+        "ts", statsCols = Seq("value")) == 2L)
+      assert(Snapshots.commitAppend(spark, dir, batch(100 until 150, 200.0),
+        "ts", statsCols = Seq("value")) == 3L)
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val allFiles = Snapshots.manifest(spark, dir, 3)
+        .select("file").as[String].collect().map(norm).toSet
+      // the selective range hits only batch 2's [100, 109] band
+      val hit = Snapshots.readSnapshot(spark, dir, 3,
+        statsRanges = Map("value" -> (103.0, 105.0)))
+      val touched = hit.inputFiles.map(norm).toSet
+      assert(touched.nonEmpty && touched.subsetOf(allFiles))
+      assert(touched.size < allFiles.size,
+        s"stats prune skipped nothing: $touched of $allFiles")
+      // superset guarantee: the pruned read + row filter equals the full
+      // read + row filter, row for row
+      val pred = col("value") >= 103.0 && col("value") <= 105.0
+      val got = hit.filter(pred).select("event_id").as[Long].collect().sorted.toSeq
+      val want = Snapshots.readSnapshot(spark, dir, 3)
+        .filter(pred).select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+      // conservative paths: a whole-domain range keeps every file; a
+      // column with no recorded bounds keeps every file
+      assert(Snapshots.readSnapshot(spark, dir, 3,
+        statsRanges = Map("value" -> (0.0, 1e9)))
+        .inputFiles.map(norm).toSet == allFiles)
+      assert(Snapshots.readSnapshot(spark, dir, 3,
+        statsRanges = Map("event_id" -> (0.0, 1.0)))
+        .inputFiles.map(norm).toSet == allFiles)
+      // stats compose with the partition prune (same collected list)
+      val both = Snapshots.readSnapshot(spark, dir, 3,
+        prune = Some(col("d") === 1L),
+        statsRanges = Map("value" -> (103.0, 105.0)))
+      assert(both.inputFiles.map(norm).toSet.subsetOf(touched))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("schema evolution: merged read types the absent column as nulls; batch reads prune") {
     // materialize the staged batches via the registered query
     SparkEntry.queries("schema_evolution")(spark, sf).collect()
