@@ -1463,8 +1463,13 @@ object SparkEntry {
     * window passes (same partitioning, asc + desc sorts) and the final
     * rollup; values reach the result untouched (no arithmetic), so
     * parity is pure ordering. */
-  private def eventsOhlc(s: SparkSession, d: String): DataFrame = {
-    val ev = events(s, d)
+  private def eventsOhlc(s: SparkSession, d: String): DataFrame =
+    ohlcBars(events(s, d)).orderBy("event_type", "hour_start")
+
+  /** The shared OHLC transform (batch query + the StreamingSpec parity
+    * pin against [[graft.streaming.EventsStream.ohlcFromSink]]). */
+  private[graft] def ohlcBars(events0: DataFrame): DataFrame = {
+    val ev = events0
       .filter(col("value").isNotNull)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
         col("ts"), col("event_id"), col("value"))
@@ -1488,12 +1493,18 @@ object SparkEntry {
       .select(col("event_type"),
         date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("n"), col("open"), col("high"), col("low"), col("close"))
-      .orderBy("event_type", "hour_start")
   }
 
-  private def eventsTwap(s: SparkSession, d: String): DataFrame = {
+  private def eventsTwap(s: SparkSession, d: String): DataFrame =
+    twapTransform(events(s, d)).orderBy("event_type")
+
+  /** The shared TWAP transform (batch query + the StreamingSpec parity
+    * pin against [[graft.streaming.EventsStream.twapFromContributions]]
+    * on the shared (n_obs, total_dt_us, twap) columns — `plain_mean` is
+    * the batch-only burst-bias companion over raw values). */
+  private[graft] def twapTransform(events0: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    events(s, d)
+    events0
       .select(col("event_type"), col("ts"), col("event_id"), col("value"))
       .withColumn("dt",
         unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
@@ -1505,7 +1516,6 @@ object SparkEntry {
             .cast(DecimalType(28, 6))).cast(DoubleType) /
           sum(col("dt")).cast(DoubleType)).as("twap"),
         avgExact(col("value"), 18, 6).as("plain_mean"))
-      .orderBy("event_type")
   }
 
   /** Recency-weighted engagement score per user — the feature-store

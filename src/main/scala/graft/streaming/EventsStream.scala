@@ -83,6 +83,111 @@ object EventsStream {
       .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming face of the OHLC bar aggregate (`events_ohlc`): a
+    * watermarked tumbling-hour rollup whose positional endpoints are
+    * RE-SUM-SAFE — open/close carry their (ts_us, event_id) ORDER KEYS
+    * via min_by/max_by, so a sink holding several partial rows per
+    * (type, hour) (micro-batch appends, a backfill landing beside live
+    * data) recombines to exactly the batch bar: sums/extremes combine
+    * directly, and the endpoint columns let [[ohlcFromSink]] pick the
+    * globally-first/last partial. State is hours × types within the
+    * watermark — the hourly-rollup bound. Streamed == batch bars are
+    * pinned bitwise in StreamingSpec. */
+  def ohlcState(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        min_by(struct(unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__o"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(struct(unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value")),
+          struct(col("ts"), col("event_id"))).as("__c"))
+      .select(col("event_type"),
+        date_format(col("window").getField("start"),
+          "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("n"),
+        col("__o").getField("ts_us").as("open_ts_us"),
+        col("__o").getField("event_id").as("open_id"),
+        col("__o").getField("value").as("open"),
+        col("high"), col("low"),
+        col("__c").getField("ts_us").as("close_ts_us"),
+        col("__c").getField("event_id").as("close_id"),
+        col("__c").getField("value").as("close"))
+
+  /** The scoring half of the OHLC seam: recombine an accumulated sink's
+    * partial rows into final bars (a sink of finals is a fixed point —
+    * the MonitorSeam re-sum invariant). Values pass through untouched,
+    * so streamed bars equal batch bars bitwise. */
+  def ohlcFromSink(sink: DataFrame): DataFrame =
+    sink.groupBy(col("event_type"), col("hour_start"))
+      .agg(
+        sum(col("n")).as("n"),
+        min_by(col("open"),
+          struct(col("open_ts_us"), col("open_id"))).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"),
+          struct(col("close_ts_us"), col("close_id"))).as("close"))
+
+  case class TwapEvent(event_type: String, ts_us: Long, event_id: Long,
+    value: Double)
+  case class TwapObs(event_type: String, value: Double, dt_us: Long)
+  case class TwapLast(ts_us: Long, event_id: Long, value: Double)
+
+  /** Streaming face of the TWAP aggregate (`events_twap`): the
+    * time-weight of an observation is the gap to its SUCCESSOR, so a
+    * contribution finalizes only when the next event of its type
+    * arrives — per-type flatMapGroupsWithState carries exactly ONE row
+    * of state (the latest observation) and emits each finalized
+    * (value, holding-time) pair once, which makes the contribution sink
+    * append-only and re-sum-safe by construction. The in-flight last
+    * observation carries no weight yet — the same convention as the
+    * batch query, whose final observation per type never gets one.
+    * CONTRACT: per-type event-time order across micro-batches (pair
+    * with upstream watermark ordering/dedup); within a batch, rows sort
+    * by (ts_us, event_id) — the batch query's exact tie-break.
+    * Streamed == batch (n_obs, total_dt_us, twap) is pinned bitwise in
+    * StreamingSpec via [[twapFromContributions]]. */
+  def twapContributions(events: Dataset[TwapEvent]): Dataset[TwapObs] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[TwapEvent], state: GroupState[TwapLast]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+          val chain = state.getOption.map(l =>
+            TwapEvent(k, l.ts_us, l.event_id, l.value)).toIndexedSeq ++ sorted
+          val out = chain.iterator.zip(chain.iterator.drop(1)).map {
+            case (a, b) => TwapObs(k, a.value, b.ts_us - a.ts_us)
+          }.toIndexedSeq
+          chain.lastOption.foreach(e =>
+            state.update(TwapLast(e.ts_us, e.event_id, e.value)))
+          out.iterator
+      }
+  }
+
+  /** The scoring half of the TWAP seam: aggregate an accumulated
+    * contribution sink — per-pair products enter as order-independent
+    * exact decimals (the batch query's §6 parity form), so the score
+    * equals the batch TWAP bitwise however the contributions were
+    * micro-batched. */
+  def twapFromContributions(sink: DataFrame): DataFrame =
+    sink.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("dt_us")).as("total_dt_us"),
+        (sum((col("value") * col("dt_us").cast(
+            org.apache.spark.sql.types.DoubleType))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          sum(col("dt_us")).cast(org.apache.spark.sql.types.DoubleType))
+          .as("twap"))
+
   /** Streaming exact dedup: drop re-delivered events by key within the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * face of `dedup_exact`, with state BOUNDED by the watermark instead of

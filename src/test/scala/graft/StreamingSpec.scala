@@ -328,6 +328,96 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed OHLC bars equal batch bars bitwise; partial sink rows recombine exactly") {
+    // the positional-endpoint seam: open/close carry their (ts, id)
+    // order keys, so the accumulated sink recombines via ohlcFromSink to
+    // exactly the batch bar however the rows were micro-batched
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = EventsStream.ohlcState(events)
+      .writeStream.format("memory").queryName("ohlc_sink")
+      .outputMode("append").start()
+    val feed = Seq(
+      (ts("2024-01-01 10:05:00"), 1L, "click", 7.0),
+      (ts("2024-01-01 10:01:00"), 2L, "click", 3.0), // true open (earliest ts)
+      (ts("2024-01-01 10:59:00"), 3L, "click", 9.5), // true close + high
+      (ts("2024-01-01 10:30:00"), 4L, "click", 1.5), // low
+      (ts("2024-01-01 10:30:00"), 5L, "view", 2.0),
+      (ts("2024-01-01 11:10:00"), 6L, "click", 4.0))
+    try {
+      input.addData(feed.take(3): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(3): _*)
+      q.processAllAvailable()
+      // advance the watermark so every bar closes
+      input.addData((ts("2024-01-01 20:00:00"), 99L, "late", 0.0))
+      q.processAllAvailable()
+      def bars(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_type", "hour_start", "n", "open", "high", "low", "close")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+          .toSet
+      // the sentinel's own bar never emits (its window stays open), so
+      // the closed-bar set equals the batch bars over the real feed
+      val batch = bars(SparkEntry.ohlcBars(
+        feed.toDF("ts", "event_id", "event_type", "value")))
+      val streamed = bars(EventsStream.ohlcFromSink(spark.table("ohlc_sink")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.contains(("click", "2024-01-01 10:00:00", 4L, 3.0, 9.5, 1.5, 9.5)))
+      // re-sum safety without the stream: two half-feeds' partial bars,
+      // unioned as sink rows, recombine to the whole feed's bars — the
+      // backfill-beside-live-data case the seam exists for
+      def half(rows: Seq[(Timestamp, Long, String, Double)]) =
+        EventsStream.ohlcState(rows.toDF("ts", "event_id", "event_type", "value"))
+      val partials = half(feed.take(3)).unionByName(half(feed.drop(3)))
+      assert(bars(EventsStream.ohlcFromSink(partials)) == batch)
+    } finally q.stop()
+  }
+
+  test("streamed TWAP contributions score to the batch TWAP bitwise") {
+    // a contribution (value, holding time) finalizes when the successor
+    // arrives: one state row per type, append-only sink, and the scorer's
+    // decimal products make the score micro-batching-independent
+    implicit val sql = spark.sqlContext
+    import EventsStream.TwapEvent
+    val input = MemoryStream[TwapEvent]
+    val q = EventsStream.twapContributions(input.toDS())
+      .toDF().writeStream.format("memory").queryName("twap_sink")
+      .outputMode("append").start()
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val feed = Seq(
+      TwapEvent("click", us("2024-01-01 10:00:00"), 1L, 2.0),
+      TwapEvent("click", us("2024-01-01 10:00:30"), 2L, 4.0),
+      TwapEvent("view", us("2024-01-01 10:00:10"), 3L, 1.0),
+      TwapEvent("click", us("2024-01-01 10:02:00"), 4L, 8.0),
+      TwapEvent("view", us("2024-01-01 10:03:00"), 5L, 3.0),
+      TwapEvent("click", us("2024-01-01 10:04:00"), 6L, 0.5))
+    try {
+      // split mid-type so a carried-state row finalizes across batches
+      input.addData(feed.take(2): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(2): _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_type", "n_obs", "total_dt_us", "twap")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      val streamed = rows(
+        EventsStream.twapFromContributions(spark.table("twap_sink")))
+      val batch = rows(SparkEntry.twapTransform(
+        feed.map(e => (new Timestamp(e.ts_us / 1000L), e.event_id,
+            e.event_type, e.value))
+          .toDF("ts", "event_id", "event_type", "value")))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // the in-flight last observation of each type carries no weight
+      // yet — exactly the batch convention (count only finalized pairs)
+      assert(streamed.find(_._1 == "click").get._2 == 3L)
+    } finally q.stop()
+  }
+
   test("MWU over the streamed (group, value) counts equals the batch U bitwise") {
     // Mann–Whitney rides the SAME accumulating (group, value) sink as KS
     // (one state, both rank/CDF monitors score it); re-summed partials
