@@ -1024,6 +1024,21 @@ object Stress {
       out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
     }
+    // the capped-band twin of split_leakfree: the uncapped row's cost is
+    // dominated by replica-clique HOT BUCKETS (one bucket of s members =
+    // s²/2 candidate pairs); maxBandFreq bounds per-bucket pair mass the
+    // way maxShingleFreq bounds the exact family — the documented
+    // mitigation, measured beside the pathology (capped pairs ⊆ uncapped
+    // is property-pinned in LlmOpsSpec)
+    time("split_leakfree_capped") {
+      val clusters = Dedup.clusterPairs(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          maxBandFreq = Some(200L)),
+        onRound = logRounds("split_leakfree_capped"))
+      val out = Dedup.assignSplits(docs, clusters, "doc_id")
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     // multi-table LSH at the shipped 8x6 recipe over the replicated
     // vectors: the fan-out multiplies the scan by L, the shuffle only
     // carries pruned candidates

@@ -307,11 +307,30 @@ object Dedup {
     * minhash signature (seeded xxhash64 "permutations"), banded into
     * `bands` buckets; docs sharing any band bucket become candidates and
     * are verified with exact set Jaccard. Only signatures shuffle; the
-    * verify join touches shingle ARRAYS for candidate pairs only. */
+    * verify join touches shingle ARRAYS for candidate pairs only.
+    *
+    * `maxBandFreq` is the HOT-BUCKET cap — [[ngramJaccardPairs]]'
+    * maxShingleFreq at the band level: a bucket of s members yields
+    * s·(s−1)/2 candidate pairs, so one boilerplate/near-identical
+    * clique turns a single bucket quadratic (the measured
+    * replica-clique pathology of the stress corpus). Dropping buckets
+    * past the cap bounds per-bucket pair mass at cap²/2; recall cost is
+    * bounded because a true near-dup pair has `bands` independent
+    * chances to meet in a bucket BELOW the cap (and a clique past the
+    * cap is exactly what the containment/exact family catches anyway).
+    * Capped pairs ⊆ uncapped pairs by construction (property-pinned —
+    * the cap only removes candidates; verification is unchanged). Hot
+    * buckets are HEAVY HITTERS — few by definition — so the cap is a
+    * tiny aggregated (band, band_hash) frame broadcast as an anti-join
+    * onto the banded stream (map-side prune; a first cut as a
+    * Window-count filter sorted the whole banded frame and measured
+    * 2.5× slower than uncapped at 20×). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 128, bands: Int = 32,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, maxBandFreq: Option[Long] = None): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
+    maxBandFreq.foreach(cap =>
+      require(cap >= 2, s"need maxBandFreq >= 2, got $cap"))
 
     // signature + banding in ONE native codegen'd kernel per row
     // (functions.MinHashBands): signatures never shuffle — only the
@@ -324,13 +343,23 @@ object Dedup {
     // across cores even when the input is a single-row-group file (one scan
     // task); it shuffles raw text once — far less than the old
     // every-shingle-row shuffle
-    val banded = docs
+    val banded0 = docs
       .select(col(idCol), col(textCol))
       .repartition(col(idCol))
       .select(col(idCol), shinglesDistinct(wsTokens(col(textCol)), n).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col(idCol), posexplode(minhashBands(col("shs"), numPerm, bands)))
       .toDF(idCol, "band", "band_hash")
+    val banded = maxBandFreq match {
+      case Some(cap) =>
+        val hot = banded0
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__bf"))
+          .filter(col("__bf") > cap)
+          .select(col("band"), col("band_hash"))
+        banded0.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      case None => banded0
+    }
 
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -164,6 +164,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(approx == exact)
   }
 
+  test("LSH band cap: capped pairs subset uncapped; clique dropped, cold pair kept; inert cap is exact") {
+    // a 30-member identical clique makes every one of its band buckets
+    // hold 30 docs (s²/2 = 435 candidate pairs from ONE bucket — the
+    // replica-clique pathology); the planted near-dup pair meets in its
+    // own 2-member buckets, far below the cap
+    val rows = (0L until 30L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      Seq((100L, "one two three four five six seven eight"),
+        (101L, "one two three four five six seven nine"),
+        (200L, "completely different content lives in here right now"))
+    val df = rows.toDF("doc_id", "text")
+    def pairs(cap: Option[Long]) =
+      Dedup.minhashLshPairs(df, "doc_id", "text", maxBandFreq = cap)
+        .select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(10L))
+    assert(capped.subsetOf(uncapped), (capped -- uncapped).take(5))
+    assert(capped.contains((100L, 101L)), capped) // cold-bucket pair survives
+    assert(uncapped.exists(p => p._1 < 30L && p._2 < 30L)) // clique found uncapped
+    assert(!capped.exists(p => p._1 < 30L && p._2 < 30L), // ...and dropped capped
+      capped.filter(p => p._1 < 30L))
+    // a cap above every bucket size changes nothing at all
+    assert(pairs(Some(1000000L)) == uncapped)
+  }
+
   test("simhash of identical docs is identical; hamming 0 pair found") {
     val sig = Dedup.simhash(docs3, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1323,7 +1349,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("ann_eval: overlap identities hold and the exact baseline self-evals at recall 1") {
     val rows = SparkEntry.queries("ann_eval")(spark, sf).collect()
-    assert(rows.length == 5)
+    assert(rows.length == 6) // ivf, ivfpq, ivfpq_res, lsh, lsh_multi, pq
     rows.foreach { r =>
       val Seq(k, nQ, sum, mn, mx) =
         Seq("k", "n_queries", "sum_overlap", "min_overlap", "max_overlap")
