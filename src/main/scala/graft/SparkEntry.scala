@@ -3208,7 +3208,8 @@ object SparkEntry {
     * (overlap ≤ k, self-eval of the exact baseline = 1.0) are
     * spec-pinned. */
   private def annEval(s: SparkSession, d: String): DataFrame =
-    annEvalFrom(annK, annExact(s, d), annFamilies(s, d))
+    annEvalFrom(annK, annExact(s, d),
+      annFamilies(s, d).map { case (n, f) => n -> f() })
 
   private val annK = 10
   private val annCacheExact = "graft_ann_exact"
@@ -3222,25 +3223,36 @@ object SparkEntry {
       .select(col("q_id"), col("vec_id"))
   }
 
-  /** Every approximate index family's top-k candidate frame, by name —
-    * the shared build annEval / annEvalCached both score. */
-  private def annFamilies(s: SparkSession, d: String): Seq[(String, DataFrame)] = {
+  /** Every approximate index family's top-k candidate builder, by name —
+    * the shared build annEval / annEvalCached both score. THUNKS, not
+    * frames: the PQ/k-means families run their codebook training
+    * (driver-side collect loops) at DataFrame CONSTRUCTION time, so an
+    * eagerly-built list would pay every index build even when the
+    * caller is about to substitute cached views (measured: the cached
+    * eval carried ~5 s of discarded construction-time training —
+    * ann_eval_cached dropped to the actual top-k-set-sized join cost
+    * once the fallback went lazy). */
+  private def annFamilies(s: SparkSession,
+      d: String): Seq[(String, () => DataFrame)] = {
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < 8)
     val k = annK
-    val centroids = Similarity.groupCentroids(
-      emb.withColumn("label", col("label").cast(StringType)), "label", "embedding")
     Seq(
-      "ivf" -> Similarity.ivfTopK(emb, q, centroids, "vec_id", "embedding",
-        k, nProbe = 2),
-      "ivfpq" -> Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
-        k, coarseCells = 16, nProbe = 4),
-      "ivfpq_res" -> Similarity.ivfPqResidualTopK(emb, q, "vec_id",
-        "embedding", k, coarseCells = 16, nProbe = 4),
-      "lsh" -> Similarity.lshTopK(emb, q, "vec_id", "embedding", k),
-      "lsh_multi" -> Similarity.lshTopKMulti(emb, q, "vec_id",
-        "embedding", k, nPlanes = 6, nTables = 8),
-      "pq" -> Similarity.pqAnnTopK(emb, q, "vec_id", "embedding", k))
+      "ivf" -> (() => {
+        val centroids = Similarity.groupCentroids(
+          emb.withColumn("label", col("label").cast(StringType)),
+          "label", "embedding")
+        Similarity.ivfTopK(emb, q, centroids, "vec_id", "embedding",
+          k, nProbe = 2)
+      }),
+      "ivfpq" -> (() => Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k, coarseCells = 16, nProbe = 4)),
+      "ivfpq_res" -> (() => Similarity.ivfPqResidualTopK(emb, q, "vec_id",
+        "embedding", k, coarseCells = 16, nProbe = 4)),
+      "lsh" -> (() => Similarity.lshTopK(emb, q, "vec_id", "embedding", k)),
+      "lsh_multi" -> (() => Similarity.lshTopKMulti(emb, q, "vec_id",
+        "embedding", k, nPlanes = 6, nTables = 8)),
+      "pq" -> (() => Similarity.pqAnnTopK(emb, q, "vec_id", "embedding", k)))
   }
 
   /** The scoring half of ann_eval: recall@k of each family's candidate
@@ -3316,7 +3328,7 @@ object SparkEntry {
       else annExact(s, d)
     val fams = annFamilies(s, d).map { case (name, live) =>
       name -> (if (s.catalog.tableExists(annCacheView(name)))
-        s.table(annCacheView(name)) else live)
+        s.table(annCacheView(name)) else live())
     }
     annEvalFrom(annK, exact, fams)
   }
@@ -5997,7 +6009,7 @@ object SparkEntry {
       e.count()
       e.createOrReplaceTempView(annCacheExact)
       annFamilies(s, d).foreach { case (name, f) =>
-        val p = f.persist()
+        val p = f().persist()
         p.count()
         p.createOrReplaceTempView(annCacheView(name))
       }
