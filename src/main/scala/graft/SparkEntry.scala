@@ -3088,10 +3088,13 @@ object SparkEntry {
     * non-negative ground where Spark and DuckDB agree; pass_rate is
     * one IEEE division of two BIGINTs. */
   private def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    // scored once (heuristic + classifier), consumed by threshold +
+    // banding — the quality_filter checkpoint posture
     val base = TextAnalysis.quality(documents(s, d), "text")
       .select(col("doc_id"), col("quality_score"),
         TextAnalysis.hashedLinearScoreCol(col("text"),
           TextAnalysis.knuthWeights(64)).as("clf_score"))
+      .localCheckpoint(true)
     val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
     base.crossJoin(broadcast(thr))
       .select(
@@ -3345,10 +3348,13 @@ object SparkEntry {
     * (safe below ~3e9 docs per report — N² is the binding term); po
     * and kappa are the only IEEE divisions, of exact integers. */
   private def classifierAgreement(s: SparkSession, d: String): DataFrame = {
+    // scored once, consumed by threshold + confusion matrix — the
+    // quality_filter checkpoint posture
     val base = TextAnalysis.quality(documents(s, d), "text")
       .select(col("doc_id"), col("quality_score"),
         TextAnalysis.hashedLinearScoreCol(col("text"),
           TextAnalysis.knuthWeights(64)).as("clf_score"))
+      .localCheckpoint(true)
     val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
     val conf = base.crossJoin(broadcast(thr))
       .select(
@@ -4970,10 +4976,16 @@ object SparkEntry {
     * shuffle scan + codegen'd comparison. The scalar comes from the
     * DISTRIBUTED exact-quantile machinery
     * ([[graft.operators.Quantiles.exact]]) — no corpus-sized percentile
-    * buffer on one reducer however many documents score. */
+    * buffer on one reducer however many documents score. The scored
+    * (doc_id, quality_score) frame is eagerly checkpointed: the
+    * threshold derivation AND the gate both read it, and without the
+    * checkpoint each consumer re-runs the full text-quality scan
+    * (regex tokenization included) — the multi-consumer re-scan rule;
+    * two columns per doc is exactly the score-once-reuse posture. */
   private def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val q = TextAnalysis.quality(documents(s, d), "text")
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(true)
     val thr = Quantiles.exact(q, "quality_score", Seq("__thr" -> 0.25))
       .select("__thr")
     q.crossJoin(broadcast(thr))
@@ -4992,8 +5004,12 @@ object SparkEntry {
     * real score near p25, not the interpolated exact value); the kept-set
     * divergence vs the exact gate is property-tested < 5%. */
   private def qualityFilterApprox(s: SparkSession, d: String): DataFrame = {
+    // scored once, consumed by threshold + gate (the quality_filter
+    // checkpoint posture — without it each consumer re-runs the full
+    // text-quality scan)
     val q = TextAnalysis.quality(documents(s, d), "text")
       .select(col("doc_id"), col("quality_score"))
+      .localCheckpoint(true)
     val thr = q.agg(
       expr("approx_percentile(quality_score, 0.25, 10000)").as("__thr"))
     q.crossJoin(broadcast(thr))

@@ -142,16 +142,34 @@ class PlanShapeSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
     assert(bnlj.size == 1, phys.toString)
-    // the corpus (streamed) side goes scan → score → join with NO
-    // exchange: the gate itself stays a zero-shuffle codegen'd
-    // comparison. The threshold side may carry exchanges inside the
-    // distributed quantile machinery — those move the reduced
-    // distinct-score rollup, never the corpus.
+    // the corpus (streamed) side reads the ONE checkpointed score frame
+    // (scored once, consumed by threshold AND gate) with NO exchange:
+    // the gate itself stays a zero-shuffle codegen'd comparison. The
+    // threshold side may carry exchanges inside the distributed
+    // quantile machinery — those move the reduced distinct-score
+    // rollup, never the corpus.
     val streamed = bnlj.head.children.head
     assert(streamed.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, streamed.toString)
-    assert(streamed.toString.contains("FileScan parquet"), streamed.toString)
+    assert(streamed.toString.contains("ExistingRDD"), streamed.toString)
+  }
+
+  test("price_percentiles rides the distributed quantile machinery — zero Window nodes") {
+    // the old buffered-percentile agg held every distinct value of a
+    // group in ONE reducer buffer (measured OOM at ~15M distinct); the
+    // machinery's final plan reads the prefix-sum checkpoint, picks the
+    // covering rows through a broadcast target join, and carries no
+    // Window and no sort-merge join anywhere
+    val df = SparkEntry.queries("price_percentiles")(spark, sf)
+    val exec = df.queryExecution.sparkPlan
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty, exec.toString)
+    val s = exec.toString
+    assert(s.contains("ExistingRDD"), s) // the prefix-sum checkpoint scan
+    assert(!s.contains("SortMergeJoin") && !s.contains("percentile("), s)
   }
 
   test("quality_filter_approx keeps the exact gate's zero-shuffle filter shape") {
