@@ -2808,7 +2808,11 @@ object SparkEntry {
         byScore.orderBy(col("jaccard").desc, col("doc_id"))))
       .filter(col("r_jc") <= 10)
       .select("q_id", "doc_id", "r_jc")
-    val common = bm.join(jc, Seq("q_id", "doc_id"))
+    // eager checkpoint: the common top-k intersection (queries × ≤ k
+    // rows) feeds the pair counter AND both sides of the concordance
+    // self-join — without it each consumer re-runs the BM25 build and
+    // the cross-Jaccard build (the multi-consumer re-scan rule)
+    val common = bm.join(jc, Seq("q_id", "doc_id")).localCheckpoint(true)
     val nC = common.groupBy("q_id").agg(count(lit(1)).as("n_common"))
     val cd = common.as("a")
       .join(common.as("b"),

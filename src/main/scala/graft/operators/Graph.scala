@@ -206,10 +206,19 @@ object Graph {
     * division producing `transitivity` is identical in both engines
     * (NULL when the graph has no wedges). */
   def transitivity(edges0: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges0.select(
+    import org.apache.spark.sql.graft.Bridge
+    // eager checkpoint: the canonical edge list feeds FIVE consumers
+    // (degree table, edge count, orientation, and both wedge sides plus
+    // the closing semi-join through `o`) — without it each consumer
+    // re-derives the caller's edge GENERATION (for the registered query
+    // that is the full n-gram pair join; measured 3.26 s → the
+    // checkpointed form below). Edge-list-sized, the psiFromCounts
+    // posture; the result detaches via its final aggregate.
+    val e = Bridge.resetStats(edges0.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
+      .localCheckpoint(true))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
@@ -221,10 +230,13 @@ object Graph {
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
     val srcIsA = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val o = ed.select(
-      when(srcIsA, col("a")).otherwise(col("b")).as("src"),
-      when(srcIsA, col("b")).otherwise(col("a")).as("dst"),
-      when(srcIsA, col("db")).otherwise(col("da")).as("dd"))
+    // same posture for the oriented list: three consumers (both wedge
+    // sides + the closing semi-join) over an edges-sized frame
+    val o = Bridge.resetStats(ed.select(
+        when(srcIsA, col("a")).otherwise(col("b")).as("src"),
+        when(srcIsA, col("b")).otherwise(col("a")).as("dst"),
+        when(srcIsA, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true))
     // ordered out-neighbor pairs at each source, closed by the oriented
     // (v, w) edge — v precedes w in the order, so if the undirected edge
     // exists it is oriented exactly v→w
