@@ -51,16 +51,34 @@ object Quantiles {
     * with NULL percentile only in presence; callers needing those keys
     * outer-join them back). */
   def exactByKey(df: DataFrame, keyCol: String, valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
+      ps: Seq[(String, Double)]): DataFrame =
+    exactFromCounts(
+      df.select(col(keyCol), col(valueCol), lit(1L).as("__cnt1")),
+      keyCol, valueCol, "__cnt1", ps)
+
+  /** [[exactByKey]] over an ALREADY-AGGREGATED (key, value, count) frame
+    * — the monitoring family's deployment seam (the ksFromCounts
+    * pattern): the streaming (group, value) counts sink KS/MWU/PSI
+    * accumulate can be scored for EXACT quantiles without re-touching
+    * raw rows, and a sink holding several partial rows per (key, value)
+    * (micro-batch appends, backfills) re-sums to identical results —
+    * summing counts equals counting raw rows bit for bit (integer
+    * aggregation; streamed == batch percentile is pinned bitwise in
+    * StreamingSpec). Same bounded-state contract as ksFromCounts: state
+    * is the DISTINCT (key, value) domain, so continuous feeds need an
+    * upstream quantization grid. */
+  def exactFromCounts(counts: DataFrame, keyCol: String, valueCol: String,
+      cntCol: String, ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty, "need at least one (name, p)")
     ps.foreach { case (n, p) =>
       require(p >= 0.0 && p <= 1.0, s"percentage out of [0,1]: $n=$p") }
     require(ps.map(_._1).distinct.size == ps.size, "duplicate quantile names")
-    // 1. distinct-value rollup — the only corpus-sized pass
-    val cnt = df
+    // 1. distinct-value rollup (re-sum — partial sink rows combine here)
+    //    — the only input-sized pass
+    val cnt = counts
       .filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("__k"), col(valueCol).cast(DoubleType).as("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col(cntCol).cast(LongType)).as("__c"))
     // 2. exact global running counts under (key, value) total order
     //    ((key, value) is unique by construction — no tie-break needed)
     val cum = Ranking.withPrefixSums(cnt, Seq(col("__k"), col("__v")), Seq("__c"))

@@ -418,6 +418,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exact quantiles over the streamed (group, value) counts equal batch percentile bitwise") {
+    // the quantile family rides the SAME accumulating sink as KS/MWU/PSI:
+    // Quantiles.exactFromCounts re-sums partial (group, value) rows and
+    // scores exact interpolated percentiles without re-touching raw rows
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = EventsStream.valueCounts(
+        input.toDF().toDF("event_type", "value"), "event_type", "value")
+      .writeStream.format("memory").queryName("qt_counts")
+      .outputMode("complete").start()
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    try {
+      val feed = (0 until 47).map(i => ("click", (i % 13) * 1.7)) ++
+        (0 until 31).map(i => ("view", 3.0 + (i % 7) * 0.61)) ++
+        Seq(("click", -2.5), ("error", 42.0))
+      input.addData(feed.take(30): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(30): _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("event_type").collect().map(r =>
+          (r.getString(0), r.getLong(1),
+            Seq(2, 3, 4).map(i => java.lang.Double.doubleToRawLongBits(
+              r.getDouble(i))))).toSeq
+      val streamed = rows(graft.operators.Quantiles.exactFromCounts(
+        spark.table("qt_counts"), "event_type", "value", "n", ps))
+      val batch = rows(graft.operators.Quantiles.exactByKey(
+        feed.toDF("event_type", "value"), "event_type", "value", ps))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // and both equal the buffered percentile aggregate bitwise
+      val oracle = rows(feed.toDF("event_type", "value")
+        .groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          ps.map { case (nm, p) =>
+            expr(s"percentile(value, $p)").as(nm) }: _*))
+      assert(streamed == oracle, s"streamed=$streamed oracle=$oracle")
+    } finally q.stop()
+  }
+
   test("MWU over the streamed (group, value) counts equals the batch U bitwise") {
     // Mann–Whitney rides the SAME accumulating (group, value) sink as KS
     // (one state, both rank/CDF monitors score it); re-summed partials
