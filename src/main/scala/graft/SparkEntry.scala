@@ -2853,7 +2853,11 @@ object SparkEntry {
     val clean = deduped.join(broadcast(bench), Seq("__h"), "left_anti")
     val q = TextAnalysis.quality(clean, "text")
       .select(col("doc_id"), col("text"), col("source"), col("quality_score"))
-    val thr = q.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    // the survivor-p25 threshold rides the DISTRIBUTED exact-quantile
+    // machinery (the quality_filter posture) — bitwise the buffered
+    // `percentile` statistic with no corpus-sized aggregation buffer
+    val thr = Quantiles.exact(q.select(col("quality_score")),
+      "quality_score", Seq("__thr" -> 0.25)).select("__thr")
     val gated = q.crossJoin(broadcast(thr))
       .filter(col("quality_score") >= col("__thr"))
       .select("doc_id", "text", "source")
@@ -3099,7 +3103,8 @@ object SparkEntry {
         TextAnalysis.hashedLinearScoreCol(col("text"),
           TextAnalysis.knuthWeights(64)).as("clf_score"))
       .localCheckpoint(true)
-    val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    val thr = Quantiles.exact(base, "quality_score", Seq("__thr" -> 0.25))
+      .select("__thr") // distributed exact p25 — the quality_filter posture
     base.crossJoin(broadcast(thr))
       .select(
         expr("CAST((clf_score + 100000) DIV 10 AS BIGINT)").as("band"),
@@ -3359,7 +3364,8 @@ object SparkEntry {
         TextAnalysis.hashedLinearScoreCol(col("text"),
           TextAnalysis.knuthWeights(64)).as("clf_score"))
       .localCheckpoint(true)
-    val thr = base.agg(expr("percentile(quality_score, 0.25)").as("__thr"))
+    val thr = Quantiles.exact(base, "quality_score", Seq("__thr" -> 0.25))
+      .select("__thr") // distributed exact p25 — the quality_filter posture
     val conf = base.crossJoin(broadcast(thr))
       .select(
         (col("quality_score") >= col("__thr")).cast(LongType).as("h"),
@@ -5376,15 +5382,21 @@ object SparkEntry {
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), "\\s+")).cast(LongType)).as("n_tokens"),
       sum(col("n_chars")).as("n_chars"),
-      expr("percentile(n_chars, 0.5)").as("p50_chars"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(col("lang")).as("n_langs"))
+    // the median doc length rides the DISTRIBUTED exact-quantile path
+    // (no corpus-sized percentile buffer); its pruned side scan reads
+    // only n_chars, so splitting it out of the totals agg costs one
+    // single-column pass, not a second full scan
+    val p50 = Quantiles.exact(docs0.select(col("n_chars")), "n_chars",
+      Seq("p50_chars" -> 0.5)).select("p50_chars")
     val conc = Quality.concentration(docs0, "source")
       .select(col("gini").as("gini_source"), col("hhi").as("hhi_source"))
     val top = docs0.groupBy(col("source")).agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("source")).limit(1)
       .select(col("source").as("top_source"), col("__c").as("__top_c"))
-    base.crossJoin(broadcast(conc)).crossJoin(broadcast(top))
+    base.crossJoin(broadcast(p50)).crossJoin(broadcast(conc))
+      .crossJoin(broadcast(top))
       .select(col("n_docs"), col("n_tokens"), col("n_chars"), col("p50_chars"),
         col("n_sources"), col("n_langs"), col("gini_source"), col("hhi_source"),
         col("top_source"),

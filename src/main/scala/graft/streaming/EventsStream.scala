@@ -331,8 +331,14 @@ object EventsStream {
     * batch `quality_filter` gate is spec-pinned. */
   def qualityGateStream(docs: DataFrame, reference: DataFrame,
       textCol: String, pct: Double = 0.25): DataFrame = {
-    val thr = graft.operators.TextAnalysis.quality(reference, textCol)
-      .agg(expr(s"percentile(quality_score, $pct)").as("__thr"))
+    // the offline threshold job rides the DISTRIBUTED exact-quantile
+    // machinery (graft.operators.Quantiles.exact — the quality_filter
+    // posture): bitwise the buffered-`percentile` statistic with no
+    // reference-corpus-sized aggregation buffer; it runs EAGERLY here
+    // (batch side), so the streaming plan sees one broadcast scalar
+    val thr = graft.operators.Quantiles.exact(
+      graft.operators.TextAnalysis.quality(reference, textCol),
+      "quality_score", Seq("__thr" -> pct)).select("__thr")
     graft.operators.TextAnalysis.quality(docs, textCol)
       .crossJoin(broadcast(thr))
       .filter(col("quality_score") >= col("__thr"))
