@@ -53,45 +53,85 @@ object Snapshots {
 
   /** The manifest of version `v`: one row per live data file —
     * (batch BIGINT, file STRING, y BIGINT, m BIGINT, d BIGINT,
-    * stats MAP<STRING, ARRAY<DOUBLE>>). `stats` maps a column name to
-    * its per-file [min, max] (empty when the commit passed no
-    * statsCols) — the Iceberg-style file-catalog bounds that let reads
+    * stats MAP<STRING, ARRAY<DOUBLE>>,
+    * stats_str MAP<STRING, ARRAY<STRING>>). `stats` maps a numeric
+    * column name to its per-file [min, max]; `stats_str` the same for
+    * STRING columns (dictionary-style VARCHAR bounds — the commonest
+    * selective predicates in the LLM-pipeline queries are categorical,
+    * e.g. source = 'web'). Both are empty when the commit passed no
+    * statsCols — the Iceberg-style file-catalog bounds that let reads
     * skip files WITHOUT opening a single parquet footer. */
   def manifest(spark: SparkSession, path: String, v: Long): DataFrame = {
     require(v >= 1, s"no version $v: versions start at 1")
     spark.read.parquet(manifestDir(path, v))
   }
 
+  private val statsType = MapType(StringType, ArrayType(DoubleType))
+  private val statsStrType = MapType(StringType, ArrayType(StringType))
+
+  /** Backward compatibility with manifests written before the stats
+    * columns existed (an on-disk format must never strand old lakes):
+    * absent bounds columns surface as typed NULL maps, which every
+    * pruning predicate already treats as "conservatively keep". */
+  private def withStatsCols(m: DataFrame): DataFrame = {
+    val m1 = if (m.columns.contains("stats")) m
+      else m.withColumn("stats", lit(null).cast(statsType))
+    if (m1.columns.contains("stats_str")) m1
+    else m1.withColumn("stats_str", lit(null).cast(statsStrType))
+  }
+
   /** Read snapshot `v`, optionally pruned by a predicate over the
     * manifest's y/m/d partition columns (manifest pruning: files whose
-    * partition tuple fails the predicate are never opened) and by
+    * partition tuple fails the predicate are never opened), by
     * `statsRanges` — per-column closed query ranges checked against the
     * manifest's per-file [min, max] bounds (a file is skipped only when
     * its recorded range PROVABLY misses the query range; files without
-    * bounds for a column are conservatively kept). Stats pruning is a
-    * superset guarantee like partition pruning: the caller still applies
-    * its own row filter. Partition columns come back on every row,
-    * directory-derived per batch. */
+    * bounds for a column are conservatively kept) — and by
+    * `statsStrRanges`, the same check for STRING columns under
+    * lexicographic order (a point predicate `source = 'web'` is the
+    * range ("web", "web")). Stats pruning is a superset guarantee like
+    * partition pruning: the caller still applies its own row filter.
+    * Partition columns come back on every row, directory-derived per
+    * batch. A pruned read whose file set comes back EMPTY is a normal
+    * outcome (a legitimate query range can provably miss every live
+    * file) and returns an empty frame with the lake schema; only an
+    * UNPRUNED read of a fileless snapshot is a caller error. */
   def readSnapshot(spark: SparkSession, path: String, v: Long,
       prune: Option[Column] = None,
-      statsRanges: Map[String, (Double, Double)] = Map.empty): DataFrame = {
-    val statsPruned = statsRanges.foldLeft(manifest(spark, path, v)) {
-      case (m, (c, (lo, hi))) =>
-        val bounds = element_at(col("stats"), lit(c))
-        m.filter(coalesce(
+      statsRanges: Map[String, (Double, Double)] = Map.empty,
+      statsStrRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
+    def rangePrune[T](m: DataFrame, statsCol: String,
+        ranges: Map[String, (T, T)]): DataFrame =
+      ranges.foldLeft(m) { case (acc, (c, (lo, hi))) =>
+        val bounds = element_at(col(statsCol), lit(c))
+        acc.filter(coalesce(
           element_at(bounds, 1) <= lit(hi) && element_at(bounds, 2) >= lit(lo),
           lit(true)))
-    }
+      }
+    val m0 = withStatsCols(manifest(spark, path, v))
+    val statsPruned = rangePrune(rangePrune(m0, "stats", statsRanges),
+      "stats_str", statsStrRanges)
     val m = prune.foldLeft(statsPruned)(_ filter _)
     val files = m.select(col("batch"), col("file"))
       .collect().map(r => r.getLong(0) -> r.getString(1))
-    require(files.nonEmpty, s"snapshot v$v has no live files under $prune")
-    files.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, fl) =>
+    def readBatch(b: Long, fl: Seq[String]): DataFrame =
       // per-batch basePath so the y=/m=/d= segments below it parse back
       // into partition columns on every batch's rows
       spark.read.option("basePath", batchDir(path, b))
-        .parquet(fl.map(_._2).toIndexedSeq: _*)
-    }.reduce(_ unionByName _)
+        .parquet(fl.toIndexedSeq: _*)
+    if (files.nonEmpty)
+      files.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, fl) => readBatch(b, fl.map(_._2)) }
+        .reduce(_ unionByName _)
+    else {
+      val pruned = prune.nonEmpty || statsRanges.nonEmpty || statsStrRanges.nonEmpty
+      require(pruned, s"snapshot v$v has no live files")
+      // schema from ONE live file of the unpruned manifest (snapshot
+      // schemas are union-compatible across batches by construction)
+      val any = manifest(spark, path, v).select(col("batch"), col("file")).head(1)
+      require(any.nonEmpty, s"snapshot v$v has no live files")
+      readBatch(any(0).getLong(0), Seq(any(0).getString(1))).limit(0)
+    }
   }
 
   /** Write a batch's rows as version `v`'s new files and return their
@@ -106,36 +146,46 @@ object Snapshots {
     // retry recomputes the same version and must be able to replace it
     // (ErrorIfExists would wedge the lake permanently on that path)
     rows.write.mode("overwrite").partitionBy("y", "m", "d").parquet(dir)
-    // per-file bounds: cast to DOUBLE (exact for BIGINTs below 2^53 —
-    // the contract; columns past that precision belong in partition
-    // tuples, not stats). Keyed by URI path — input_file_name renders
-    // file:/// where Path.toString renders file:/ (the round-11 rule).
+    // per-file bounds: numeric columns cast to DOUBLE (exact for BIGINTs
+    // below 2^53 — the contract; columns past that precision belong in
+    // partition tuples, not stats); STRING columns keep native min/max
+    // VARCHAR bounds (lexicographic — engine-comparable dictionary-style
+    // bounds, the categorical-predicate skipping path). Keyed by URI
+    // path — input_file_name renders file:/// where Path.toString
+    // renders file:/ (the round-11 rule).
     def norm(p: String): String =
       new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val statsByFile: Map[String, Map[String, Seq[Double]]] =
+    type FileStats = (Map[String, Seq[Double]], Map[String, Seq[String]])
+    val statsByFile: Map[String, FileStats] =
       if (statsCols.isEmpty) Map.empty
-      else spark.read.parquet(dir)
-        .groupBy(input_file_name().as("__f"))
-        .agg(
-          min(col(statsCols.head)).cast(DoubleType).as(s"mn0"),
-          statsCols.zipWithIndex.flatMap { case (c, i) =>
-            (if (i == 0) Nil
-             else Seq(min(col(c)).cast(DoubleType).as(s"mn$i"))) :+
-              max(col(c)).cast(DoubleType).as(s"mx$i")
-          }: _*)
-        .collect()
-        .map { r =>
-          norm(r.getString(0)) -> statsCols.zipWithIndex.flatMap {
-            case (c, i) =>
+      else {
+        val back = spark.read.parquet(dir)
+        val isStr = statsCols.map(c =>
+          c -> (back.schema(c).dataType == StringType)).toMap
+        val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          if (isStr(c)) Seq(min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i"))
+          else Seq(min(col(c)).cast(DoubleType).as(s"mn$i"),
+            max(col(c)).cast(DoubleType).as(s"mx$i"))
+        }
+        back.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val present = statsCols.zipWithIndex.flatMap { case (c, i) =>
               val (mn, mx) = (r.getAs[Any](s"mn$i"), r.getAs[Any](s"mx$i"))
-              if (mn == null || mx == null) None
-              else Some(c -> Seq(mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+              if (mn == null || mx == null) None else Some((c, mn, mx))
+            }
+            val num = present.collect { case (c, mn, mx) if !isStr(c) =>
+              c -> Seq(mn.asInstanceOf[Double], mx.asInstanceOf[Double]) }.toMap
+            val str = present.collect { case (c, mn, mx) if isStr(c) =>
+              c -> Seq(mn.asInstanceOf[String], mx.asInstanceOf[String]) }.toMap
+            norm(r.getString(0)) -> ((num, str))
           }.toMap
-        }.toMap
+      }
     val f = fs(spark, path)
     val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, Long, Long, Long, Map[String, Seq[Double]])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, String, Long, Long, Long, Map[String, Seq[Double]], Map[String, Seq[String]])]
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toString
@@ -146,12 +196,13 @@ object Snapshots {
             sys.error(s"no $k= segment in $p"))
           seg.drop(2).toLong
         }
-        out += ((v, p, part("y"), part("m"), part("d"),
-          statsByFile.getOrElse(norm(p), Map.empty)))
+        val (num, str) = statsByFile.getOrElse(norm(p),
+          (Map.empty[String, Seq[Double]], Map.empty[String, Seq[String]]))
+        out += ((v, p, part("y"), part("m"), part("d"), num, str))
       }
     }
     import spark.implicits._
-    out.toSeq.toDF("batch", "file", "y", "m", "d", "stats")
+    out.toSeq.toDF("batch", "file", "y", "m", "d", "stats", "stats_str")
   }
 
   private def writeManifest(path: String, v: Long, rows: DataFrame): Long = {
@@ -170,7 +221,12 @@ object Snapshots {
     val v = currentVersion(spark, path) + 1
     val added = writeBatch(spark, path, v,
       Staging.withDateParts(df, tsCol), statsCols)
-    val live = if (v == 1) added else manifest(spark, path, v - 1).unionByName(added)
+    // allowMissingColumns: a manifest written before the stats columns
+    // existed carries NULL bounds forward (pruned reads conservatively
+    // keep such files) instead of breaking the lake's on-disk format
+    val live = if (v == 1) added
+      else manifest(spark, path, v - 1)
+        .unionByName(added, allowMissingColumns = true)
     writeManifest(path, v, live)
   }
 
@@ -224,7 +280,7 @@ object Snapshots {
     val added = writeBatch(spark, path, v, rewritten, statsCols = Nil)
     val carried = manifest(spark, path, prev).filter(!(
       (col("y") * 10000L + col("m") * 100L + col("d")).isInCollection(affected)))
-    writeManifest(path, v, carried.unionByName(added))
+    writeManifest(path, v, carried.unionByName(added, allowMissingColumns = true))
   }
 
   /** Reclaim history: delete every data file not referenced by any

@@ -379,6 +379,89 @@ class IngestDaySpec extends AnyFunSuite {
         prune = Some(col("d") === 1L),
         statsRanges = Map("value" -> (103.0, 105.0)))
       assert(both.inputFiles.map(norm).toSet.subsetOf(touched))
+      // a range that PROVABLY misses every live file is a normal outcome
+      // of stats pruning: empty frame, lake schema, no error
+      val none = Snapshots.readSnapshot(spark, dir, 3,
+        statsRanges = Map("value" -> (-500.0, -400.0)))
+      assert(none.isEmpty)
+      assert(none.columns.toSet ==
+        Snapshots.readSnapshot(spark, dir, 3).columns.toSet)
+      // the unpruned read of a missing snapshot stays a caller error
+      intercept[Exception](Snapshots.readSnapshot(spark, dir, 99))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("manifest string stats skip files; pre-stats manifests stay readable and committable") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_statstr_spec_").toString
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      // same-day commits with disjoint CATEGORICAL ranges: only the
+      // VARCHAR [min, max] bounds can separate the files
+      def batch(ids: Range, src: String) = ids.map(i =>
+        (i.toLong, src, ts(1 + i % 5))).toDF("event_id", "source", "ts")
+      assert(Snapshots.commitAppend(spark, dir, batch(0 until 40, "arxiv"),
+        "ts", statsCols = Seq("source", "event_id")) == 1L)
+      assert(Snapshots.commitAppend(spark, dir, batch(40 until 80, "web"),
+        "ts", statsCols = Seq("source", "event_id")) == 2L)
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val allFiles = Snapshots.manifest(spark, dir, 2)
+        .select("file").as[String].collect().map(norm).toSet
+      // the point predicate source = 'web' as the range ("web","web")
+      // hits only batch 2's files — strict subset
+      val hit = Snapshots.readSnapshot(spark, dir, 2,
+        statsStrRanges = Map("source" -> ("web", "web")))
+      val touched = hit.inputFiles.map(norm).toSet
+      assert(touched.nonEmpty && touched.subsetOf(allFiles)
+        && touched.size < allFiles.size,
+        s"string stats prune skipped nothing: $touched of $allFiles")
+      // superset guarantee: pruned read + row filter == full read + filter
+      val got = hit.filter(col("source") === "web")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      val want = Snapshots.readSnapshot(spark, dir, 2)
+        .filter(col("source") === "web")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(got == want && got.nonEmpty)
+      // numeric and string bounds ride the same commits and compose
+      assert(Snapshots.readSnapshot(spark, dir, 2,
+          statsRanges = Map("event_id" -> (0.0, 10.0)),
+          statsStrRanges = Map("source" -> ("web", "web")))
+        .isEmpty) // batch 2 holds ids >= 40 — the conjunction misses all
+      // BACKWARD COMPAT: rewrite v2's manifest WITHOUT the stats columns
+      // (a lake written by the pre-stats format), then commit and read
+      val m2 = Snapshots.manifest(spark, dir, 2)
+        .drop("stats", "stats_str").collect()
+      val mdir = s"$dir/_manifests/v2"
+      val p2 = new org.apache.hadoop.fs.Path(mdir)
+      p2.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p2, true)
+      spark.createDataFrame(spark.sparkContext.parallelize(m2.toSeq),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("file", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.LongType))))
+        .write.parquet(mdir)
+      // stats-pruned reads over the old manifest conservatively keep all
+      assert(Snapshots.readSnapshot(spark, dir, 2,
+          statsStrRanges = Map("source" -> ("web", "web")))
+        .inputFiles.map(norm).toSet == allFiles)
+      // a new commit unions the old (stats-less) manifest without error
+      assert(Snapshots.commitAppend(spark, dir, batch(80 until 120, "wiki"),
+        "ts", statsCols = Seq("source")) == 3L)
+      val v3 = Snapshots.readSnapshot(spark, dir, 3)
+      assert(v3.count() == 120L)
+      // and the NEW batch's bounds still prune within the mixed manifest
+      val wiki = Snapshots.readSnapshot(spark, dir, 3,
+        statsStrRanges = Map("source" -> ("wiki", "wiki")))
+      // old files (NULL bounds) conservatively kept; batch 2's "web"
+      // bounds would have been dropped had they survived the rewrite —
+      // so the guarantee here is superset semantics, not strictness
+      assert(wiki.filter(col("source") === "wiki").count() == 40L)
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
