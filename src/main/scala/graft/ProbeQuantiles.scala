@@ -26,6 +26,9 @@ object ProbeQuantiles {
         .head()
       println(f"[probe] run $i exactByKey($rows)  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s"  (${r.getLong(0)}/${r.getLong(1)})")
+      // free this run's prefix-sum checkpoint so runs 2-3 don't measure
+      // under stale copies (the stress-context-inflation class)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(out)
     }
     spark.stop()
   }

@@ -878,8 +878,12 @@ object Stress {
           (pmod(xxhash64(col("id")), lit(1000000000000L)) / 1000.0).as("v"))
       val out = graft.operators.Quantiles.exactByKey(vals, "k", "v",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
-      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+      val n = out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
         .head().getLong(1)
+      // free the ~32M-row prefix-sum checkpoint — retained blocks here
+      // are exactly the stress-context-inflation class (round-11/12)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(out)
+      n
     }
     time("multimodal_phash") {
       val media = graft.operators.Multimodal.asMedia(

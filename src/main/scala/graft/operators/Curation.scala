@@ -434,7 +434,12 @@ object Curation {
           groupCol, valueCol, Seq("lo" -> pLo, "hi" -> pHi))
         .select(col(groupCol), col("lo"), col("hi"))
     }
-    df.join(broadcast(bounds), Seq(groupCol))
+    // LEFT join: Quantiles.exactByKey emits no row for a group whose
+    // values are all NULL, but such groups must stay VISIBLE in the
+    // report (NULL bounds, NULL clip counts) exactly as the buffered
+    // percentile aggregate emitted them — a report that silently drops
+    // groups reads as "no such group" rather than "nothing to clip"
+    df.join(broadcast(bounds), Seq(groupCol), "left")
       .select(col(groupCol), col("lo"), col("hi"),
         (col(valueCol) < col("lo")).cast(LongType).as("cl"),
         (col(valueCol) > col("hi")).cast(LongType).as("ch"),

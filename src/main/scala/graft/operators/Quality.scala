@@ -802,9 +802,15 @@ object Quality {
   def ksBinnedStatistic(df: DataFrame, groupCol: String, valueCol: String,
       a: String, b: String, lo: Double, hi: Double, nBins: Int): DataFrame =
     ksFromCounts(
-      df.select(col(groupCol),
-        ksBinCol(col(valueCol), lo, hi, nBins).as("__bin"),
-        lit(1L).as("__n")),
+      // enforce ksBinCol's NaN contract HERE, not per caller: Spark
+      // floors NaN into bin 0 while DuckDB sinks it to overflow, so an
+      // unfiltered NaN silently miscounts the lowest bin (NULLs drop
+      // alongside — neither is a real observation of the distribution)
+      df.filter(col(valueCol).isNotNull &&
+          !isnan(col(valueCol).cast(org.apache.spark.sql.types.DoubleType)))
+        .select(col(groupCol),
+          ksBinCol(col(valueCol), lo, hi, nBins).as("__bin"),
+          lit(1L).as("__n")),
       groupCol, "__bin", "__n", a, b)
 
   /** Exact two-sample Mann–Whitney U between the `valueCol` distributions

@@ -66,19 +66,42 @@ object Quantiles {
     * aggregation; streamed == batch percentile is pinned bitwise in
     * StreamingSpec). Same bounded-state contract as ksFromCounts: state
     * is the DISTINCT (key, value) domain, so continuous feeds need an
-    * upstream quantization grid. */
+    * upstream quantization grid — and `maxDistinctPerKey` puts that
+    * contract IN the plan (the theilSen maxBuckets convention): when
+    * set, a key whose distinct-value domain exceeds the cap fails with
+    * raise_error BEFORE the prefix-sum checkpoint materializes the
+    * blown-up state, instead of degrading silently. Opt-in (default
+    * unguarded) because the guard's per-key window count costs one
+    * extra Exchange of the rollup — standing counts-sink scorers should
+    * set it; one-shot exact jobs (exactByKey callers) need not. */
   def exactFromCounts(counts: DataFrame, keyCol: String, valueCol: String,
-      cntCol: String, ps: Seq[(String, Double)]): DataFrame = {
+      cntCol: String, ps: Seq[(String, Double)],
+      maxDistinctPerKey: Long = Long.MaxValue): DataFrame = {
     require(ps.nonEmpty, "need at least one (name, p)")
     ps.foreach { case (n, p) =>
       require(p >= 0.0 && p <= 1.0, s"percentage out of [0,1]: $n=$p") }
     require(ps.map(_._1).distinct.size == ps.size, "duplicate quantile names")
+    require(maxDistinctPerKey >= 1, s"maxDistinctPerKey=$maxDistinctPerKey < 1")
     // 1. distinct-value rollup (re-sum — partial sink rows combine here)
     //    — the only input-sized pass
-    val cnt = counts
+    val cnt0 = counts
       .filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol).as("__k"), col(valueCol).cast(DoubleType).as("__v"))
       .agg(sum(col(cntCol).cast(LongType)).as("__c"))
+    val cnt = if (maxDistinctPerKey == Long.MaxValue) cnt0 else {
+      import org.apache.spark.sql.expressions.Window
+      cnt0
+        .withColumn("__nd", count(lit(1)).over(Window.partitionBy("__k")))
+        .select(col("__k"),
+          when(col("__nd") > maxDistinctPerKey, raise_error(concat(
+            lit("exactFromCounts: key '"), col("__k").cast("string"),
+            lit("' has "), col("__nd").cast("string"),
+            lit(s" distinct values > maxDistinctPerKey=$maxDistinctPerKey" +
+              " — state is the distinct (key, value) domain; quantize" +
+              " the feed upstream, don't widen the cap"))))
+            .otherwise(col("__v")).as("__v"),
+          col("__c"))
+    }
     // 2. exact global running counts under (key, value) total order
     //    ((key, value) is unique by construction — no tie-break needed)
     val cum = Ranking.withPrefixSums(cnt, Seq(col("__k"), col("__v")), Seq("__c"))

@@ -801,6 +801,16 @@ class OperatorsSpec extends AnyFunSuite {
     val d4 = dOf(Quality.ksBinnedStatistic(df, "g", "v", "a", "b", 0.0, 64.0, 4))
     val d64 = dOf(Quality.ksBinnedStatistic(df, "g", "v", "a", "b", 0.0, 64.0, 64))
     assert(d4 <= d64 + 1e-12 && d64 <= dExact + 1e-12)
+    // ksBinCol's NaN contract is enforced IN the operator: NaN (and
+    // NULL) rows drop instead of silently miscounting the lowest bin —
+    // the statistic over a NaN-polluted feed equals the clean one
+    val polluted = (rows ++ Seq(("a", Double.NaN), ("b", Double.NaN)))
+      .map { case (g, v) => (g, Option(v)) } ++ Seq(("a", None))
+    val dPolluted = dOf(Quality.ksBinnedStatistic(
+      polluted.toDF("g", "v"), "g", "v", "a", "b", 0.0, 64.0, 16))
+    val dClean = dOf(Quality.ksBinnedStatistic(
+      df, "g", "v", "a", "b", 0.0, 64.0, 16))
+    assert(dPolluted == dClean, s"$dPolluted != $dClean")
   }
 
   test("Theil-Sen trend: exact on linear fixtures; robust where one corrupt bucket flips OLS") {
@@ -937,6 +947,17 @@ class OperatorsSpec extends AnyFunSuite {
           r.getDouble(5), r.getDouble(6)))).toMap
     assert(approx("g")._1 == 100L && approx("g")._2 <= 6L && approx("g")._3 <= 6L)
     assert(approx("solo") == out("solo"))
+    // a group whose values are ALL NULL stays VISIBLE (NULL bounds), as
+    // the buffered-percentile form emitted it — exactByKey drops the key
+    // from the bounds frame, so the report join must be LEFT
+    val withNull = rows.map { case (k, v) => (k, Option(v)) } ++
+      Seq(("ghost", None), ("ghost", None))
+    val nul = Curation.winsorizeReport(withNull.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(nul.contains("ghost"), s"all-NULL group dropped: ${nul.keySet}")
+    assert(nul("ghost").getLong(1) == 2L && nul("ghost").isNullAt(5)
+      && nul("ghost").isNullAt(6))
+    assert(nul("g").getDouble(5) == 5.95 && nul("g").getDouble(6) == 95.05)
   }
 
   test("dq rules: every rule kind counts exactly its violations; nulls judged only by NotNull") {
@@ -1154,5 +1175,29 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
     assert(java.lang.Double.doubleToRawLongBits(one.getDouble(1)) ==
       java.lang.Double.doubleToRawLongBits(oneWant))
+  }
+
+  test("exactFromCounts state cap: a key past maxDistinctPerKey fails IN the plan") {
+    import graft.operators.Quantiles
+    // state is the distinct (key, value) domain — the cap must fire on
+    // the rollup, before the prefix-sum checkpoint materializes it (a
+    // driver require can't see the data-dependent domain size)
+    val counts = (
+      (1 to 12).map(v => ("wide", v.toDouble, 1L)) ++
+        (1 to 5).map(v => ("narrow", v.toDouble, 2L))
+      ).toDF("k", "v", "c")
+    val ex = intercept[Exception] {
+      Quantiles.exactFromCounts(counts, "k", "v", "c",
+        Seq("p50" -> 0.5), maxDistinctPerKey = 10L).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(ex).contains("exactFromCounts"), rootMsg(ex).take(500))
+    // exactly at the cap: passes, and the guard changes nothing bitwise
+    val guarded = Quantiles.exactFromCounts(counts, "k", "v", "c",
+      Seq("p50" -> 0.5), maxDistinctPerKey = 12L).orderBy("k").collect()
+    val plain = Quantiles.exactFromCounts(counts, "k", "v", "c",
+      Seq("p50" -> 0.5)).orderBy("k").collect()
+    assert(guarded.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 }
