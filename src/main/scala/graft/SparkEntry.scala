@@ -2226,11 +2226,11 @@ object SparkEntry {
     * l_partkey/l_suppkey domains grow with SF and would starve the box).
     * Same hex-prefix md5 idiom the shuffle_shards oracle established —
     * DuckDB reproduces it bit-for-bit. */
-  private def zorderScanDim(tag: String): Column =
+  private def zorderScanDim(tag: String, mod: Int = 1024): Column =
     conv(substring(
         md5(concat(col("l_orderkey").cast(StringType), lit(":"),
           col("l_linenumber").cast(StringType), lit(":" + tag))), 1, 8),
-      16, 10).cast(LongType) % 1024
+      16, 10).cast(LongType) % mod
 
   /** The z-order READ path, pre-ordering — shared with the PlanShapeSpec
     * guard, which asserts on this DataFrame's scan node directly: writes
@@ -2308,6 +2308,63 @@ object SparkEntry {
   private def hilbertScan(s: SparkSession, d: String): DataFrame =
     hilbertScanRead(s, d)
       .select("l_orderkey", "l_linenumber", "a", "b")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Staging keys for the 3-D curve twins — mtime+size-keyed like
+    * [[zorderScanPath]] so a regenerated source can never be served a
+    * stale layout. The Morton-3D twin is staged ONLY for the
+    * PlanShapeSpec comparative guard (hilbert3 box hits <= 3-D Morton's
+    * on identical files); the registered query reads the Hilbert one. */
+  private[graft] def hilbertScan3dPath(d: String): String = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}:hilbert3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_hilbert3_scan_$tag"
+  }
+  private[graft] def zorderScan3dPath(d: String): String = {
+    val src = new java.io.File(s"$d/lineitem.parquet")
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d:${src.lastModified}:${src.length}:z3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"$stagingBase/graft_z3_scan_$tag"
+  }
+
+  private def scan3dKeyed(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      zorderScanDim("a", 128).as("a"), zorderScanDim("b", 128).as("b"),
+      zorderScanDim("c", 128).as("c"))
+
+  /** The 3-D Hilbert READ path — [[hilbertScanRead]] lifted to k=3
+    * (row 280 added the 3-D layout; this is its read-path witness):
+    * three uniform 7-bit dims clustered by [[Layout.hilbert3Write]]
+    * into 16 files, scanned through a box selecting 1/64 of the key
+    * volume. Result = the raw table's box rows (layout-invisible), so
+    * the oracle is the same box over the raw table. PlanShapeSpec pins
+    * the box reaching the scan as dataFilters and the per-file
+    * [min,max] boxes overlapping no more files than the 3-D Morton
+    * twin's on the identical input. */
+  private[graft] def hilbertScan3dRead(s: SparkSession, d: String): DataFrame = {
+    val path = hilbertScan3dPath(d)
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      Layout.hilbert3Write(scan3dKeyed(s, d), "a", "b", "c", bits = 7,
+        path, files = 16)
+    s.read.parquet(path)
+      .filter(col("a").between(32, 63) && col("b").between(64, 95) &&
+        col("c").between(96, 127))
+  }
+  private[graft] def zorderScan3dRead(s: SparkSession, d: String): DataFrame = {
+    val path = zorderScan3dPath(d)
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      Layout.zorderWrite(scan3dKeyed(s, d), Seq("a", "b", "c"), bits = 7,
+        path, files = 16)
+    s.read.parquet(path)
+      .filter(col("a").between(32, 63) && col("b").between(64, 95) &&
+        col("c").between(96, 127))
+  }
+  private def hilbertScan3d(s: SparkSession, d: String): DataFrame =
+    hilbertScan3dRead(s, d)
+      .select("l_orderkey", "l_linenumber", "a", "b", "c")
       .orderBy("l_orderkey", "l_linenumber")
 
   /** y/m/d events lake staged ONCE per source dataset for the
@@ -2915,6 +2972,20 @@ object SparkEntry {
     * recall — rows-only check). */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(documents(s, d), "doc_id", "text")
+      .orderBy("d1", "d2")
+
+  /** The hot-bucket-capped MinHash+LSH face — the 100 TB mitigation for
+    * boilerplate cliques (one bucket of s members is s²/2 candidate
+    * pairs; the cap bounds per-bucket pair mass via a heavy-hitter
+    * broadcast anti-join, Dedup.scala maxBandFreq). Registered so the
+    * GATE exercises the capped code path every round, not just the
+    * property suite: capped pairs ⊆ uncapped is the pinned contract
+    * (the cap only removes candidates; verification is unchanged), and
+    * at the gate corpus the cap is sized to be INERT for most buckets —
+    * rows-only by design, like dedup_minhash itself. */
+  private def dedupMinhashCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        maxBandFreq = Some(16L))
       .orderBy("d1", "d2")
 
   /** SimHash near-dup pairs (banded candidates, hamming <= 6 — rows-only
@@ -5491,6 +5562,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_capped" -> (dedupNgramJaccardCapped _),
     "fact_orders_hashsk" -> (factOrdersHashSk _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_capped" -> (dedupMinhashCapped _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -5597,6 +5669,7 @@ object SparkEntry {
     "value_psi" -> (valuePsi _),
     "zorder_scan" -> (zorderScan _),
     "hilbert_scan" -> (hilbertScan _),
+    "hilbert_scan_3d" -> (hilbertScan3d _),
     "embedding_quantize" -> (embeddingQuantize _),
     "collocations_pmi" -> (collocationsPmi _),
     "skipgram_pairs" -> (skipgramPairsQ _),
@@ -8299,6 +8372,20 @@ object SparkEntry {
         | FROM lineitem)
         |SELECT l_orderkey, l_linenumber, a, b FROM dims
         |WHERE a BETWEEN 384 AND 639 AND b BETWEEN 256 AND 511
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the 3-D Hilbert READ path is layout-invisible too: the same 3-D
+    // box over the RAW table (the Spark side read it back from the
+    // hilbert3-clustered files)
+    "hilbert_scan_3d" ->
+      """WITH dims AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR), ':a')), 1, 8)) AS BIGINT) % 128 AS a,
+        |  CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR), ':b')), 1, 8)) AS BIGINT) % 128 AS b,
+        |  CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR), ':c')), 1, 8)) AS BIGINT) % 128 AS c
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, a, b, c FROM dims
+        |WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 95 AND c BETWEEN 96 AND 127
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // SQ8: min/max of FLOATs are exact, and the scale/floor arithmetic is

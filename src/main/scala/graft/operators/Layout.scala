@@ -370,6 +370,20 @@ object Layout {
     cur.drop("__hx", "__hy", "__hz", "__hst")
   }
 
+  /** Write `df` re-clustered on the 3-D Hilbert curve — [[hilbertWrite]]
+    * at k=3: range-partitioned into `files` output files by the 3-D
+    * Hilbert index, rows curve-sorted within each file, the index
+    * column dropped (a layout device, not data). */
+  def hilbert3Write(df: DataFrame, xCol: String, yCol: String, zCol: String,
+      bits: Int, path: String, files: Int): Unit = {
+    require(files >= 1, s"need files >= 1, got $files")
+    hilbert3Layout(df, xCol, yCol, zCol, bits, "__h")
+      .repartitionByRange(files, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** [[hilbert3Layout]] as a complete DuckDB-dialect SQL statement for
     * oracle parity — the [[hilbertSql]] chained-CTE trick at k=3, with
     * the per-state row lookup rendered as a 12-way CASE (everything else

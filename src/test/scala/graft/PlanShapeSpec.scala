@@ -675,6 +675,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(h <= z, s"hilbert boxHit=$h > zorder boxHit=$z")
   }
 
+  test("hilbert_scan_3d: 3-D box reaches the scan; hilbert3 files prune at least as well as 3-D Morton") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.hilbertScan3dRead(spark, sf)
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    // all six range endpoints must reach the scan's dataFilters
+    val filters = scans.head.dataFilters.map(_.sql)
+    for (want <- Seq("(a >= 32L)", "(a <= 63L)", "(b >= 64L)",
+        "(b <= 95L)", "(c >= 96L)", "(c <= 127L)"))
+      assert(filters.exists(_.contains(want)), filters.mkString("; "))
+
+    def boxHits(path: String): Int = {
+      val rects = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("a").as("alo"), max("a").as("ahi"),
+          min("b").as("blo"), max("b").as("bhi"),
+          min("c").as("clo"), max("c").as("chi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))
+      assert(rects.length == 16, rects.mkString(", "))
+      rects.count { case (alo, ahi, blo, bhi, clo, chi) =>
+        alo <= 63L && ahi >= 32L && blo <= 95L && bhi >= 64L &&
+          clo <= 127L && chi >= 96L }
+    }
+    SparkEntry.zorderScan3dRead(spark, sf) // ensure the Morton-3D twin is staged
+    val h = boxHits(SparkEntry.hilbertScan3dPath(sf))
+    val z = boxHits(SparkEntry.zorderScan3dPath(sf))
+    // same 1/64-volume box, same 16 equal-count files: the seam-free 3-D
+    // curve's tighter per-file boxes must overlap no more files than
+    // 3-D Morton's, and a strict minority of the 16
+    assert(h <= 8, s"hilbert3 boxHit=$h")
+    assert(h <= z, s"hilbert3 boxHit=$h > morton3 boxHit=$z")
+  }
+
   test("embedding_quantize: dim stats broadcast back; the only keyed shuffle is dim-bounded") {
     // the per-dim [mn,mx] aggregate is the ONLY hash Exchange (it carries
     // dims x partitions scalars), combines map-side, and returns to the
