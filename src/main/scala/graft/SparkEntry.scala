@@ -2897,10 +2897,12 @@ object SparkEntry {
     * percentile gate (threshold computed over the SURVIVORS, the
     * realistic order) -> mixture sampling -> 32/24 chunking -> greedy
     * 512-token packing. Output is the packed-sequence manifest
-    * (source, seq_id, chunks, tokens). Catalyst sees the WHOLE chain, so
-    * filters fold into upstream stages and nothing materializes between
-    * steps — the point of declaring a pipeline rather than running six
-    * jobs. Oracle: the same six stage fragments chained as CTEs. */
+    * (source, seq_id, chunks, tokens). Catalyst sees the whole chain up
+    * to the scored-survivor frame, which is the ONE materialization
+    * point: both the threshold job and the gate consume it, so the
+    * checkpoint replaces a second full normalize/dedup/decontaminate/
+    * score pass (the score-once posture of the other gate queries).
+    * Oracle: the same six stage fragments chained as CTEs. */
   private def curationPipeline(s: SparkSession, d: String): DataFrame = {
     val all = documents(s, d)
       .withColumn("__h", md5(normalizeText(col("text"))))
@@ -2908,8 +2910,13 @@ object SparkEntry {
     val bench = all.filter(col("doc_id") % 50 === 0).select("__h").distinct()
     val deduped = corpus.dedupKeepFirst(Seq("__h"), Seq(col("doc_id")))
     val clean = deduped.join(broadcast(bench), Seq("__h"), "left_anti")
+    // scored survivors checkpointed ONCE: the threshold derivation and
+    // the gate both read this frame, and without the checkpoint each
+    // consumer re-runs normalize -> dedup -> decontaminate -> quality
+    // scan (the multi-consumer re-scan rule; measured ~2x this query)
     val q = TextAnalysis.quality(clean, "text")
       .select(col("doc_id"), col("text"), col("source"), col("quality_score"))
+      .localCheckpoint(true)
     // the survivor-p25 threshold rides the DISTRIBUTED exact-quantile
     // machinery (the quality_filter posture) — bitwise the buffered
     // `percentile` statistic with no corpus-sized aggregation buffer
