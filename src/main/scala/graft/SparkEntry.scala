@@ -5082,6 +5082,43 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-shard bottom-k quantile SKETCH, folded at read — the
+    * storable/mergeable member of the quantiles family
+    * ([[graft.operators.Quantiles.sketchByKey]]; exact = the prefix-sum
+    * machinery, approx-one-shot = approx_percentile, STORED = this):
+    * every (flag, shard) group keeps a deterministic bottom-k-by-hash
+    * sample (k pairs of state, one bounded hash aggregate), the shard
+    * sketches are merged per flag with the semilattice fold
+    * ([[graft.operators.Quantiles.sketchMerge]]), and p25/p50/p95 are
+    * estimated from the merged sample. Because bottom-k merge is exact
+    * (merge(sk(A), sk(B)) == sk(A ∪ B), spec-pinned), the oracle
+    * computes the DIRECT bottom-k per flag in SQL — same md5-prefix
+    * hash, same k smallest (h, v), same interpolation — so this row is
+    * hash-exact despite being a sketch: the sample is deterministic,
+    * only its ERROR vs the true quantile is statistical (DKW-bounded,
+    * property-tested). */
+  private def priceQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val base = lineitem(s, d).select(
+      col("l_returnflag"),
+      (col("l_orderkey") % 8).as("__shard"),
+      concat(col("l_orderkey").cast(StringType), lit(":"),
+        col("l_linenumber").cast(StringType)).as("__id"),
+      col("l_extendedprice").as("__v"))
+    val shardSketches = base
+      .groupBy(col("l_returnflag"), col("__shard"))
+      .agg(graft.functions.minKByHash(
+        Quantiles.sketchHash(col("__id")),
+        col("__v").cast(DoubleType), k).as("sketch"))
+    Quantiles.sketchMerge(shardSketches, "l_returnflag", "sketch", k)
+      .select(col("l_returnflag"),
+        col("sketch").getField("n").as("n"),
+        Quantiles.sketchQuantile(col("sketch"), 0.25).as("p25_est"),
+        Quantiles.sketchQuantile(col("sketch"), 0.5).as("p50_est"),
+        Quantiles.sketchQuantile(col("sketch"), 0.95).as("p95_est"))
+      .orderBy("l_returnflag")
+  }
+
   /** The 100 TB form of the percentile gate: the threshold comes from
     * `approx_percentile` (KLL-style sketch — bounded per-partition state,
     * map-side merge) instead of exact `percentile`, which materializes
@@ -5565,6 +5602,7 @@ object SparkEntry {
     "quality_filter_approx" -> (qualityFilterApprox _),
     "price_percentiles" -> (pricePercentiles _),
     "price_percentiles_approx" -> (pricePercentilesApprox _),
+    "price_quantile_sketch" -> (priceQuantileSketch _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_ngram_jaccard_capped" -> (dedupNgramJaccardCapped _),
     "fact_orders_hashsk" -> (factOrdersHashSk _),
@@ -7285,6 +7323,28 @@ object SparkEntry {
         | quantile_cont(l_extendedprice, 0.75) AS p75,
         | quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bottom-k merge is exact (semilattice), so the oracle computes the
+    // DIRECT bottom-k per flag: same md5 hex-prefix hash (the proven
+    // zorder_scan parity), same k smallest (h, v) multiset (row_number
+    // ties only between identical pairs), quantile_cont == the sketch's
+    // percentile-order interpolation (the proven parity)
+    "price_quantile_sketch" ->
+      """WITH h AS (
+        | SELECT l_returnflag,
+        |  CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':', CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) AS hh,
+        |  CAST(l_extendedprice AS DOUBLE) AS v
+        | FROM lineitem),
+        |r AS (SELECT l_returnflag, v,
+        |       row_number() OVER (PARTITION BY l_returnflag ORDER BY hh, v) AS rn
+        |      FROM h),
+        |n AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+        |s AS (SELECT l_returnflag,
+        |       quantile_cont(v, 0.25) AS p25_est,
+        |       quantile_cont(v, 0.5) AS p50_est,
+        |       quantile_cont(v, 0.95) AS p95_est
+        |      FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT n.l_returnflag, n.n, s.p25_est, s.p50_est, s.p95_est
+        |FROM n JOIN s USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+2], ' ') AS sh

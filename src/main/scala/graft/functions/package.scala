@@ -138,6 +138,28 @@ package object functions {
     column(ShingleBottomK(expression(tokens), n, k))
   }
 
+  /** Bottom-k-by-hash quantile sketch aggregate ([[MinKByHash]]): per
+    * group, STRUCT<n, hs, vs> holding the value count and the k (h, v)
+    * pairs smallest under (h, v) — a deterministic uniform-by-hash
+    * sample with EXACTLY k pairs of state per group. `h` must be an
+    * engine-portable hash of a unique row id (the md5 hex-prefix trick)
+    * so the kept multiset — and every estimate off it — is reproducible
+    * on any engine. */
+  def minKByHash(h: Column, v: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(MinKByHash(expression(h), expression(v), k)
+      .toAggregateExpression())
+  }
+
+  /** Union of stored bottom-k sketches ([[MinKMerge]]) — the read-time
+    * fold of a persisted per-shard sketch column; bottom-k is a
+    * semilattice, so the fold equals sketching the concatenated shards
+    * exactly. */
+  def minKMerge(sketch: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.Bridge.{column, expression}
+    column(MinKMerge(expression(sketch), k).toAggregateExpression())
+  }
+
   /** One-pass repetition statistics (token count + dup token/2-gram/3-gram
     * fractions) of a token array — the native [[RepetitionStats]] kernel
     * (bit-identical to the interpreted HOF formulation it replaced). */

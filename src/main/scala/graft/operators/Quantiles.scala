@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Distributed EXACT interpolated quantiles — the prefix-sum formulation
   * that retires the buffered-`percentile` memory boundary.
@@ -161,4 +161,67 @@ object Quantiles {
     exactByKey(df.select(lit(0L).as("__one"), col(valueCol)),
         "__one", valueCol, ps)
       .drop("__one")
+
+  // ---- bottom-k quantile SKETCH (the storable/mergeable twin) ----
+  //
+  // The exact machinery above answers one-shot questions; a 100 TB lake
+  // also wants a PERSISTED per-shard quantile summary it can fold at
+  // read time (the Iceberg-manifest posture the snapshot stats column
+  // takes for min/max, extended to the whole distribution). The sketch
+  // here is a DETERMINISTIC bottom-k-by-hash sample (Cohen & Kaplan's
+  // bottom-k sketch): keep the k values whose unique-row-id hashes are
+  // smallest — a uniform sample whose kept multiset is a pure function
+  // of the data (hash = md5 hex-prefix, the engine-portable 32-bit
+  // parity trick, so even DuckDB reproduces it row for row). Unlike
+  // KLL/t-digest (randomized compaction — unreproducible across runs),
+  // bottom-k is a SEMILATTICE: merge(sketch(A), sketch(B)) ==
+  // sketch(A ∪ B) exactly, so per-shard sketches compose at any
+  // grouping with no error stacking; the estimate's error comes only
+  // from sampling (DKW: sup-CDF error O(sqrt(ln(1/δ)/k)) w.h.p. over
+  // the hash), and a group with n <= k is EXACT (sample == population).
+
+  /** Per-key bottom-k sketch column: (keyCol, sketch STRUCT<n, hs, vs>).
+    * `idCol` must uniquely identify a row within the key (the hash
+    * seed); state is exactly k pairs + a counter per group, map-side
+    * combined — ONE bounded hash aggregate however large the corpus. */
+  def sketchByKey(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(graft.functions.minKByHash(
+        sketchHash(col(idCol)), col(valueCol).cast(DoubleType), k).as("sketch"))
+
+  /** The engine-portable sample hash: 32-bit md5 hex-prefix of the row
+    * id's string form (DuckDB computes the identical BIGINT from the
+    * identical formula — the proven zorder_scan parity). */
+  def sketchHash(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+
+  /** Fold stored per-shard sketches back to one per key — the read-time
+    * half. Exactly equals sketching the concatenated shards
+    * (spec-pinned semilattice property). */
+  def sketchMerge(sketches: DataFrame, keyCol: String, sketchCol: String,
+      k: Int): DataFrame =
+    sketches.groupBy(col(keyCol))
+      .agg(graft.functions.minKMerge(col(sketchCol), k).as("sketch"))
+
+  /** Estimate the p-quantile from a sketch column: the exact interpolated
+    * percentile OF THE SAMPLE, in Spark's written `percentile` order
+    * (incl. the v_lo == v_hi early return — the bit-parity contract),
+    * over the value array sorted by value. NULL when the sample is
+    * empty. A pure projection — sketches are group-level rows. */
+  def sketchQuantile(sketch: Column, p: Double): Column = {
+    require(p >= 0.0 && p <= 1.0, s"percentage out of [0,1]: $p")
+    val srt = array_sort(sketch.getField("vs"))
+    val m = size(srt).cast(LongType)
+    val pos = (m - 1L).cast(DoubleType) * lit(p)
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    val vlo = element_at(srt, (lo + 1L).cast(IntegerType))
+    val vhi = element_at(srt, (hi + 1L).cast(IntegerType))
+    when(m === 0L, lit(null).cast(DoubleType))
+      .otherwise(when(lo === hi || vlo === vhi, vlo)
+        .otherwise((hi.cast(DoubleType) - pos) * vlo +
+          (pos - lo.cast(DoubleType)) * vhi))
+  }
 }

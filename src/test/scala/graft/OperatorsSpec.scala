@@ -1177,6 +1177,73 @@ class OperatorsSpec extends AnyFunSuite {
       java.lang.Double.doubleToRawLongBits(oneWant))
   }
 
+  test("bottom-k quantile sketch: semilattice merge, exact-at-small-n, sample-percentile parity, rank error") {
+    import graft.operators.Quantiles
+    val k = 128
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_returnflag").as("g"),
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("id"),
+      col("l_extendedprice").as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("g"), col("sketch.n"),
+        col("sketch.hs").cast("string"), col("sketch.vs").cast("string"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    // SEMILATTICE: per-shard sketches merged == the direct sketch,
+    // bitwise, under TWO different shardings (merge order irrelevant)
+    val direct = rows(Quantiles.sketchByKey(li, "g", "v", "id", k))
+    for (nShards <- Seq(3, 8)) {
+      val sharded = li.withColumn("s",
+        pmod(xxhash64(col("id")), lit(nShards.toLong)))
+      val perShard = Quantiles.sketchByKey(
+        sharded.withColumn("g2", concat(col("g"), lit("|"), col("s"))),
+        "g2", "v", "id", k)
+        .select(split(col("g2"), "\\|").getItem(0).as("g"), col("sketch"))
+      assert(rows(Quantiles.sketchMerge(perShard, "g", "sketch", k)) == direct,
+        s"merge of $nShards shards != direct sketch")
+    }
+    // EXACT at n <= k: the sample IS the population, so the estimate is
+    // bitwise the exact percentile
+    val small = li.limit(100)
+    val est = Quantiles.sketchByKey(small, "g", "v", "id", k)
+      .select(col("g"), Quantiles.sketchQuantile(col("sketch"), 0.25).as("q"))
+      .orderBy("g").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = small.groupBy("g").agg(expr("percentile(v, 0.25)").as("q"))
+      .orderBy("g").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.keySet == want.keySet)
+    est.foreach { case (g, q) =>
+      assert(java.lang.Double.doubleToRawLongBits(q) ==
+        java.lang.Double.doubleToRawLongBits(want(g)), s"$g: $q != ${want(g)}") }
+    // SAMPLE-PERCENTILE parity: sketchQuantile (element_at interpolation
+    // in percentile's written order) == percentile over the exploded
+    // sample, bitwise — the formula contract the oracle relies on
+    val sk = Quantiles.sketchByKey(li, "g", "v", "id", k).localCheckpoint(true)
+    val viaCol = sk.select(col("g"),
+        Quantiles.sketchQuantile(col("sketch"), 0.95).as("q"))
+      .orderBy("g").collect().map(r => r.getString(0) -> r.getDouble(1))
+    val viaAgg = sk.select(col("g"), explode(col("sketch.vs")).as("v"))
+      .groupBy("g").agg(expr("percentile(v, 0.95)").as("q"))
+      .orderBy("g").collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(viaCol.zip(viaAgg).forall { case ((g1, a), (g2, b)) =>
+      g1 == g2 && java.lang.Double.doubleToRawLongBits(a) ==
+        java.lang.Double.doubleToRawLongBits(b) }, s"$viaCol vs $viaAgg")
+    // RANK ERROR: the estimate's true CDF position stays near p (DKW at
+    // k=128 gives ~0.12 w.h.p.; deterministic here, so pin the bound)
+    val n = li.count().toDouble
+    for (p <- Seq(0.25, 0.5, 0.95)) {
+      val e = Quantiles.sketchByKey(li, "g", "v", "id", k)
+        .select(col("g"), Quantiles.sketchQuantile(col("sketch"), p).as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      e.foreach { case (g, q) =>
+        val below = li.filter(col("g") === g && col("v") <= q).count().toDouble
+        val ng = li.filter(col("g") === g).count().toDouble
+        assert(math.abs(below / ng - p) < 0.15,
+          s"g=$g p=$p: rank ${below / ng} (n=$ng of $n)")
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(sk)
+  }
+
   test("exactFromCounts state cap: a key past maxDistinctPerKey fails IN the plan") {
     import graft.operators.Quantiles
     // state is the distinct (key, value) domain — the cap must fire on
