@@ -885,6 +885,21 @@ object Stress {
       org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(out)
       n
     }
+    // the STORED-sketch posture on the same 32M frame: one bounded hash
+    // aggregate (k=1024 pairs + a counter per group, map-side combined)
+    // instead of the exact path's rollup + range shuffle + prefix sums —
+    // the per-shard-summary trade a lake makes when estimates suffice
+    time("sketch_quantiles_32m") {
+      val vals = spark.range(32L * 1000 * 1000)
+        .select((col("id") % 2).cast("string").as("k"), col("id").as("rid"),
+          (pmod(xxhash64(col("id")), lit(1000000000000L)) / 1000.0).as("v"))
+      val out = graft.operators.Quantiles.sketchByKey(vals, "k", "v", "rid",
+          k = 1024)
+        .select(col("k"), col("sketch.n").as("n"),
+          graft.operators.Quantiles.sketchQuantile(col("sketch"), 0.5).as("p50"))
+      out.agg(bit_xor(xxhash64(out.columns.map(col): _*)), count(lit(1)))
+        .head().getLong(1)
+    }
     time("multimodal_phash") {
       val media = graft.operators.Multimodal.asMedia(
         docs.withColumn("source", lit("s")), "doc_id", "text", "source")

@@ -183,10 +183,12 @@ case class MinKMerge(child: Expression, k: Int,
   require(k >= 1 && k <= (1 << 20), s"k out of [1, 2^20]: $k")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // nullability-insensitive: a parquet/sink round-trip relaxes struct
+    // fields and array elements to nullable
     case s: StructType if s.length == 3 &&
         s(0).dataType == LongType &&
-        s(1).dataType == ArrayType(LongType, containsNull = false) &&
-        s(2).dataType == ArrayType(DoubleType, containsNull = false) =>
+        (s(1).dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+        (s(2).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"min_k_merge requires struct<n bigint, hs array<bigint>, vs array<double>>, got ${other.sql}")

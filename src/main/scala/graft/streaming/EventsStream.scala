@@ -83,6 +83,26 @@ object EventsStream {
       .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming face of the bottom-k quantile sketch — the
+    * accumulating-sink design KS/MWU/PSI/exact quantiles share, with
+    * sink state STRICTLY bounded: each micro-batch appends its own
+    * per-key sketch row (exactly k pairs + a counter), so the sink
+    * holds batches × keys bounded rows and is compactible at any time
+    * (re-fold into one row per key) with ZERO loss — bottom-k merge is
+    * an exact semilattice, so [[sketchFromSink]]'s fold equals the
+    * one-shot batch sketch BITWISE whatever the batch boundaries
+    * (pinned in StreamingSpec). Use as the foreachBatch body over the
+    * arriving rows; unlike the (group, value) counts sink, a continuous
+    * value domain needs NO upstream quantization grid here. */
+  def sketchBatch(batch: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, k: Int): DataFrame =
+    graft.operators.Quantiles.sketchByKey(batch, keyCol, valueCol, idCol, k)
+
+  /** Score the accumulated per-batch sketch sink: one merged sketch per
+    * key (then estimate with [[graft.operators.Quantiles.sketchQuantile]]). */
+  def sketchFromSink(sink: DataFrame, keyCol: String, k: Int): DataFrame =
+    graft.operators.Quantiles.sketchMerge(sink, keyCol, "sketch", k)
+
   /** Streaming face of the OHLC bar aggregate (`events_ohlc`): a
     * watermarked tumbling-hour rollup whose positional endpoints are
     * RE-SUM-SAFE — open/close carry their (ts_us, event_id) ORDER KEYS

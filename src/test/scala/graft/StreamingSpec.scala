@@ -457,6 +457,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bottom-k sketch over per-batch sink rows equals the one-shot batch sketch bitwise") {
+    // the sketch's streaming face: each micro-batch appends ONE bounded
+    // sketch row per key; the semilattice fold over the sink is EXACTLY
+    // the batch sketch — no quantization grid needed for a continuous
+    // domain (the advantage over the (group, value) counts sink)
+    implicit val sql = spark.sqlContext
+    val k = 16
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_sink_").toString
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDF().toDF("event_type", "event_id", "value")
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        EventsStream.sketchBatch(batch.toDF(), "event_type", "value",
+            "event_id", k)
+          .write.mode("append").parquet(dir))
+      .start()
+    try {
+      val feed = (0 until 60).map(i =>
+          ("click", i.toLong, ((i * 2654435761L) % 997L) / 10.0)) ++
+        (0 until 40).map(i =>
+          ("view", 1000L + i, 3.0 + ((i * 40503L) % 883L) / 25.0)) ++
+        Seq(("error", 5000L, 42.0))
+      input.addData(feed.take(25): _*)
+      q.processAllAvailable()
+      input.addData(feed.slice(25, 70): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(70): _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("event_type"), col("sketch.n"),
+          col("sketch.hs").cast("string"), col("sketch.vs").cast("string"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val sink = spark.read.parquet(dir)
+      // three batches appended -> up to 3 bounded rows per key
+      assert(sink.count() <= 3L * 3L && sink.count() >= 3L)
+      val streamed = rows(EventsStream.sketchFromSink(sink, "event_type", k))
+      val batch = rows(graft.operators.Quantiles.sketchByKey(
+        feed.toDF("event_type", "event_id", "value"),
+        "event_type", "value", "event_id", k))
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // compaction is lossless: fold the sink once, fold again, same row
+      val compacted = EventsStream.sketchFromSink(sink, "event_type", k)
+      assert(rows(EventsStream.sketchFromSink(compacted, "event_type", k))
+        == streamed)
+    } finally {
+      q.stop()
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("MWU over the streamed (group, value) counts equals the batch U bitwise") {
     // Mann–Whitney rides the SAME accumulating (group, value) sink as KS
     // (one state, both rank/CDF monitors score it); re-summed partials
