@@ -54,13 +54,16 @@ object Snapshots {
   /** The manifest of version `v`: one row per live data file —
     * (batch BIGINT, file STRING, y BIGINT, m BIGINT, d BIGINT,
     * stats MAP<STRING, ARRAY<DOUBLE>>,
-    * stats_str MAP<STRING, ARRAY<STRING>>). `stats` maps a numeric
+    * stats_str MAP<STRING, ARRAY<STRING>>,
+    * sketches MAP<STRING, STRUCT<k, n, hs, vs>>). `stats` maps a numeric
     * column name to its per-file [min, max]; `stats_str` the same for
     * STRING columns (dictionary-style VARCHAR bounds — the commonest
     * selective predicates in the LLM-pipeline queries are categorical,
-    * e.g. source = 'web'). Both are empty when the commit passed no
-    * statsCols — the Iceberg-style file-catalog bounds that let reads
-    * skip files WITHOUT opening a single parquet footer. */
+    * e.g. source = 'web'); `sketches` holds per-file bottom-k quantile
+    * sketches for [[estimateRowsInRange]]. All empty when the commit
+    * passed no statsCols/sketchCols — the Iceberg-style file-catalog
+    * summaries that answer planning questions WITHOUT opening a single
+    * parquet footer. */
   def manifest(spark: SparkSession, path: String, v: Long): DataFrame = {
     require(v >= 1, s"no version $v: versions start at 1")
     spark.read.parquet(manifestDir(path, v))
@@ -68,16 +71,21 @@ object Snapshots {
 
   private val statsType = MapType(StringType, ArrayType(DoubleType))
   private val statsStrType = MapType(StringType, ArrayType(StringType))
+  private val sketchType = MapType(StringType, StructType(
+    StructField("k", LongType) +: graft.functions.MinKByHash.outType.fields.toSeq))
 
   /** Backward compatibility with manifests written before the stats
     * columns existed (an on-disk format must never strand old lakes):
-    * absent bounds columns surface as typed NULL maps, which every
-    * pruning predicate already treats as "conservatively keep". */
+    * absent bounds/sketch columns surface as typed NULL maps, which
+    * every pruning predicate already treats as "conservatively keep"
+    * (and estimators as "file not covered"). */
   private def withStatsCols(m: DataFrame): DataFrame = {
     val m1 = if (m.columns.contains("stats")) m
       else m.withColumn("stats", lit(null).cast(statsType))
-    if (m1.columns.contains("stats_str")) m1
-    else m1.withColumn("stats_str", lit(null).cast(statsStrType))
+    val m2 = if (m1.columns.contains("stats_str")) m1
+      else m1.withColumn("stats_str", lit(null).cast(statsStrType))
+    if (m2.columns.contains("sketches")) m2
+    else m2.withColumn("sketches", lit(null).cast(sketchType))
   }
 
   /** Read snapshot `v`, optionally pruned by a predicate over the
@@ -134,12 +142,20 @@ object Snapshots {
     }
   }
 
+  /** One entry of the manifest's per-file sketch map — a bottom-k
+    * quantile sketch of a column's values in that file (the
+    * [[graft.functions.MinKByHash]] struct shape plus the BUILD k,
+    * which [[estimateRowsInRange]] needs to pick a sound fold width). */
+  private case class SketchCell(k: Long, n: Long, hs: Seq[Long], vs: Seq[Double])
+
   /** Write a batch's rows as version `v`'s new files and return their
     * manifest rows (one leaf-dir walk of the just-written batch only;
-    * with `statsCols`, plus ONE read-back scan of the just-written batch
-    * — never the lake — to record per-file [min, max] bounds). */
+    * with `statsCols`/`sketchCols`, plus ONE read-back scan of the
+    * just-written batch — never the lake — to record per-file [min, max]
+    * bounds and per-file bottom-k quantile sketches). */
   private def writeBatch(spark: SparkSession, path: String, v: Long,
-      rows: DataFrame, statsCols: Seq[String]): DataFrame = {
+      rows: DataFrame, statsCols: Seq[String],
+      sketchCols: Seq[String] = Nil, sketchK: Int = 256): DataFrame = {
     val dir = batchDir(path, v)
     // overwrite: the MANIFEST is the commit point, so a batch dir left by
     // a commit that crashed before writing its manifest is orphaned — the
@@ -182,10 +198,38 @@ object Snapshots {
             norm(r.getString(0)) -> ((num, str))
           }.toMap
       }
+    // per-file bottom-k quantile sketches — a manifest-resident column
+    // SUMMARY (Iceberg's column-sketch posture): the hash is xxhash64 of
+    // the whole row (stable across scans, duplicates keep a multiset),
+    // so the kept sample is deterministic; per-column NULLs are excluded
+    // from that column's sketch (its n = the file's non-null count)
+    val sketchByFile: Map[String, Map[String, SketchCell]] =
+      if (sketchCols.isEmpty) Map.empty
+      else {
+        val back = spark.read.parquet(dir)
+        val rowHash = xxhash64(back.columns.map(col): _*)
+        val aggs = sketchCols.zipWithIndex.map { case (c, i) =>
+          // a NULL value skips the (h, v) pair inside the aggregate
+          graft.functions.minKByHash(
+            rowHash, col(c).cast(DoubleType), sketchK).as(s"sk$i")
+        }
+        back.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            norm(r.getString(0)) -> sketchCols.zipWithIndex.map {
+              case (c, i) =>
+                val s = r.getStruct(i + 1)
+                c -> SketchCell(sketchK.toLong, s.getLong(0),
+                  s.getSeq[Long](1), s.getSeq[Double](2))
+            }.toMap
+          }.toMap
+      }
     val f = fs(spark, path)
     val it = f.listFiles(new org.apache.hadoop.fs.Path(dir), true)
     val out = scala.collection.mutable.ArrayBuffer.empty[
-      (Long, String, Long, Long, Long, Map[String, Seq[Double]], Map[String, Seq[String]])]
+      (Long, String, Long, Long, Long, Map[String, Seq[Double]],
+        Map[String, Seq[String]], Map[String, SketchCell])]
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toString
@@ -198,11 +242,13 @@ object Snapshots {
         }
         val (num, str) = statsByFile.getOrElse(norm(p),
           (Map.empty[String, Seq[Double]], Map.empty[String, Seq[String]]))
-        out += ((v, p, part("y"), part("m"), part("d"), num, str))
+        out += ((v, p, part("y"), part("m"), part("d"), num, str,
+          sketchByFile.getOrElse(norm(p), Map.empty[String, SketchCell])))
       }
     }
     import spark.implicits._
-    out.toSeq.toDF("batch", "file", "y", "m", "d", "stats", "stats_str")
+    out.toSeq
+      .toDF("batch", "file", "y", "m", "d", "stats", "stats_str", "sketches")
   }
 
   private def writeManifest(path: String, v: Long, rows: DataFrame): Long = {
@@ -214,13 +260,18 @@ object Snapshots {
     * previous live set + the new files. With `statsCols`, the new files'
     * per-column [min, max] bounds are recorded in the manifest (see
     * [[readSnapshot]]'s statsRanges — pair with a value-clustered write
-    * order so bounds are tight, the z-order/Hilbert composition).
+    * order so bounds are tight, the z-order/Hilbert composition). With
+    * `sketchCols`, the manifest additionally records a per-file bottom-k
+    * quantile sketch of each named column — a deterministic uniform
+    * sample the catalog can fold for selectivity/row-count estimates
+    * WITHOUT opening a data file ([[estimateRowsInRange]]).
     * Returns the new version. */
   def commitAppend(spark: SparkSession, path: String, df: DataFrame,
-      tsCol: String, statsCols: Seq[String] = Nil): Long = {
+      tsCol: String, statsCols: Seq[String] = Nil,
+      sketchCols: Seq[String] = Nil, sketchK: Int = 256): Long = {
     val v = currentVersion(spark, path) + 1
     val added = writeBatch(spark, path, v,
-      Staging.withDateParts(df, tsCol), statsCols)
+      Staging.withDateParts(df, tsCol), statsCols, sketchCols, sketchK)
     // allowMissingColumns: a manifest written before the stats columns
     // existed carries NULL bounds forward (pruned reads conservatively
     // keep such files) instead of breaking the lake's on-disk format
@@ -281,6 +332,56 @@ object Snapshots {
     val carried = manifest(spark, path, prev).filter(!(
       (col("y") * 10000L + col("m") * 100L + col("d")).isInCollection(affected)))
     writeManifest(path, v, carried.unionByName(added, allowMissingColumns = true))
+  }
+
+  /** Estimate how many rows of snapshot `v` have `column` in the CLOSED
+    * range [lo, hi] — from the MANIFEST's per-file bottom-k sketches
+    * alone, no data file opened (the catalog-resident selectivity
+    * estimate a 100 TB planner wants before committing to a scan).
+    *
+    * Soundness of the fold: every covered file keeps its k
+    * smallest-hash values, so the k smallest hashes of the UNION are
+    * all present in the per-file sketches — [[graft.functions.MinKMerge]]
+    * at k' <= k reconstructs the union's exact bottom-k' sample, a
+    * uniform-by-hash sample of all covered rows (never biased toward
+    * small files the way a plain sample-union would be). Estimate =
+    * coveredN × (sampled-in-range / sample size); EXACT when the
+    * covered rows number <= the fold width (sample == population —
+    * spec-pinned).
+    *
+    * Returns (estimate, coveredRows): files committed without a sketch
+    * for `column` (older manifests, different sketchCols) contribute to
+    * neither — the caller sees coverage explicitly instead of a
+    * silently-partial estimate.
+    *
+    * The fold width is the MINIMUM build k over covered files (each
+    * cell records the k it was built with): bottom-k' of the union is
+    * reconstructible from per-file bottom-k_i samples exactly when
+    * k' <= min k_i, so mixed-k lakes stay sound — a smaller-k commit
+    * narrows the fold, never biases it. */
+  def estimateRowsInRange(spark: SparkSession, path: String, v: Long,
+      column: String, lo: Double, hi: Double): (Double, Long) = {
+    val cells = withStatsCols(manifest(spark, path, v))
+      .select(element_at(col("sketches"), lit(column)).as("sk"))
+      .filter(col("sk").isNotNull)
+      .select(struct(col("sk.n").as("n"), col("sk.hs").as("hs"),
+        col("sk.vs").as("vs")).as("sk"), col("sk.k").as("__k"))
+    val widths = cells.agg(min(col("__k")), sum(col("sk.n"))).head()
+    if (widths.isNullAt(0)) (0.0, 0L)
+    else {
+      val kFold = widths.getLong(0).toInt
+      val covered = widths.getLong(1)
+      val merged = cells.agg(
+        graft.functions.minKMerge(col("sk"), math.max(kFold, 1)).as("s"))
+      val est = merged.select(
+          col("s").getField("n").as("n"),
+          size(col("s").getField("vs")).cast("long").as("m"),
+          size(filter(col("s").getField("vs"),
+            x => x >= lit(lo) && x <= lit(hi))).cast("long").as("hit"))
+        .head()
+      val (n, m, hit) = (est.getLong(0), est.getLong(1), est.getLong(2))
+      (if (m == 0L) 0.0 else n.toDouble * hit / m, covered)
+    }
   }
 
   /** Reclaim history: delete every data file not referenced by any

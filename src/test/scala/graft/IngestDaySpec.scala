@@ -394,6 +394,61 @@ class IngestDaySpec extends AnyFunSuite {
     }
   }
 
+  test("manifest quantile sketches: catalog-only row estimates, exact at small n, coverage reported") {
+    import spark.implicits._
+    import graft.sources.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_manifest_").toString
+    try {
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      def batch(ids: Range) = ids.map(i =>
+        (i.toLong, ((i * 2654435761L) % 1000L).toDouble, ts(1 + i % 5)))
+        .toDF("event_id", "value", "ts")
+      // commit 1 WITHOUT sketches (coverage must be reported, not faked)
+      assert(Snapshots.commitAppend(spark, dir, batch(0 until 300), "ts") == 1L)
+      // commits 2-3 with sketches over `value`
+      assert(Snapshots.commitAppend(spark, dir, batch(300 until 900),
+        "ts", sketchCols = Seq("value"), sketchK = 64) == 2L)
+      assert(Snapshots.commitAppend(spark, dir, batch(900 until 1500),
+        "ts", sketchCols = Seq("value"), sketchK = 64) == 3L)
+      val (est, covered) = Snapshots.estimateRowsInRange(
+        spark, dir, 3, "value", 0.0, 250.0)
+      // only the sketched commits are covered
+      assert(covered == 1200L, s"covered=$covered")
+      // the estimate tracks the true selectivity of the covered rows
+      val truth = Snapshots.readSnapshot(spark, dir, 3)
+        .filter(col("event_id") >= 300 &&
+          col("value").between(0.0, 250.0)).count()
+      assert(math.abs(est - truth) / truth < 0.35,
+        s"est=$est truth=$truth (covered=$covered)")
+      // EXACT when covered rows <= the fold width: tiny lake, k well
+      // above its row count — sample == population
+      val tiny = java.nio.file.Files.createTempDirectory("graft_sketch_tiny_").toString
+      try {
+        // covered rows (80) <= min build k (128) => sample == population
+        assert(Snapshots.commitAppend(spark, tiny, batch(0 until 40),
+          "ts", sketchCols = Seq("value"), sketchK = 128) == 1L)
+        assert(Snapshots.commitAppend(spark, tiny, batch(40 until 80),
+          "ts", sketchCols = Seq("value"), sketchK = 128) == 2L)
+        val (e2, c2) = Snapshots.estimateRowsInRange(
+          spark, tiny, 2, "value", 100.0, 500.0)
+        val t2 = Snapshots.readSnapshot(spark, tiny, 2)
+          .filter(col("value").between(100.0, 500.0)).count()
+        assert(c2 == 80L && e2 == t2.toDouble, s"e2=$e2 t2=$t2")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tiny)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      // a column with no sketches anywhere: zero estimate, zero coverage
+      assert(Snapshots.estimateRowsInRange(spark, dir, 3, "event_id", 0, 10)
+        == ((0.0, 0L)))
+      // snapshot reads are unaffected by the sketch column's presence
+      assert(Snapshots.readSnapshot(spark, dir, 3).count() == 1500L)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("manifest string stats skip files; pre-stats manifests stay readable and committable") {
     import spark.implicits._
     import graft.sources.Snapshots
