@@ -4275,6 +4275,30 @@ object SparkEntry {
       .orderBy("t_id", "b_id")
   }
 
+  /** SEMANTIC decontamination over the embedding table: corpus vectors
+    * within cosine 0.35 of ANY benchmark vector (the vec_id % 10 slice)
+    * are flagged — the embedding rung of the decontamination ladder,
+    * catching paraphrases no lexical rung sees. Bench-side k-means
+    * cells + nProbe corpus probing keep the candidate join
+    * |corpus| × (probed bench share) (Dedup.decontaminateSemantic).
+    * nProbe=4 of 8 cells here because the synthetic embeddings are
+    * near-ISOTROPIC (the measured sim_ivfpq_residual finding): cells
+    * barely separate a uniform sphere, so shallow probes miss boundary
+    * pairs (measured recall 26/38 at nProbe=2, 35/38 at 4, 38/38 at
+    * full probe on sf0.001) — clustered real-world benchmark
+    * embeddings separate far better at the same probe depth.
+    * Rows-only (learned cells); precision-exact ⊆ brute-force,
+    * recall ≥ 0.9 at this config, and full-probe == brute-force are
+    * spec-pinned. */
+  private def decontaminateSemanticQ(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Dedup.decontaminateSemantic(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", tau = 0.35, nProbe = 4)
+      .orderBy("vec_id")
+  }
+
   /** Winnow-sketch decontamination: MOSS fingerprint overlap across the
     * same 10% train/bench split — deterministic sketch, oracle-backed
     * (unlike the probabilistic minhash twin), with the winnowing
@@ -5689,6 +5713,7 @@ object SparkEntry {
     "decontaminate_winnow" -> (decontaminateWinnow _),
     "contamination_report" -> (contaminationReport _),
     "decontaminate_minhash" -> (decontaminateMinhash _),
+    "decontaminate_semantic" -> (decontaminateSemanticQ _),
     "embedding_centroids" -> (embeddingCentroids _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "pq_ann_topk" -> (pqAnnTopK _),

@@ -586,6 +586,49 @@ object Dedup {
       .drop("__hit")
   }
 
+  /** SEMANTIC decontamination — the embedding rung of the ladder (exact
+    * fingerprint → bloom → n-gram rate → Jaccard → winnow → MinHash →
+    * URL → this): flag a training vector when SOME benchmark vector sits
+    * within cosine >= tau, catching paraphrases/translations no lexical
+    * rung can see. Scale shape: the coarse quantizer trains on the
+    * BENCHMARK side (benchmarks are small by construction, so the index
+    * is bench-sized and the assigned bench frame BROADCASTS); each bench
+    * vector lives in its one nearest cell and every corpus vector probes
+    * only its `nProbe` nearest bench cells — the IVF posture, so the
+    * candidate join is |corpus| × (probed bench share), never
+    * corpus × bench. Candidates pass the two-phase cosine (codegen'd
+    * double prune → exact decimal verify, the [[embeddingPairs]]
+    * posture), so flags have EXACT precision; recall is the probe trade:
+    * flagged ⊆ brute-force flags always, and probing ALL cells
+    * (nProbe >= k) makes the flags EQUAL brute force (both
+    * spec-pinned). */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, tau: Double,
+      k: Int = 8, iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau out of (0,1]: $tau")
+    val cents = Similarity.kmeansCentroids(benchmark, idCol, vecCol, k, iters)
+    val m = Similarity.centroidMatrix(cents)
+    val names = m.map(_._1)
+    val mat = m.map(_._2)
+    val bench = benchmark.select(
+      col(vecCol).as("__bv"),
+      graft.functions.nearestCells(col(vecCol), mat, names, 1)
+        .getItem(0).as("__cell"))
+    val probed = corpus.select(col(idCol), col(vecCol),
+      explode(graft.functions.nearestCells(col(vecCol), mat, names,
+        math.min(nProbe, names.length))).as("__cell"))
+    val hits = probed.join(broadcast(bench), Seq("__cell"))
+      .filter(cosineFast(col(vecCol), col("__bv")) >= tau - 1e-6)
+      .filter(dotExact(col(vecCol), col("__bv")) /
+        (normExact(col(vecCol)) * normExact(col("__bv"))) >= tau)
+      .select(col(idCol)).distinct()
+      .withColumn("__hit", lit(1))
+    corpus.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", col("__hit").isNotNull)
+      .drop("__hit")
+  }
+
   /** Cross-corpus exact n-gram Jaccard pairs (train x bench) — NEAR-DUP
     * decontamination: [[decontaminate]] flags exact fingerprint overlap;
     * this finds training documents that are near-rewrites of benchmark

@@ -712,6 +712,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(h <= z, s"hilbert3 boxHit=$h > morton3 boxHit=$z")
   }
 
+  test("price_quantile_sketch: bounded object-hash aggregates, map-side partials, two keyed shuffles") {
+    // build (per flag×shard) and fold (per flag) both run as
+    // ObjectHashAggregate with a map-side partial before each Exchange —
+    // the bounded-buffer TypedImperativeAggregate never falls to
+    // SortAggregate, and nothing corpus-sized shuffles twice
+    val p = plan("price_quantile_sketch")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(p.contains("partial_min_k_by_hash"), p)
+    assert(p.contains("partial_min_k_merge"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("embedding_quantize: dim stats broadcast back; the only keyed shuffle is dim-bounded") {
     // the per-dim [mn,mx] aggregate is the ONLY hash Exchange (it carries
     // dims x partitions scalars), combines map-side, and returns to the
