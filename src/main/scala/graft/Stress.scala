@@ -102,6 +102,21 @@ object Stress {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", 10).count()
     }
+    // cross-corpus semantic decontamination at replica scale: the bench
+    // side stays FIXED-SIZE (the base corpus's % 10 slice — benchmarks
+    // don't grow with training data), the corpus side scales with the
+    // replica factor (all rep >= 1 vectors, so every replica of a
+    // bench-sliced base vector is a planted verbatim hit — factor-1
+    // copies each of ne/10 bench vectors exercise the verify path);
+    // candidates are corpus x probed-bench-share via the bench-trained
+    // cells, never corpus x bench
+    time("decontaminate_semantic") {
+      Dedup.decontaminateSemantic(
+        emb.filter(col("vec_id") >= ne),
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", tau = 0.9, k = 16, iters = 2, nProbe = 4)
+        .filter(col("contaminated")).count()
+    }
 
     // custom heap top-k vs the window formulation on the same task:
     // top-3 docs by n_chars within each of 1000 hash groups
