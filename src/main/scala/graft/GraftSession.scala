@@ -51,8 +51,20 @@ object GraftSession {
     dir.toString
   }
 
-  private[graft] def warehouseDir(): String =
-    tempDir(java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft-warehouse")
+  /** Throwaway per-JVM warehouse for saveAsTable fixtures (bucketing
+    * demos): tmpfs when it has headroom, for the same reason as
+    * [[scratchDir]] — the bucketed-write queries exercise bucket LAYOUT
+    * semantics, which a production warehouse serves from object storage,
+    * not this sandbox's stall-prone block device. Same 8 GiB guard:
+    * fixture tables here are MBs, but low-memory hosts still fall back. */
+  private[graft] def warehouseDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isWritable(shm) &&
+          shm.toFile.getUsableSpace >= (8L << 30)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    tempDir(base, "graft-warehouse")
+  }
 
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = SparkSession

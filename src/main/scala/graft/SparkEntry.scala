@@ -3297,37 +3297,59 @@ object SparkEntry {
     * signature/centroid searches have no SQL form); the identities
     * (overlap ≤ k, self-eval of the exact baseline = 1.0) are
     * spec-pinned. */
-  private def annEval(s: SparkSession, d: String): DataFrame =
-    annEvalFrom(annK, annExact(s, d),
-      annFamilies(s, d).map { case (n, f) => n -> f() })
+  private def annEval(s: SparkSession, d: String): DataFrame = {
+    val b = new AnnBuilds(s, d)
+    annEvalFrom(annK, b.exact(), b.families.map { case (n, f) => n -> f() })
+  }
 
   private val annK = 10
   private val annCacheExact = "graft_ann_exact"
   private def annCacheView(fam: String) = s"graft_ann_$fam"
 
-  /** The exact brute-force top-k baseline ann_eval scores against. */
-  private def annExact(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", annK)
-      .select(col("q_id"), col("vec_id"))
-  }
+  /** Shared build state for the ann_eval family — every builder the eval
+    * scores, closed over ONE lazily-materialized embedding corpus and the
+    * index artifacts that are IDENTICAL across families: the pq and ivfpq
+    * rows train the same m=16/ksub=64 codebooks, and ivfpq / ivfpq_res
+    * train the same 16-cell coarse quantizer (deterministic md5-seeded
+    * Lloyd — equal inputs give bit-equal indexes), so training each once
+    * and sharing removes pure duplicate build work from one report
+    * (previously 2x pqTrainBooks + 2x kmeansCentroids per ann_eval).
+    * Everything is `lazy`/thunked: the cached eval (all views present)
+    * builds nothing (measured: the eager form carried ~5 s of discarded
+    * construction-time training), and each family still pays only the
+    * artifacts it actually consumes. */
+  private final class AnnBuilds(s: SparkSession, d: String) {
+    private val k = annK
+    // raw scans for the single-pass consumers (exact baseline, ivf/lsh
+    // probes): a page-cached columnar parquet read is CHEAPER than a
+    // checkpoint job + row-format RDD re-reads (measured: an
+    // all-checkpointed ann_dim_tradeoff ran 3.2 s warm vs 1.65 on raw
+    // scans with an identical plan shape). Only the MULTI-pass training
+    // input below is materialized.
+    lazy val emb: DataFrame = embeddings(s, d)
+    lazy val q: DataFrame = emb.filter(col("vec_id") < 8)
+    // one shared materialization for everything that iterates: PQ and
+    // coarse Lloyd training + the pq-family code/cell passes (the
+    // builders' internal materialized() passes a checkpoint-backed frame
+    // through untouched, so this is the ONLY copy)
+    private lazy val base: DataFrame = org.apache.spark.sql.graft.Bridge
+      .resetStats(emb.select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true))
+    private lazy val baseQ: DataFrame = base.filter(col("vec_id") < 8)
+    private lazy val pqBooks: (Array[Array[Array[Double]]], Int) =
+      Similarity.pqTrainBooks(base, "vec_id", "embedding",
+        m = 16, ksub = 64, iters = 4)
+    private lazy val coarse16: DataFrame =
+      Similarity.kmeansCentroids(base, "vec_id", "embedding", k = 16, iters = 4)
 
-  /** Every approximate index family's top-k candidate builder, by name —
-    * the shared build annEval / annEvalCached both score. THUNKS, not
-    * frames: the PQ/k-means families run their codebook training
-    * (driver-side collect loops) at DataFrame CONSTRUCTION time, so an
-    * eagerly-built list would pay every index build even when the
-    * caller is about to substitute cached views (measured: the cached
-    * eval carried ~5 s of discarded construction-time training —
-    * ann_eval_cached dropped to the actual top-k-set-sized join cost
-    * once the fallback went lazy). */
-  private def annFamilies(s: SparkSession,
-      d: String): Seq[(String, () => DataFrame)] = {
-    val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 8)
-    val k = annK
-    Seq(
+    /** The exact brute-force top-k baseline ann_eval scores against. */
+    def exact(): DataFrame =
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k)
+        .select(col("q_id"), col("vec_id"))
+
+    /** Every approximate index family's top-k candidate builder, by
+      * name — THUNKS, not frames (see class doc). */
+    def families: Seq[(String, () => DataFrame)] = Seq(
       "ivf" -> (() => {
         val centroids = Similarity.groupCentroids(
           emb.withColumn("label", col("label").cast(StringType)),
@@ -3335,14 +3357,17 @@ object SparkEntry {
         Similarity.ivfTopK(emb, q, centroids, "vec_id", "embedding",
           k, nProbe = 2)
       }),
-      "ivfpq" -> (() => Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
-        k, coarseCells = 16, nProbe = 4)),
-      "ivfpq_res" -> (() => Similarity.ivfPqResidualTopK(emb, q, "vec_id",
-        "embedding", k, coarseCells = 16, nProbe = 4)),
+      "ivfpq" -> (() => Similarity.ivfPqTopK(base, baseQ, "vec_id", "embedding",
+        k, coarseCells = 16, nProbe = 4,
+        coarseOpt = Some(coarse16), books = Some(pqBooks))),
+      "ivfpq_res" -> (() => Similarity.ivfPqResidualTopK(base, baseQ, "vec_id",
+        "embedding", k, coarseCells = 16, nProbe = 4,
+        coarseOpt = Some(coarse16))),
       "lsh" -> (() => Similarity.lshTopK(emb, q, "vec_id", "embedding", k)),
       "lsh_multi" -> (() => Similarity.lshTopKMulti(emb, q, "vec_id",
         "embedding", k, nPlanes = 6, nTables = 8)),
-      "pq" -> (() => Similarity.pqAnnTopK(emb, q, "vec_id", "embedding", k)))
+      "pq" -> (() => Similarity.pqAnnTopK(base, baseQ, "vec_id", "embedding", k,
+        books = Some(pqBooks))))
   }
 
   /** The scoring half of ann_eval: recall@k of each family's candidate
@@ -3389,15 +3414,16 @@ object SparkEntry {
     * d/64 slice — the slice happens BEFORE the candidate join, so bytes
     * shuffled scale with d; everything after is top-k-set-sized. */
   private def annDimTradeoff(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val q = emb.filter(col("vec_id") < 8)
+    // one materialization: the full-dim exact baseline + all four
+    // truncated evals re-scan the corpus otherwise (5 scans -> 1)
+    val b = new AnnBuilds(s, d)
     def truncated(dims: Int): DataFrame = {
       def cut(df: DataFrame): DataFrame =
         df.withColumn("embedding", slice(col("embedding"), 1, dims))
-      Similarity.bruteForceTopK(cut(emb), cut(q), "vec_id", "embedding", annK)
+      Similarity.bruteForceTopK(cut(b.emb), cut(b.q), "vec_id", "embedding", annK)
         .select(col("q_id"), col("vec_id"))
     }
-    annEvalFrom(annK, annExact(s, d),
+    annEvalFrom(annK, b.exact(),
       Seq(8, 16, 32, 64).map(dims => f"dim$dims%02d" -> truncated(dims)))
   }
 
@@ -3413,10 +3439,11 @@ object SparkEntry {
     * ann_eval (every family build is deterministic — hash planes,
     * fixed-seed codebooks, no rand()). */
   private def annEvalCached(s: SparkSession, d: String): DataFrame = {
+    val b = new AnnBuilds(s, d)
     val exact =
       if (s.catalog.tableExists(annCacheExact)) s.table(annCacheExact)
-      else annExact(s, d)
-    val fams = annFamilies(s, d).map { case (name, live) =>
+      else b.exact()
+    val fams = b.families.map { case (name, live) =>
       name -> (if (s.catalog.tableExists(annCacheView(name)))
         s.table(annCacheView(name)) else live())
     }
@@ -6180,10 +6207,11 @@ object SparkEntry {
     // the exact baseline + all six index families' candidate frames —
     // the index-build artifacts the cached eval scores (top-k-set-sized)
     "ann_eval_cached" -> ((s: SparkSession, d: String) => {
-      val e = annExact(s, d).persist()
+      val b = new AnnBuilds(s, d)
+      val e = b.exact().persist()
       e.count()
       e.createOrReplaceTempView(annCacheExact)
-      annFamilies(s, d).foreach { case (name, f) =>
+      b.families.foreach { case (name, f) =>
         val p = f().persist()
         p.count()
         p.createOrReplaceTempView(annCacheView(name))

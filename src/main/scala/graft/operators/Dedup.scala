@@ -240,7 +240,20 @@ object Dedup {
     // join on a 64-bit shingle hash, not the string: the self-join shuffles
     // 8-byte keys instead of ~20-byte text (collision odds ~2^-64 — far
     // below any operational concern)
-    val shh = sh.select(col(idCol), xxhash64(col("sh")).as("shh"))
+    //
+    // Eager checkpoint: the hashed shingle frame feeds THREE consumers —
+    // both self-join sides and the per-doc size rollup — and only the two
+    // join sides share an Exchange (same partitioning); `sizes` exchanges
+    // by doc id, so without the checkpoint the tokenize→shingle→explode
+    // pipeline (the expensive part: per-doc string work) runs twice per
+    // query (the multi-consumer re-scan rule; measured 1.95 → 1.52 s for
+    // dedup_ngram_jaccard at sf0.1). The materialized rows are (id, hash)
+    // pairs — 16 B/shingle, far smaller than the text they derive from.
+    // A pre-explode repartition of the docs was ALSO tried and measured
+    // SLOWER (1.52 → 1.71 s — the round-1 extra-shuffle lesson holds even
+    // with the explode now single-pass); the serial explode stays.
+    val shh = org.apache.spark.sql.graft.Bridge.resetStats(
+      sh.select(col(idCol), xxhash64(col("sh")).as("shh")).localCheckpoint(true))
     val sizes = shh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val common = shh.as("a")
       .join(shh.as("b"),

@@ -113,8 +113,14 @@ object Graph {
     import org.apache.spark.sql.graft.Bridge
     def ckpt(df: DataFrame): DataFrame =
       Bridge.resetStats(df.localCheckpoint(true))
-    val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
+    // materialize the edge list ONCE: every hop round is its own
+    // checkpointed job, so a lazy `e` re-runs the caller's whole edge
+    // derivation (scan + distinct + union for the registered query) per
+    // round — maxHops re-derivations of a frame the loop only reads.
+    // Freed when the loop ends (the result reads only the final distance
+    // checkpoint, so the edge blocks are dead weight after convergence).
+    val e = ckpt(edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")))
     var dist = ckpt(seeds.select(col(seedCol).cast(LongType).as("node"))
       .distinct().withColumn("hops", lit(0L)))
     var frontier = dist.select("node")
@@ -143,6 +149,7 @@ object Graph {
       }
     }
     frontierBacking.foreach(Bridge.unpersistCheckpoints)
+    Bridge.unpersistCheckpoints(e)
     dist
   }
 

@@ -21,6 +21,18 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Materialize a multi-pass build input ONCE: the Lloyd seed scan, every
+    * training iteration, the code-assignment pass and the probe pass all
+    * re-read their input, and without a checkpoint each pass re-runs the
+    * caller's full input pipeline from the source scan (the multi-consumer
+    * re-scan rule). A frame that is already checkpoint-backed passes
+    * through untouched so shared-build callers never pay a second copy. */
+  private def materialized(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    if (Bridge.isCheckpointBacked(df)) df
+    else Bridge.resetStats(df.localCheckpoint(true))
+  }
+
   /** cosine(a, b) with norms precomputed on both sides. */
   private def cosineWithNorms(va: Column, na: Column, vb: Column, nb: Column): Column =
     dotExact(va, vb) / (na * nb)
@@ -77,10 +89,16 @@ object Similarity {
       normExact(col(vecCol)).as("__tnrm"))
     val s = broadcast(src.select(col(idCol).as("src_id"),
       col(vecCol).as("__sv"), normExact(col(vecCol)).as("__snrm")))
-    val c = t.join(s, col("src_id") =!= col("tgt_id"))
-      .select(col("src_id"), col("tgt_id"),
-        cosineWithNorms(col("__sv"), col("__snrm"), col("__tv"), col("__tnrm"))
-          .as("cosine"))
+    // the cosine matrix feeds THREE consumers (both top-k neighborhood
+    // means + the final margin join) — checkpoint it so the batch x
+    // corpus scoring pass runs once, not per consumer (the multi-consumer
+    // re-scan rule). |batch| x |corpus| rows, batch-bounded by contract.
+    val c = org.apache.spark.sql.graft.Bridge.resetStats(
+      t.join(s, col("src_id") =!= col("tgt_id"))
+        .select(col("src_id"), col("tgt_id"),
+          cosineWithNorms(col("__sv"), col("__snrm"), col("__tv"), col("__tnrm"))
+            .as("cosine"))
+        .localCheckpoint(true))
     def topMean(part: String, tie: String, out: String): DataFrame = {
       val w = Window.partitionBy(col(part))
         .orderBy(col("cosine").desc, col(tie))
@@ -133,8 +151,10 @@ object Similarity {
       k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(iters >= 1, s"need iters >= 1, got $iters")
-    var cents: Array[Array[Double]] = emb
-      .select(col(idCol), col(vecCol))
+    // the seed scan + every Lloyd iteration + the final assignment each
+    // re-read the input: materialize the (id, vec) projection once
+    val base = materialized(emb.select(col(idCol), col(vecCol)))
+    var cents: Array[Array[Double]] = base
       .withColumn("__r", md5(col(idCol).cast(StringType)))
       .orderBy(col("__r"), col(idCol))
       .limit(k)
@@ -143,7 +163,7 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val cellNames = cents.indices.map(i => f"c$i%03d").toArray
 
-    def assign(): DataFrame = emb.select(
+    def assign(): DataFrame = base.select(
       col(vecCol),
       graft.functions.nearestCells(col(vecCol), cents, cellNames, 1)
         .getItem(0).as("cell"))
@@ -157,7 +177,12 @@ object Similarity {
         }
       cents = cellNames.zipWithIndex.map { case (n, i) => updated.getOrElse(n, cents(i)) }
     }
-    groupCentroids(assign(), "cell", vecCol)
+    // the (cell, pos, centroid) result is index-sized (k x dim rows) but
+    // consumers collect it more than once (centroidMatrix + assignCells,
+    // and shared-coarse callers fan it out further): checkpoint it so the
+    // final assignment pass runs once, not per collect
+    org.apache.spark.sql.graft.Bridge.resetStats(
+      groupCentroids(assign(), "cell", vecCol).localCheckpoint(true))
   }
 
   /** Collect a (cell, pos, centroid) table into the driver-side matrix the
@@ -364,8 +389,10 @@ object Similarity {
     * a vector that equals its own reconstruction. */
   def pqAnnTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 16, ksub: Int = 64,
-      iters: Int = 4): DataFrame = {
-    val (codes, tables) = pqCodesAndTables(corpus, queries, idCol, vecCol, m, ksub, iters)
+      iters: Int = 4,
+      books: Option[(Array[Array[Array[Double]]], Int)] = None): DataFrame = {
+    val (codes, tables) =
+      pqCodesAndTables(corpus, queries, idCol, vecCol, m, ksub, iters, books)
     pqRank(codes.join(broadcast(tables), Seq("__j", "__code")), idCol, k)
   }
 
@@ -379,15 +406,22 @@ object Similarity {
     * integration the code stream is additionally bucketed by coarse cell
     * so non-probed cells are never scanned. With nProbe = coarseCells
     * this is bit-identical to [[pqAnnTopK]] (spec-pinned). */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+  def ivfPqTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, coarseCells: Int = 32, nProbe: Int = 4,
-      m: Int = 16, ksub: Int = 64, iters: Int = 4): DataFrame = {
+      m: Int = 16, ksub: Int = 64, iters: Int = 4,
+      coarseOpt: Option[DataFrame] = None,
+      books: Option[(Array[Array[Array[Double]]], Int)] = None): DataFrame = {
     require(coarseCells >= 1, s"need coarseCells >= 1, got $coarseCells")
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
-    val (codes, tables) = pqCodesAndTables(corpus, queries, idCol, vecCol, m, ksub, iters)
-    val coarse = kmeansCentroids(corpus, idCol, vecCol, coarseCells, iters)
-    val cells = assignCells(corpus.select(col(idCol), col(vecCol)),
-        vecCol, coarse, "__coarse")
+    // PQ training, coarse training, code assignment and cell assignment
+    // are all passes over the same (id, vec) projection — one shared
+    // materialization feeds every one of them
+    val corpus = materialized(corpus0.select(col(idCol), col(vecCol)))
+    val (codes, tables) =
+      pqCodesAndTables(corpus, queries, idCol, vecCol, m, ksub, iters, books)
+    val coarse = coarseOpt.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, coarseCells, iters))
+    val cells = assignCells(corpus, vecCol, coarse, "__coarse")
       .select(col(idCol), col("__coarse"))
     val cm = centroidMatrix(coarse)
     val probes = queries.select(
@@ -404,10 +438,16 @@ object Similarity {
 
   /** Shared PQ build: joint codebooks + the code stream + the per-query
     * ADC tables (see [[pqAnnTopK]] for the shapes). */
-  private def pqCodesAndTables(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, m: Int, ksub: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    val (books, d) = pqTrainBooks(corpus, idCol, vecCol, m, ksub, iters)
+  private def pqCodesAndTables(corpus0: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int, iters: Int,
+      booksOpt: Option[(Array[Array[Array[Double]]], Int)] = None)
+      : (DataFrame, DataFrame) = {
+    // training re-reads the corpus per iteration and the code pass once
+    // more: one shared materialization (passthrough when the caller —
+    // or a shared ann_eval build — already checkpointed it)
+    val corpus = materialized(corpus0.select(col(idCol), col(vecCol)))
+    val (books, d) = booksOpt.getOrElse(
+      pqTrainBooks(corpus, idCol, vecCol, m, ksub, iters))
 
     // code assignment: the same single-kernel pass, map-side
     val codes = corpus
@@ -452,10 +492,13 @@ object Similarity {
   /** Joint PQ codebook training over all m subspaces — the shared build
     * step of [[pqAnnTopK]] / [[ivfPqTopK]] / [[ivfPqResidualTopK]].
     * Returns (books, subspace width d). */
-  private def pqTrainBooks(corpus: DataFrame, idCol: String, vecCol: String,
+  private[graft] def pqTrainBooks(corpus0: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int): (Array[Array[Array[Double]]], Int) = {
     require(m >= 1, s"need m >= 1, got $m")
     require(ksub >= 2, s"need ksub >= 2, got $ksub")
+    // dim probe + seed scan + every joint-Lloyd iteration re-read the
+    // corpus: materialize the (id, vec) projection once
+    val corpus = materialized(corpus0.select(col(idCol), col(vecCol)))
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"need dim % m == 0, got dim=$dim m=$m")
     val d = dim / m
@@ -534,18 +577,22 @@ object Similarity {
     * residual encoding exists for); on the registered near-isotropic
     * unit-norm corpus residuals cannot shrink, and ann_eval honestly
     * records parity there. */
-  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+  def ivfPqResidualTopK(corpus0: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, coarseCells: Int = 32, nProbe: Int = 4,
-      m: Int = 16, ksub: Int = 64, iters: Int = 4): DataFrame = {
+      m: Int = 16, ksub: Int = 64, iters: Int = 4,
+      coarseOpt: Option[DataFrame] = None): DataFrame = {
     require(coarseCells >= 1, s"need coarseCells >= 1, got $coarseCells")
     require(nProbe >= 1, s"need nProbe >= 1, got $nProbe")
-    val spark = corpus.sparkSession
+    val spark = corpus0.sparkSession
     import spark.implicits._
-    val coarse = kmeansCentroids(corpus, idCol, vecCol, coarseCells, iters)
+    // coarse training + residual assignment share one materialization
+    // (the residual frame itself checkpoints separately below)
+    val corpus = materialized(corpus0.select(col(idCol), col(vecCol)))
+    val coarse = coarseOpt.getOrElse(
+      kmeansCentroids(corpus, idCol, vecCol, coarseCells, iters))
     val cm = centroidMatrix(coarse)
     val cellVecs = cm.toSeq.toDF("__coarse", "__cent")
-    val res = assignCells(corpus.select(col(idCol), col(vecCol)),
-        vecCol, coarse, "__coarse")
+    val res = assignCells(corpus, vecCol, coarse, "__coarse")
       .join(broadcast(cellVecs), "__coarse")
       .select(col(idCol), col("__coarse"),
         zip_with(col(vecCol), col("__cent"),
@@ -710,7 +757,10 @@ object Similarity {
   def principalComponent(emb: DataFrame, vecCol: String,
       iters: Int = 15): (Array[Double], Array[Double], Double) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val mu = exactMean(emb, vecCol)
+    // the mean pass + every power iteration re-read the input: one
+    // materialization of the vector projection feeds them all
+    val base = materialized(emb.select(col(vecCol)))
+    val mu = exactMean(base, vecCol)
     val d = mu.length
     val muLit = array(mu.map(lit): _*)
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -720,7 +770,7 @@ object Similarity {
       val diff = zip_with(col(vecCol), muLit, (x, m) => x.cast(DoubleType) - m)
       val p = aggregate(zip_with(diff, vLit, (a, b) => a * b),
         lit(0.0), (acc, e) => acc + e)
-      val av = emb
+      val av = base
         .select(diff.as("__diff"), p.as("__p"))
         .select(posexplode(transform(col("__diff"), x => x * col("__p")))
           .as(Seq("pos", "c")))

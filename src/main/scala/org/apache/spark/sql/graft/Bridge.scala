@@ -38,6 +38,22 @@ object Bridge {
     }
   }
 
+  /** True when a DataFrame is already backed by a materialized
+    * `localCheckpoint` (a bare LogicalRDD, optionally under narrow
+    * Project/Filter layers). Multi-pass index builders use this to
+    * materialize their input ONCE without re-copying a frame a caller
+    * already checkpointed for sharing. */
+  def isCheckpointBacked(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case pr: Project => walk(pr.child)
+      case f: Filter => walk(f.child)
+      case _ => false
+    }
+    walk(df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
+  }
+
   /** Membership probe against a serialized Bloom filter — the SAME
     * codegen'd expression Spark's own runtime row-group filtering injects
     * (`BloomFilterMightContain`), with the filter shipped as a binary
