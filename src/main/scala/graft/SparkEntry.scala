@@ -3373,8 +3373,14 @@ object SparkEntry {
   /** The scoring half of ann_eval: recall@k of each family's candidate
     * frame against the exact baseline — everything here is
     * top-k-set-sized (queries × k rows per family). */
-  private def annEvalFrom(k: Int, exact: DataFrame,
+  private def annEvalFrom(k: Int, exact0: DataFrame,
       fams: Seq[(String, DataFrame)]): DataFrame = {
+    // the exact baseline is the left side of EVERY family's eval join —
+    // one checkpoint (queries x k rows) replaces per-family re-runs of
+    // the brute-force scoring scan (static exchange reuse is deferred
+    // under AQE, so nothing guaranteed the six copies collapsed)
+    val exact = org.apache.spark.sql.graft.Bridge.resetStats(
+      exact0.localCheckpoint(true))
     def eval(name: String, fam: DataFrame): DataFrame =
       exact
         .join(fam.select(col("q_id"), col("vec_id"), lit(1L).as("__hit")),

@@ -297,12 +297,18 @@ object Curation {
       textCol: String, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
     val toks = wsTokens(col(textCol))
-    val grams = docs
+    // the hashed gram stream feeds TWO consumers (the per-bucket count
+    // rollup and the per-doc score join) — checkpoint it so the
+    // tokenize->gram-explode->md5 pipeline runs once, not per consumer
+    // (the multi-consumer re-scan rule). Rows are (id, bool, bucket) —
+    // ~17 B/gram, far narrower than the text they derive from.
+    val grams = org.apache.spark.sql.graft.Bridge.resetStats(docs
       .select(col(idCol), isTarget.as("__t"),
         explode(concat(shingles(toks, 1), shingles(toks, 2))).as("__g"))
       .withColumn("__b",
         conv(substring(md5(col("__g")), 1, 8), 16, 10).cast(LongType) % buckets)
       .select(col(idCol), col("__t"), col("__b"))
+      .localCheckpoint(true))
     val cnt = grams.groupBy("__b").agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))

@@ -60,13 +60,22 @@ object Graph {
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
     require(checkpointEvery >= 0, s"need checkpointEvery >= 0, got $checkpointEvery")
     import org.apache.spark.sql.graft.Bridge
+    def ckpt(df: DataFrame): DataFrame =
+      Bridge.resetStats(df.localCheckpoint(true))
     val base = scale * (dampDen - dampNum) / dampDen
-    val e = edges.select(col(srcCol).cast(LongType).as("__src"),
-      col(dstCol).cast(LongType).as("__dst"))
-    val deg = e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__deg"))
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct()
+    // materialize the loop-invariant frames ONCE: every round's plan
+    // otherwise re-embeds the caller's whole edge derivation plus the
+    // degree and node rollups (the registered query's unchanged plan
+    // carried 64 parquet scans — iters re-derivations of each), and
+    // static exchange reuse is deferred under AQE, so nothing guarantees
+    // the duplicates collapse at runtime. The result below is itself
+    // checkpointed so these can be freed before returning.
+    val e = ckpt(edges.select(col(srcCol).cast(LongType).as("__src"),
+      col(dstCol).cast(LongType).as("__dst")))
+    val deg = ckpt(e.groupBy(col("__src").as("node"))
+      .agg(count(lit(1)).as("__deg")))
+    val nodes = ckpt(e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct())
     var r = nodes.withColumn("pr", lit(scale))
     var backing: Option[DataFrame] = None
     for (i <- 1 to iters) {
@@ -80,13 +89,21 @@ object Graph {
           (lit(base) +
             expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("pr"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
-        val ck = Bridge.resetStats(r.localCheckpoint(true))
+        val ck = ckpt(r)
         backing.foreach(Bridge.unpersistCheckpoints)
         backing = Some(ck)
         r = ck
       }
     }
-    r
+    // materialize the final ranks so the loop-invariant checkpoints (and
+    // any last round backing) can be freed NOW — the caller reads one
+    // node-sized checkpoint; nothing upstream stays persisted.
+    val out = ckpt(r)
+    backing.foreach(Bridge.unpersistCheckpoints)
+    Bridge.unpersistCheckpoints(e)
+    Bridge.unpersistCheckpoints(deg)
+    Bridge.unpersistCheckpoints(nodes)
+    out
   }
 
   /** Minimum hop distance from a seed set (multi-source BFS, bounded at
