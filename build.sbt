@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes to stdout UNPREFIXED: sbt's default LoggedOutput
+// prepends "[info] "/"[error] " to every forked-process line, which makes
+// the bench's contract JSON line (`{"metric":...}`) unparseable by any
+// line-oriented json.loads consumer — BENCH_r01..r14 all show
+// `parsed: null` even when the complete JSON line sat inside the kept
+// tail, because the line always arrived as `[info] {...}`.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

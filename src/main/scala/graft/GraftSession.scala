@@ -57,14 +57,22 @@ object GraftSession {
     * semantics, which a production warehouse serves from object storage,
     * not this sandbox's stall-prone block device. Same 8 GiB guard:
     * fixture tables here are MBs, but low-memory hosts still fall back. */
-  private[graft] def warehouseDir(): String = {
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val base =
-      if (java.nio.file.Files.isWritable(shm) &&
-          shm.toFile.getUsableSpace >= (8L << 30)) shm
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    tempDir(base, "graft-warehouse")
-  }
+  private[graft] def warehouseDir(): String =
+    // SPARK_GRAFT_SCRATCH is honored here too (scratchDir's documented
+    // escape hatch): OOM-prone runs route fixture tables to disk, and a
+    // SIGKILLed JVM can't pin stale graft-warehouse dirs in RAM-backed
+    // tmpfs with no env recourse
+    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+      case Some(dir) =>
+        tempDir(java.nio.file.Paths.get(dir), "graft-warehouse")
+      case None =>
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        val base =
+          if (java.nio.file.Files.isWritable(shm) &&
+              shm.toFile.getUsableSpace >= (8L << 30)) shm
+          else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+        tempDir(base, "graft-warehouse")
+    }
 
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val spark = SparkSession

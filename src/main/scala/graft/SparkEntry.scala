@@ -3299,7 +3299,31 @@ object SparkEntry {
     * spec-pinned. */
   private def annEval(s: SparkSession, d: String): DataFrame = {
     val b = new AnnBuilds(s, d)
-    annEvalFrom(annK, b.exact(), b.families.map { case (n, f) => n -> f() })
+    // the exact baseline's scoring pass rides the same pool: annEvalFrom
+    // sees it already checkpoint-backed and skips the second copy
+    val built = parallelBuilt(("exact" -> (() =>
+      org.apache.spark.sql.graft.Bridge.resetStats(
+        b.exact().localCheckpoint(true)))) +: b.families)
+    annEvalFrom(annK, built.head._2, built.tail)
+  }
+
+  /** Force independent index-family builds from a small thread pool (the
+    * guide's overlap-independent-jobs rule): each thunk's construction
+    * runs its training collects (Lloyd/PQ iterations — serial driver
+    * round-trips), and the families are mutually independent except for
+    * the shared lazies in [[AnnBuilds]], whose `lazy val` initialization
+    * already serializes cross-thread. Spark's scheduler runs the
+    * concurrent jobs FIFO, back-filling executor cores that a single
+    * serial build chain leaves idle. Results are unchanged — every build
+    * is deterministic, and thread scheduling only reorders WHEN equal
+    * work happens. */
+  private def parallelBuilt(fams: Seq[(String, () => DataFrame)])
+      : Seq[(String, DataFrame)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    fams.map { case (n, f) => n -> Future(f()) }
+      .map { case (n, fut) => n -> Await.result(fut, Duration.Inf) }
   }
 
   private val annK = 10
@@ -3378,9 +3402,13 @@ object SparkEntry {
     // the exact baseline is the left side of EVERY family's eval join —
     // one checkpoint (queries x k rows) replaces per-family re-runs of
     // the brute-force scoring scan (static exchange reuse is deferred
-    // under AQE, so nothing guaranteed the six copies collapsed)
-    val exact = org.apache.spark.sql.graft.Bridge.resetStats(
-      exact0.localCheckpoint(true))
+    // under AQE, so nothing guaranteed the six copies collapsed). A
+    // caller that already checkpointed it (annEval's parallel build
+    // pool) passes through without a second copy.
+    val exact =
+      if (org.apache.spark.sql.graft.Bridge.isCheckpointBacked(exact0)) exact0
+      else org.apache.spark.sql.graft.Bridge.resetStats(
+        exact0.localCheckpoint(true))
     def eval(name: String, fam: DataFrame): DataFrame =
       exact
         .join(fam.select(col("q_id"), col("vec_id"), lit(1L).as("__hit")),
@@ -3420,8 +3448,10 @@ object SparkEntry {
     * d/64 slice — the slice happens BEFORE the candidate join, so bytes
     * shuffled scale with d; everything after is top-k-set-sized. */
   private def annDimTradeoff(s: SparkSession, d: String): DataFrame = {
-    // one materialization: the full-dim exact baseline + all four
-    // truncated evals re-scan the corpus otherwise (5 scans -> 1)
+    // only the exact baseline is materialized (inside annEvalFrom); the
+    // four truncated evals intentionally re-read the page-cached parquet
+    // per family — the AnnBuilds raw-scan decision (checkpointing the
+    // single-pass consumers measured 3.2 s vs 1.65 s raw)
     val b = new AnnBuilds(s, d)
     def truncated(dims: Int): DataFrame = {
       def cut(df: DataFrame): DataFrame =
@@ -3449,10 +3479,10 @@ object SparkEntry {
     val exact =
       if (s.catalog.tableExists(annCacheExact)) s.table(annCacheExact)
       else b.exact()
-    val fams = b.families.map { case (name, live) =>
+    val fams = parallelBuilt(b.families.map { case (name, live) =>
       name -> (if (s.catalog.tableExists(annCacheView(name)))
-        s.table(annCacheView(name)) else live())
-    }
+        (() => s.table(annCacheView(name))) else live)
+    })
     annEvalFrom(annK, exact, fams)
   }
 

@@ -28,12 +28,12 @@ object Graph {
     * rank_{i+1}(v) = base + (dampNum · Σ_{(u,v)∈E} share_i(u)) div dampDen
     * base = (scale · (dampDen − dampNum)) div dampDen.
     *
-    * SCALE: per round, the node-sized rank frame joins the node-sized
-    * degree table (same key — co-partitioned), then ONE edge-sized join
-    * distributes shares and ONE map-side-combined aggregate on dst
-    * collects them — the classic pregel alternation; nothing larger than
-    * the edge list ever shuffles, and the iteration count is a constant
-    * of the operator, not of the data. For long chains on huge graphs,
+    * SCALE: the rank frame CARRIES each node's out-degree (materialized
+    * once at entry), so per round ONE edge-sized join distributes shares
+    * and ONE map-side-combined aggregate on dst collects them — the
+    * classic pregel alternation with no per-round rank⋈degree join;
+    * nothing larger than the edge list ever shuffles, and the iteration
+    * count is a constant of the operator, not of the data. For long chains on huge graphs,
     * checkpoint every few rounds (the clusterPairs playbook — stats
     * reset included); at the fixed small `iters` typical for authority
     * scoring the plan tree stays shallow enough to skip it.
@@ -68,24 +68,33 @@ object Graph {
     // degree and node rollups (the registered query's unchanged plan
     // carried 64 parquet scans — iters re-derivations of each), and
     // static exchange reuse is deferred under AQE, so nothing guarantees
-    // the duplicates collapse at runtime. The result below is itself
+    // the duplicates collapse at runtime. TWO frames, not three: the node
+    // table CARRIES its out-degree (null for sink nodes), so the rank
+    // frame keeps __deg through the rounds and each round needs no
+    // separate rank⋈degree join — one entry materialization job and one
+    // per-round join fewer than the r14 three-frame form, whose fixed
+    // checkpoint cost outweighed the removed re-derivations at small
+    // scale (measured 4.45–4.71 s vs the 3.97 s un-checkpointed base at
+    // sf0.1 despite the 64→0 scan plan). The result below is itself
     // checkpointed so these can be freed before returning.
     val e = ckpt(edges.select(col(srcCol).cast(LongType).as("__src"),
       col(dstCol).cast(LongType).as("__dst")))
-    val deg = ckpt(e.groupBy(col("__src").as("node"))
-      .agg(count(lit(1)).as("__deg")))
-    val nodes = ckpt(e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node"))).distinct())
-    var r = nodes.withColumn("pr", lit(scale))
+    val dn = ckpt(e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+      .join(e.groupBy(col("__src").as("node"))
+        .agg(count(lit(1)).as("__deg")), Seq("node"), "left"))
+    var r = dn.withColumn("pr", lit(scale))
     var backing: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val shares = r.join(deg, Seq("node"))
+      // inner-join semantics of the old rank⋈degree: sink nodes (__deg
+      // null) contribute no shares
+      val shares = r.filter(col("__deg").isNotNull)
         .select(col("node"), expr("pr div __deg").as("__share"))
       val contrib = e.join(shares, e("__src") === shares("node"))
         .groupBy(col("__dst").as("node"))
         .agg(sum(col("__share")).as("__s"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
+      r = dn.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("__deg"),
           (lit(base) +
             expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("pr"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters) {
@@ -98,11 +107,10 @@ object Graph {
     // materialize the final ranks so the loop-invariant checkpoints (and
     // any last round backing) can be freed NOW — the caller reads one
     // node-sized checkpoint; nothing upstream stays persisted.
-    val out = ckpt(r)
+    val out = ckpt(r.select(col("node"), col("pr")))
     backing.foreach(Bridge.unpersistCheckpoints)
     Bridge.unpersistCheckpoints(e)
-    Bridge.unpersistCheckpoints(deg)
-    Bridge.unpersistCheckpoints(nodes)
+    Bridge.unpersistCheckpoints(dn)
     out
   }
 

@@ -27,10 +27,19 @@ object Similarity {
     * caller's full input pipeline from the source scan (the multi-consumer
     * re-scan rule). A frame that is already checkpoint-backed passes
     * through untouched so shared-build callers never pay a second copy. */
-  private def materialized(df: DataFrame): DataFrame = {
+  private def materialized(df: DataFrame): DataFrame = materializedOwned(df)._1
+
+  /** [[materialized]] that also reports whether THIS call created the
+    * checkpoint. Builders that fully consume their input driver-side
+    * (training loops returning arrays) unpersist an owned copy before
+    * returning — callers get no handle to it, so leaving it persisted
+    * accumulates corpus-sized block-manager storage across calls in a
+    * long-lived session (the round-4 storage-pressure class). A
+    * passthrough (caller-owned checkpoint) is NEVER freed here. */
+  private def materializedOwned(df: DataFrame): (DataFrame, Boolean) = {
     import org.apache.spark.sql.graft.Bridge
-    if (Bridge.isCheckpointBacked(df)) df
-    else Bridge.resetStats(df.localCheckpoint(true))
+    if (Bridge.isCheckpointBacked(df)) (df, false)
+    else (Bridge.resetStats(df.localCheckpoint(true)), true)
   }
 
   /** cosine(a, b) with norms precomputed on both sides. */
@@ -153,7 +162,7 @@ object Similarity {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // the seed scan + every Lloyd iteration + the final assignment each
     // re-read the input: materialize the (id, vec) projection once
-    val base = materialized(emb.select(col(idCol), col(vecCol)))
+    val (base, ownsBase) = materializedOwned(emb.select(col(idCol), col(vecCol)))
     var cents: Array[Array[Double]] = base
       .withColumn("__r", md5(col(idCol).cast(StringType)))
       .orderBy(col("__r"), col(idCol))
@@ -181,8 +190,11 @@ object Similarity {
     // consumers collect it more than once (centroidMatrix + assignCells,
     // and shared-coarse callers fan it out further): checkpoint it so the
     // final assignment pass runs once, not per collect
-    org.apache.spark.sql.graft.Bridge.resetStats(
+    val out = org.apache.spark.sql.graft.Bridge.resetStats(
       groupCentroids(assign(), "cell", vecCol).localCheckpoint(true))
+    // the eager result checkpoint no longer reads base — free an owned copy
+    if (ownsBase) org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(base)
+    out
   }
 
   /** Collect a (cell, pos, centroid) table into the driver-side matrix the
@@ -498,10 +510,7 @@ object Similarity {
     require(ksub >= 2, s"need ksub >= 2, got $ksub")
     // dim probe + seed scan + every joint-Lloyd iteration re-read the
     // corpus: materialize the (id, vec) projection once
-    val corpus = materialized(corpus0.select(col(idCol), col(vecCol)))
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    require(dim % m == 0, s"need dim % m == 0, got dim=$dim m=$m")
-    val d = dim / m
+    val (corpus, ownsCorpus) = materializedOwned(corpus0.select(col(idCol), col(vecCol)))
 
     // Joint Lloyd's over ALL m subspaces: each iteration is ONE corpus
     // scan (m codegen'd NearestCells exprs in one projection) + ONE
@@ -510,12 +519,17 @@ object Similarity {
     // (measured 29 s -> ~5 s at sf0.1 from the job-count cut alone).
     // Seeds are the ksub smallest-md5 vectors sliced per subspace (the
     // kmeansCentroids convention: deterministic, partitioning-free).
+    // dim comes from the collected seeds — a separate dim-probe job per
+    // training call was a pure job-count tax (two calls per ann_eval).
     val seedVecs = corpus.select(col(idCol), col(vecCol))
       .withColumn("__r", md5(col(idCol).cast(StringType)))
       .orderBy(col("__r"), col(idCol)).limit(ksub)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(seedVecs.length >= 2, s"need >= 2 vectors, got ${seedVecs.length}")
+    val dim = seedVecs(0).length
+    require(dim % m == 0, s"need dim % m == 0, got dim=$dim m=$m")
+    val d = dim / m
     var books: Array[Array[Array[Double]]] =
       (0 until m).toArray.map(j => seedVecs.map(_.slice(j * d, (j + 1) * d)))
 
@@ -547,6 +561,8 @@ object Similarity {
         }
       }
     }
+    // the books are driver arrays — an owned input copy has no readers left
+    if (ownsCorpus) org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(corpus)
     (books, d)
   }
 
@@ -759,7 +775,7 @@ object Similarity {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // the mean pass + every power iteration re-read the input: one
     // materialization of the vector projection feeds them all
-    val base = materialized(emb.select(col(vecCol)))
+    val (base, ownsBase) = materializedOwned(emb.select(col(vecCol)))
     val mu = exactMean(base, vecCol)
     val d = mu.length
     val muLit = array(mu.map(lit): _*)
@@ -784,6 +800,8 @@ object Similarity {
     // canonical sign: the largest-|coordinate| is positive
     val pivot = v.indices.maxBy(i => math.abs(v(i)))
     if (v(pivot) < 0.0) v = v.map(-_)
+    // (mean, v, lambda) are driver arrays — free an owned input copy
+    if (ownsBase) org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(base)
     (mu, v, lambda)
   }
 

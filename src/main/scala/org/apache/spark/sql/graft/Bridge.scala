@@ -40,13 +40,22 @@ object Bridge {
 
   /** True when a DataFrame is already backed by a materialized
     * `localCheckpoint` (a bare LogicalRDD, optionally under narrow
-    * Project/Filter layers). Multi-pass index builders use this to
-    * materialize their input ONCE without re-copying a frame a caller
-    * already checkpointed for sharing. */
+    * Project/Filter layers) whose blocks are STILL PERSISTED. Multi-pass
+    * index builders use this to materialize their input ONCE without
+    * re-copying a frame a caller already checkpointed for sharing. The
+    * storage-level check matters: a LogicalRDD over an unpersisted RDD
+    * (ofRows-constructed, or a checkpoint already swept by Bench's
+    * unpersist loop) must NOT pass through, or multi-pass builders
+    * re-execute per pass / fail on missing checkpoint blocks. The walk
+    * mirrors [[unpersistCheckpoints]]: the wrapped RDD may be a narrow
+    * derivative of the persisted one. */
   def isCheckpointBacked(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    def persisted(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE ||
+        r.dependencies.exists(d => persisted(d.rdd))
     def walk(p: LogicalPlan): Boolean = p match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case lr: org.apache.spark.sql.execution.LogicalRDD => persisted(lr.rdd)
       case pr: Project => walk(pr.child)
       case f: Filter => walk(f.child)
       case _ => false
