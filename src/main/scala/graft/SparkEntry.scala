@@ -1003,7 +1003,16 @@ object SparkEntry {
     * reduction is vocabulary-sized; nothing ever collects. Counts stay
     * BIGINT; TTR is the one shared IEEE division. */
   private def ngramDiversity(s: SparkSession, d: String): DataFrame = {
+    // round-robin repartition to the session parallelism BEFORE the
+    // explode: the corpus parquet is a single row group, so the
+    // tokenize+shingle+map-side-aggregate pipeline otherwise runs in ONE
+    // task (measured 2.91 s serial vs 0.58 s at 32 — the earlier
+    // "repartition regressed" results used a coalescible form; an
+    // explicit repartition(n) is not AQE-coalescible). Scale-adaptive:
+    // derived from defaultParallelism, and a no-op change at cluster
+    // scale where the scan already has >= parallelism splits.
     val sh = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("source"), explode(wordShingles(col("text"), 3)).as("sh"))
     sh.groupBy("source", "sh").agg(count(lit(1)).as("c"))
       .groupBy("source")
@@ -1027,7 +1036,9 @@ object SparkEntry {
     * collision check on this corpus, and the twin equality is also
     * spec-pinned. */
   private def ngramDiversityHashed(s: SparkSession, d: String): DataFrame = {
+    // pre-explode repartition: the ngramDiversity rationale
     val sh = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("source"), explode(wordShingles(col("text"), 3)).as("shs"))
       .select(col("source"), xxhash64(col("shs")).as("h"))
     sh.groupBy("source", "h").agg(count(lit(1)).as("c"))
@@ -3355,7 +3366,10 @@ object SparkEntry {
     // one shared materialization for everything that iterates: PQ and
     // coarse Lloyd training + the pq-family code/cell passes (the
     // builders' internal materialized() passes a checkpoint-backed frame
-    // through untouched, so this is the ONLY copy)
+    // through untouched, so this is the ONLY copy). Deliberately NOT
+    // repartitioned: the family builds run concurrently (parallelBuilt),
+    // so the cores are already busy and a wide base was measured SLOWER
+    // (ann_eval 5.01 -> 6.95 s — the materializedOwned note).
     private lazy val base: DataFrame = org.apache.spark.sql.graft.Bridge
       .resetStats(emb.select(col("vec_id"), col("embedding"))
         .localCheckpoint(true))

@@ -35,7 +35,19 @@ object Similarity {
     * returning — callers get no handle to it, so leaving it persisted
     * accumulates corpus-sized block-manager storage across calls in a
     * long-lived session (the round-4 storage-pressure class). A
-    * passthrough (caller-owned checkpoint) is NEVER freed here. */
+    * passthrough (caller-owned checkpoint) is NEVER freed here.
+    *
+    * The copy keeps its origin's partitioning (usually ONE task here —
+    * single-row-group scans). A repartition-to-parallelism variant was
+    * measured BOTH ways at sf0.1: it wins only where each pass does
+    * real compute (principalComponent's 15 power iterations,
+    * 3.09 → 2.06 s — that caller widens its input itself); for the
+    * PQ/kmeans training passes the per-pass compute is too small and
+    * the extra shuffle plus 32-task scheduling REGRESSED every consumer
+    * (pq_ann_topk 1.64 → 2.13, sim_ivfpq_residual 3.04 → 3.45,
+    * ann_eval 5.01 → 6.95 — its thread pool already fills the cores
+    * with independent builds, so intra-build parallelism bought
+    * nothing). */
   private def materializedOwned(df: DataFrame): (DataFrame, Boolean) = {
     import org.apache.spark.sql.graft.Bridge
     if (Bridge.isCheckpointBacked(df)) (df, false)
@@ -774,8 +786,15 @@ object Similarity {
       iters: Int = 15): (Array[Double], Array[Double], Double) = {
     require(iters >= 1, s"need iters >= 1, got $iters")
     // the mean pass + every power iteration re-read the input: one
-    // materialization of the vector projection feeds them all
-    val (base, ownsBase) = materializedOwned(emb.select(col(vecCol)))
+    // materialization of the vector projection feeds them all. WIDENED
+    // to the session parallelism before the copy — each of the `iters`
+    // passes does real compute (posexplode of rows x dims + decimal
+    // aggregation), so a 1-partition checkpoint (single-row-group scan)
+    // serialized all 15 iterations (measured 3.09 -> 2.06 s at sf0.1;
+    // the pq/kmeans builders deliberately stay narrow, see
+    // materializedOwned)
+    val (base, ownsBase) = materializedOwned(emb.select(col(vecCol))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism))
     val mu = exactMean(base, vecCol)
     val d = mu.length
     val muLit = array(mu.map(lit): _*)
