@@ -18,13 +18,14 @@ object ProbeTimeTravel {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
-    for (run <- 1 to nRuns) {
+    for (run <- 1 to nRuns; ckpt <- Seq(false, true)) {
       val path = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(SparkEntry.stagingBase), "graft_probe_tt_").toString
       try {
-        val ev = Tables.events(spark, sfDir)
+        val ev0 = Tables.events(spark, sfDir)
           .filter(col("ts") < to_timestamp(lit("2024-01-08")))
           .select("event_id", "user_id", "event_type", "ts")
+        val ev = if (ckpt) ev0.localCheckpoint(true) else ev0
         val (v1, t1) = time(Snapshots.commitAppend(spark, path, ev, "ts"))
         val (v2, t2) = time(Snapshots.commitDeleteKeys(spark, path, "user_id",
           ev.select(col("user_id")).filter(col("user_id") % 97 === 0)))
@@ -43,7 +44,8 @@ object ProbeTimeTravel {
               .withColumn("version", lit(v))
           }.reduce(_ unionByName _).collect().length
         }
-        System.err.println(f"[probe-tt] run$run append=$t1%5.2f delete=$t2%5.2f upsert=$t3%5.2f read3=$t4%5.2f ($n rows) total=${t1 + t2 + t3 + t4}%5.2f s")
+        System.err.println(f"[probe-tt] run$run ckpt=$ckpt%-5s append=$t1%5.2f delete=$t2%5.2f upsert=$t3%5.2f read3=$t4%5.2f ($n rows) total=${t1 + t2 + t3 + t4}%5.2f s")
+        if (ckpt) org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(ev)
       } finally {
         val p = new org.apache.hadoop.fs.Path(path)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true): Unit

@@ -1313,7 +1313,11 @@ object SparkEntry {
       when(col("event_id") % 2 === 1, col("user_id").cast(StringType))
         .otherwise(concat(lit("\""), col("event_type"), lit("\""))),
       lit("}"))
+    // round-robin repartition before the per-row variant parse: the
+    // events scan is one task and parse_json + variant_get are real
+    // per-row compute (the ngram_diversity serial-explode pattern)
     events(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("v", parse_json(payload))
       .select(
         variant_get(col("v"), "$.u.seg", "string").as("seg"),
@@ -2714,10 +2718,16 @@ object SparkEntry {
       // delete/upsert rewrites, snapshot isolation) are day-count
       // independent, and the fixture pays 3 full partitioned lake
       // writes PER INVOCATION — the 30-day form was the bench's single
-      // slowest query (8.1 s, all fixture IO; ~2 s sliced)
+      // slowest query (8.1 s, all fixture IO; ~2 s sliced).
+      // Eager checkpoint: the three commits lazily re-derive this frame
+      // FIVE times (append batch, delete keys, upsert batch twice,
+      // upsert keys) — each a serial events scan+filter (the
+      // multi-consumer re-scan rule; paired A/B measured −0.9 s,
+      // concentrated in the upsert commit). Freed in the finally.
       val ev = events(s, d)
         .filter(col("ts") < to_timestamp(lit("2024-01-08")))
         .select("event_id", "user_id", "event_type", "ts")
+        .localCheckpoint(true)
       val v1 = Snapshots.commitAppend(s, path, ev, "ts")
       val v2 = Snapshots.commitDeleteKeys(s, path, "user_id",
         ev.select(col("user_id")).filter(col("user_id") % 97 === 0))
@@ -2727,7 +2737,7 @@ object SparkEntry {
           .unionByName(batch.withColumn("event_id",
             col("event_id") + 1000000000L)),
         "ts", "event_id")
-      Seq(v1, v2, v3).map { v =>
+      val report = Seq(v1, v2, v3).map { v =>
         Snapshots.readSnapshot(s, path, v)
           .groupBy(col("y").cast(LongType).as("y"),
             col("m").cast(LongType).as("m"), col("d").cast(LongType).as("d"))
@@ -2739,7 +2749,9 @@ object SparkEntry {
         // the returned frame doesn't read paths the finally block deletes
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5)))
-        .toSeq.toDF("version", "y", "m", "d", "n_rows", "sum_uid")
+      // every consumer of the checkpointed events slice has run
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoints(ev)
+      report.toSeq.toDF("version", "y", "m", "d", "n_rows", "sum_uid")
         .orderBy("version", "y", "m", "d")
     } finally {
       val p = new org.apache.hadoop.fs.Path(path)

@@ -252,6 +252,12 @@ object Dedup {
     // A pre-explode repartition of the docs was ALSO tried and measured
     // SLOWER (1.52 → 1.71 s — the round-1 extra-shuffle lesson holds even
     // with the explode now single-pass); the serial explode stays.
+    // Re-measured round 15 with the explicit non-AQE-coalescible
+    // repartition(parallelism) that won 3.6x on ngram_diversity: NET
+    // ZERO across the 10-query family (sum-of-mins 20.55 → 20.46 s;
+    // dedup_cluster_sizes −0.84 cancelled by +0.1–0.2 on the light
+    // consumers) — the map side here is hash-and-shuffle, too cheap to
+    // parallelize, unlike ngram_diversity's string-keyed aggregation.
     val shh = org.apache.spark.sql.graft.Bridge.resetStats(
       sh.select(col(idCol), xxhash64(col("sh")).as("shh")).localCheckpoint(true))
     val sizes = shh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))

@@ -32,7 +32,14 @@ object Linkage {
     * `id1 < id2`), each with both names and the exact distance. */
   def fuzzyPairs(records: DataFrame, idCol: String, nameCol: String,
       maxVariantFreq: Option[Long] = None): DataFrame = {
-    val base = records.select(col(idCol).as("id"), col(nameCol).as("name"))
+    // round-robin repartition before the deletion-variant explode: the
+    // records scan is one task (single-row-group parquet) and the
+    // variant generation (|name|+1 substring builds + hashes per row)
+    // is real per-row compute that otherwise runs serially — and the
+    // self-join embeds the subtree TWICE (the ngram_diversity pattern)
+    val base = records
+      .repartition(records.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), col(nameCol).as("name"))
     val nm = col("name")
     // deletion variants via a per-row HOF over a tiny (|name|+1) array —
     // the "small per-row arrays" case where an interpreted HOF is fine

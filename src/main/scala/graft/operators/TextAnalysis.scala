@@ -707,8 +707,13 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val toks = docs.select(
-      col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
+    // pre-explode round-robin repartition: the corpus scan is one task
+    // (single-row-group parquet), so tokenize+explode otherwise runs
+    // serially before the id-keyed exchange (the ngram_diversity
+    // measurement — an explicit repartition(n) is not AQE-coalescible)
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(wsTokens(lower(col(textCol)))).as("term"))
       .repartition(col(idCol))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
     // doc length = sum of term frequencies, attached per-id by a window

@@ -107,7 +107,11 @@ object Snapshots {
   def readSnapshot(spark: SparkSession, path: String, v: Long,
       prune: Option[Column] = None,
       statsRanges: Map[String, (Double, Double)] = Map.empty,
-      statsStrRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
+      statsStrRanges: Map[String, (String, String)] = Map.empty,
+      // a caller that already holds v's manifest frame passes it through
+      // (commitReplace reads the same tiny parquet for `carried`
+      // otherwise — one listing+footer round-trip per commit saved)
+      manifestOpt: Option[DataFrame] = None): DataFrame = {
     def rangePrune[T](m: DataFrame, statsCol: String,
         ranges: Map[String, (T, T)]): DataFrame =
       ranges.foldLeft(m) { case (acc, (c, (lo, hi))) =>
@@ -116,7 +120,7 @@ object Snapshots {
           element_at(bounds, 1) <= lit(hi) && element_at(bounds, 2) >= lit(lo),
           lit(true)))
       }
-    val m0 = withStatsCols(manifest(spark, path, v))
+    val m0 = withStatsCols(manifestOpt.getOrElse(manifest(spark, path, v)))
     val statsPruned = rangePrune(rangePrune(m0, "stats", statsRanges),
       "stats_str", statsStrRanges)
     val m = prune.foldLeft(statsPruned)(_ filter _)
@@ -312,7 +316,8 @@ object Snapshots {
     val prev = currentVersion(spark, path)
     require(prev >= 1, "commitReplace on an empty lake: commitAppend first")
     val v = prev + 1
-    val cur = readSnapshot(spark, path, prev)
+    val mPrev = manifest(spark, path, prev)
+    val cur = readSnapshot(spark, path, prev, manifestOpt = Some(mPrev))
     val k = broadcast(keys)
     val enc = (col("y").cast(LongType) * 10000L +
       col("m").cast(LongType) * 100L + col("d").cast(LongType))
@@ -329,7 +334,7 @@ object Snapshots {
       case None => survivors
     }
     val added = writeBatch(spark, path, v, rewritten, statsCols = Nil)
-    val carried = manifest(spark, path, prev).filter(!(
+    val carried = mPrev.filter(!(
       (col("y") * 10000L + col("m") * 100L + col("d")).isInCollection(affected)))
     writeManifest(path, v, carried.unionByName(added, allowMissingColumns = true))
   }
