@@ -58,11 +58,13 @@ object GraftSession {
     * not this sandbox's stall-prone block device. Same 8 GiB guard:
     * fixture tables here are MBs, but low-memory hosts still fall back. */
   private[graft] def warehouseDir(): String =
-    // SPARK_GRAFT_SCRATCH is honored here too (scratchDir's documented
-    // escape hatch): OOM-prone runs route fixture tables to disk, and a
-    // SIGKILLed JVM can't pin stale graft-warehouse dirs in RAM-backed
-    // tmpfs with no env recourse
-    sys.env.get("SPARK_GRAFT_SCRATCH") match {
+    // SPARK_GRAFT_WAREHOUSE overrides just the warehouse (the
+    // tmpfs-vs-disk A/B lever); SPARK_GRAFT_SCRATCH is honored too
+    // (scratchDir's documented escape hatch): OOM-prone runs route
+    // fixture tables to disk, and a SIGKILLed JVM can't pin stale
+    // graft-warehouse dirs in RAM-backed tmpfs with no env recourse
+    sys.env.get("SPARK_GRAFT_WAREHOUSE")
+        .orElse(sys.env.get("SPARK_GRAFT_SCRATCH")) match {
       case Some(dir) =>
         tempDir(java.nio.file.Paths.get(dir), "graft-warehouse")
       case None =>

@@ -67,8 +67,9 @@ object ProfileSemantic {
         System.err.println(
           s"[profile] graph: ${adj.size} nodes, ${es.length} pairs, $comps components, max size $maxSize, max ecc-from-min $maxEcc")
       }
+      val jumps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_JUMPS", "1").toInt
       val (result, tCluster) = time {
-        val r = Dedup.clusterPairs(pairs, d1 = "v1", d2 = "v2",
+        val r = Dedup.clusterPairs(pairs, d1 = "v1", d2 = "v2", jumps = jumps,
           onRound = (i, s) => System.err.println(f"[profile] run$run round $i%2d $s%7.3f s"))
         force(r.select(col("doc_id").as("vec_id"), col("canonical_id")).orderBy("vec_id"))
         r

@@ -198,10 +198,18 @@ object Dedup {
     * collision-negligible. */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = docs.select(
+    // pre-explode repartition (the ngram_diversity serial-scan pattern)
+    // + eager checkpoint: the distinct (source, shingle) frame feeds
+    // THREE consumers (the size rollup and both self-join sides), each
+    // otherwise re-running tokenize→shingle→explode→distinct from the
+    // single-task scan
+    val sh = org.apache.spark.sql.graft.Bridge.resetStats(docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
         col(sourceCol).as("source"),
         explode(shinglesDistinct(wsTokens(col(textCol)), n)).as("sh"))
       .distinct()
+      .localCheckpoint(true))
     val sz = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     sh.select(col("source").as("s1"), col("sh"))
       .join(sh.select(col("source").as("s2"), col("sh")), "sh")

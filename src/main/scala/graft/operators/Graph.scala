@@ -77,6 +77,13 @@ object Graph {
     // scale (measured 4.45–4.71 s vs the 3.97 s un-checkpointed base at
     // sf0.1 despite the 64→0 scan plan). The result below is itself
     // checkpointed so these can be freed before returning.
+    // the edge checkpoint deliberately keeps its origin's partitioning:
+    // a repartition(parallelism)-widened copy was A/B'd interleaved at
+    // sf0.1 and LOST (warm totals 6.19/6.83 wide vs 3.65/4.67 narrow —
+    // the wider entry copy and dn derivation cost more than the
+    // 5 rounds' map-side parallelism saves; rounds 3.2 wide vs 2.3-3.0
+    // narrow). At cluster scale the caller's edge frame arrives
+    // many-partitioned anyway.
     val e = ckpt(edges.select(col(srcCol).cast(LongType).as("__src"),
       col(dstCol).cast(LongType).as("__dst")))
     val dn = ckpt(e.select(col("__src").as("node"))

@@ -905,10 +905,16 @@ object Similarity {
       // negatives only from IEEE noise at distance ~0: clamp for packing
       val dMilli = greatest(round(minDist * 1000).cast(LongType), lit(0L))
       val key = dMilli * lit(2147483648L) + (lit(2147483647L) - col("id"))
-      val best = base.agg(max(key)).head().getLong(0)
+      // ONE job per round: max_by returns the winner's vector alongside
+      // the packed argmax (the key is unique — it embeds the id — so the
+      // winner is unambiguous); the separate per-pick fetch job was half
+      // the loop's job count
+      val row = base.agg(max(key), max_by(col("v"), key)).head()
+      val best = row.getLong(0)
       val bestId = 2147483647L - (best % 2147483648L)
       picks += ((bestId, best / 2147483648L))
-      if (picks.size < k) centers = centers :+ fetch(bestId)
+      if (picks.size < k)
+        centers = centers :+ row.getSeq[Float](1).toArray
     }
     picks.toSeq.zipWithIndex
       .map { case ((id, d), i) => (i + 1L, id, d) }
